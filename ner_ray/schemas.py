@@ -57,6 +57,26 @@ MENTIONS = pa.schema(
     ]
 )
 
+# Per-turn mentions in nested form: the compact unit that flows into the
+# windowed triple extractor (text retained for same-turn pattern matching,
+# dropped before the cross-turn shuffle).
+MENTION_STRUCT = pa.struct(
+    [
+        ("surface", pa.string()),
+        ("type", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+    ]
+)
+TURN_MENTIONS = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("text", pa.string()),
+        ("mentions", pa.list_(MENTION_STRUCT)),
+    ]
+)
+
 # Linked mentions (after B5): entity_id == -1 means unlinked.
 LINKED_MENTIONS = pa.schema(
     list(MENTIONS)

@@ -1,0 +1,268 @@
+"""B3 — mention detection: the flagship stateful actor-pool stage.
+
+Turns ``(conv_id, turn_idx, ..., text)`` rows into a **mentions** table
+(schemas.MENTIONS) or a reference-style per-turn **tags** table
+(schemas.TAGS).  Two interchangeable taggers behind one interface
+(SURVEY.md §7 step 3):
+
+- ``RuleTagger`` — deterministic gazetteer tagger (leftmost-longest match,
+  compiled alternation).  This is the pinned stand-in for the reference NER
+  predictions (the reference mount was empty — SURVEY.md §0): it produces the
+  golden output the P/R >= 0.95 gate compares against.
+- ``NeuralTagger`` — the reference BiLSTM-CRF inference path re-implemented
+  in numpy (M1 embedding lookup -> M2 BiLSTM -> M3 projection -> M5 batched
+  Viterbi over CRF transitions -> E1 span folding), with frozen deterministic
+  weights (state.model).  Proves the stateful-actor + padded-batch +
+  batch-vectorized-decode machinery that a real trained model would use
+  (swap ``FrozenBiLSTM.create`` for a checkpoint loader; nothing else
+  changes).
+
+Ray Data mapping: ``ds.map_batches(TaggerCls, concurrency=N, batch_size=B,
+batch_format="pyarrow", zero_copy_batch=True)`` — model/vocab/regex state is
+built ONCE per actor in ``__init__`` (reference loads its checkpoint once per
+process the same way; ``model.py:~60`` saver (R)), work happens per Arrow
+batch in ``__call__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ner_ray import schemas
+from ner_ray.fixtures import gazetteer as gz
+from ner_ray.functions.bio import fold_bio, spans_to_bio
+from ner_ray.functions.viterbi import viterbi_decode_batch
+from ner_ray.schemas import LABEL2TAG
+from ner_ray.state.model import FrozenBiLSTM
+
+_ASCII_WORD = re.compile(r"[A-Za-z0-9]")
+
+
+def stable_mention_id(conv_id: str, turn_idx: int, start: int) -> int:
+    """Deterministic 63-bit mention id (stable across runs and shardings)."""
+    h = hashlib.blake2b(f"{conv_id}:{turn_idx}:{start}".encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") >> 1
+
+
+def _mentions_table(rows: dict[str, list]) -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "mention_id": pa.array(rows["mention_id"], pa.int64()),
+            "surface": pa.array(rows["surface"], pa.string()),
+            "type": pa.array(rows["type"], pa.string()),
+            "start": pa.array(rows["start"], pa.int32()),
+            "end": pa.array(rows["end"], pa.int32()),
+        },
+        schema=schemas.MENTIONS,
+    )
+
+
+class RuleTagger:
+    """Gazetteer tagger: leftmost-longest match over planted surfaces.
+
+    ``__init__`` compiles the pattern once per actor.  Matching itself runs in
+    the C regex engine per row; for gazetteers beyond ~10^4 surfaces swap the
+    alternation for an Aho-Corasick automaton (same actor interface).
+    """
+
+    def __init__(self, surface2type: dict[str, str] | None = None, output: str = "mentions"):
+        self.surface2type = dict(surface2type or gz.SURFACE2TYPE)
+        # Longest-first alternation => leftmost-longest semantics.
+        pats = sorted(self.surface2type, key=len, reverse=True)
+        self.pattern = re.compile("|".join(re.escape(s) for s in pats))
+        self.output = output
+
+    def _spans(self, text: str) -> list[tuple[str, str, int, int]]:
+        out = []
+        for m in self.pattern.finditer(text):
+            s, e = m.span()
+            # ASCII word-boundary guard: don't match "Lima" inside "climate".
+            if s > 0 and _ASCII_WORD.match(text[s - 1]) and _ASCII_WORD.match(text[s]):
+                continue
+            if e < len(text) and _ASCII_WORD.match(text[e - 1]) and _ASCII_WORD.match(text[e]):
+                continue
+            out.append((m.group(), self.surface2type[m.group()], s, e))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        turn = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        if self.output == "tags":
+            return _tags_table(conv, turn, texts, [self._spans(t) for t in texts])
+        if self.output == "turn_mentions":
+            return _turn_mentions_table(conv, turn, texts, [self._spans(t) for t in texts])
+        rows: dict[str, list] = {
+            k: [] for k in ("conv_id", "turn_idx", "mention_id", "surface", "type", "start", "end")
+        }
+        for c, ti, text in zip(conv, turn, texts):
+            for surface, typ, s, e in self._spans(text):
+                rows["conv_id"].append(c)
+                rows["turn_idx"].append(ti)
+                rows["mention_id"].append(stable_mention_id(c, ti, s))
+                rows["surface"].append(surface)
+                rows["type"].append(typ)
+                rows["start"].append(s)
+                rows["end"].append(e)
+        return _mentions_table(rows)
+
+
+def _turn_mentions_table(conv, turn, texts, spans_per_row) -> pa.Table:
+    structs = [
+        [{"surface": s, "type": t, "start": st, "end": en} for s, t, st, en in spans]
+        for spans in spans_per_row
+    ]
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "mentions": pa.array(structs, pa.list_(schemas.MENTION_STRUCT)),
+        },
+        schema=schemas.TURN_MENTIONS,
+    )
+
+
+def _tags_table(conv, turn, texts, spans_per_row) -> pa.Table:
+    chars_col, tags_col = [], []
+    for text, spans in zip(texts, spans_per_row):
+        chars_col.append(list(text))
+        tags_col.append(spans_to_bio(len(text), [(s, e, t) for _, t, s, e in spans]))
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "chars": pa.array(chars_col, pa.list_(pa.string())),
+            "tags": pa.array(tags_col, pa.list_(pa.string())),
+        },
+        schema=schemas.TAGS,
+    )
+
+
+class NeuralTagger:
+    """BiLSTM-CRF inference actor (reference M1-M5 machinery, numpy).
+
+    ``model_ref`` may be a ``ray.ObjectRef`` (broadcast once via ``ray.put``
+    from the driver — the 100 TB pattern so every actor shares one copy in
+    the object store) or None to build the frozen model in-actor.
+
+    Long turns are processed in segments of ``max_seq_len`` and the decoded
+    tags stitched (chunk-and-stitch; the reference instead TRUNCATES at
+    max_seq_length=128 — enable ``strict_reference_mode`` to reproduce that
+    divergence exactly; SURVEY.md §7 hard part 2).
+    """
+
+    def __init__(
+        self,
+        model_ref=None,
+        output: str = "mentions",
+        max_seq_len: int = 256,
+        strict_reference_mode: bool = False,
+    ):
+        if model_ref is not None:
+            import ray
+
+            self.model = ray.get(model_ref)
+        else:
+            self.model = FrozenBiLSTM.create()
+        self.output = output
+        self.max_seq_len = max_seq_len
+        self.strict = strict_reference_mode
+        self.tag_lookup = np.array([LABEL2TAG[i] for i in range(len(LABEL2TAG))], dtype=object)
+
+    def _decode_texts(self, texts: list[str]) -> list[list[str]]:
+        # Segment long texts (or truncate in strict mode), keep a row map.
+        seg_cps: list[np.ndarray] = []
+        seg_owner: list[int] = []
+        for r, text in enumerate(texts):
+            cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            if self.strict:
+                cps = cps[: self.max_seq_len]
+                segs = [cps] if len(cps) else []
+            else:
+                segs = [
+                    cps[i : i + self.max_seq_len] for i in range(0, len(cps), self.max_seq_len)
+                ]
+            for s in segs:
+                seg_cps.append(s)
+                seg_owner.append(r)
+        tags_per_row: list[list[str]] = [[] for _ in texts]
+        if not seg_cps:
+            return tags_per_row
+        lens = np.array([len(s) for s in seg_cps], dtype=np.int64)
+        Lmax = int(lens.max())
+        ids = np.zeros((len(seg_cps), Lmax), dtype=np.int64)  # 0 == <PAD>
+        for i, s in enumerate(seg_cps):
+            ids[i, : len(s)] = self.model.ids_for_codepoints(s)
+        logits = self.model.emissions(ids)  # M1-M3 (+prior)
+        paths = viterbi_decode_batch(logits, lens, self.model.transitions)  # M5
+        for i, owner in enumerate(seg_owner):
+            tags_per_row[owner].extend(self.tag_lookup[paths[i, : lens[i]]].tolist())
+        return tags_per_row
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        turn = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        tags_per_row = self._decode_texts(texts)
+        if self.output == "tags":
+            chars_col = [list(t) if not self.strict else list(t)[: self.max_seq_len] for t in texts]
+            return pa.table(
+                {
+                    "conv_id": pa.array(conv, pa.string()),
+                    "turn_idx": pa.array(turn, pa.int32()),
+                    "chars": pa.array(chars_col, pa.list_(pa.string())),
+                    "tags": pa.array(tags_per_row, pa.list_(pa.string())),
+                },
+                schema=schemas.TAGS,
+            )
+        if self.output == "turn_mentions":
+            spans_per_row = [
+                fold_bio(list(t)[: len(tags)], tags) for t, tags in zip(texts, tags_per_row)
+            ]
+            return _turn_mentions_table(conv, turn, texts, spans_per_row)
+        rows: dict[str, list] = {
+            k: [] for k in ("conv_id", "turn_idx", "mention_id", "surface", "type", "start", "end")
+        }
+        for c, ti, text, tags in zip(conv, turn, texts, tags_per_row):
+            for surface, typ, s, e in fold_bio(list(text)[: len(tags)], tags):  # E1
+                rows["conv_id"].append(c)
+                rows["turn_idx"].append(ti)
+                rows["mention_id"].append(stable_mention_id(c, ti, s))
+                rows["surface"].append(surface)
+                rows["type"].append(typ)
+                rows["start"].append(s)
+                rows["end"].append(e)
+        return _mentions_table(rows)
+
+
+TAGGERS = {"rule": RuleTagger, "bilstm": NeuralTagger}
+
+
+def tag_transcripts(
+    ds: Dataset,
+    tagger: str = "rule",
+    output: str = "mentions",
+    batch_size: int = 4096,
+    concurrency: int | tuple[int, int] | None = None,
+    num_cpus: float = 1,
+    **tagger_kwargs,
+) -> Dataset:
+    """Run mention detection as an actor-pool ``map_batches`` stage."""
+    cls = TAGGERS[tagger]
+    return ds.map_batches(
+        cls,
+        fn_constructor_kwargs={"output": output, **tagger_kwargs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else (1, 8),
+        num_cpus=num_cpus,
+    )

@@ -1,0 +1,118 @@
+"""B4 tests: pattern triples, window semantics, salted-chunk exactness."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ner_ray import schemas
+from ner_ray.stages.order_restore import add_salted_chunks
+from ner_ray.stages.tagger import RuleTagger
+from ner_ray.stages.triples import (
+    extract_pattern_triples,
+    extract_triples,
+    make_window_extractor,
+)
+
+
+def _turn_mentions(turns: list[tuple[str, int, str]]) -> pa.Table:
+    batch = pa.table(
+        {
+            "conv_id": pa.array([c for c, _, _ in turns], pa.string()),
+            "turn_idx": pa.array([t for _, t, _ in turns], pa.int32()),
+            "text": pa.array([x for _, _, x in turns], pa.string()),
+        }
+    )
+    return RuleTagger(output="turn_mentions")(batch)
+
+
+class TestPatternTriples:
+    def test_lexicon_hit(self):
+        tm = _turn_mentions([("c1", 0, "Alice Chen works at Acme Corp.")])
+        rows = extract_pattern_triples(tm).to_pylist()
+        assert rows == [
+            {
+                "subj": "Alice Chen",
+                "pred": "works_at",
+                "obj": "Acme Corp",
+                "conv_id": "c1",
+                "turn_idx": 0,
+                "confidence": 1.0,
+            }
+        ]
+
+    def test_cooccur_fallback(self):
+        tm = _turn_mentions([("c1", 1, "Oslo and Kyoto came up.")])
+        rows = extract_pattern_triples(tm).to_pylist()
+        assert [(r["subj"], r["pred"], r["obj"]) for r in rows] == [
+            ("Oslo", "co_occurs_with", "Kyoto")
+        ]
+        assert rows[0]["confidence"] == pytest.approx(0.8)
+
+    def test_three_mentions_adjacent_pairs(self):
+        tm = _turn_mentions([("c1", 2, "Carol Diaz joined NJU after leaving Globex.")])
+        preds = [(r["subj"], r["pred"], r["obj"]) for r in extract_pattern_triples(tm).to_pylist()]
+        assert ("Carol Diaz", "joined", "NJU") in preds
+        assert ("NJU", "left", "Globex") in preds
+
+    def test_no_mentions_no_rows(self):
+        tm = _turn_mentions([("c1", 0, "nothing here."), ("c1", 1, "Oslo alone.")])
+        assert extract_pattern_triples(tm).num_rows == 0
+
+
+class TestWindowExtractor:
+    def _group(self, turns, owned=None):
+        tm = _turn_mentions(turns)
+        n = tm.num_rows
+        owned = owned or [True] * n
+        return tm.drop_columns(["text"]).append_column(
+            "owned", pa.array(owned, pa.bool_())
+        )
+
+    def test_window_pairs(self):
+        g = self._group(
+            [("c1", 0, "Oslo is nice."), ("c1", 1, "Kyoto too."), ("c1", 3, "Lima far.")]
+        )
+        rows = make_window_extractor(3)(g).to_pylist()
+        got = {(r["subj"], r["obj"], r["turn_idx"]) for r in rows}
+        # 0->1 (dt=1), 1->3 (dt=2); 0->3 is dt=3 >= window
+        assert got == {("Oslo", "Kyoto", 0), ("Kyoto", "Lima", 1)}
+
+    def test_unowned_anchor_skipped(self):
+        g = self._group(
+            [("c1", 0, "Oslo is nice."), ("c1", 1, "Kyoto too.")], owned=[False, True]
+        )
+        assert make_window_extractor(3)(g).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedWindowExactness:
+    def test_chunked_equals_naive(self, small_transcripts):
+        """Salted-chunk extraction == single-group extraction (no dup/loss at
+        chunk edges) — SURVEY.md §7 hard part 1."""
+        ds = rd.from_arrow(small_transcripts)
+        tm = ds.map_batches(
+            RuleTagger, fn_constructor_kwargs={"output": "turn_mentions"},
+            batch_format="pyarrow", concurrency=2,
+        )
+        window = 3
+
+        def run(chunk_turns):
+            out = extract_triples(tm, window=window, chunk_turns=chunk_turns).to_pandas()
+            return sorted(map(tuple, out.values.tolist()))
+
+        # tiny chunks (lots of edges) vs chunks larger than any conversation
+        assert run(4) == run(100000)
+
+    def test_mega_conv_fanout(self, small_transcripts):
+        """add_salted_chunks splits the mega-conversation into many groups."""
+        ds = rd.from_arrow(small_transcripts)
+        chunked = add_salted_chunks(ds, chunk_turns=8, window=3).to_pandas()
+        mega = chunked[chunked.conv_id == "conv-000000"]
+        assert mega.chunk.nunique() > 3
+        # lookahead rows exist and are flagged
+        assert (~mega.owned).sum() > 0
+        # each (chunk, turn) appears at most twice (owned + one lookahead copy)
+        dup = mega.groupby(["chunk", "turn_idx"]).size().max()
+        assert dup == 1  # within a chunk each turn appears once
