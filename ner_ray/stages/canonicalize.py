@@ -1,0 +1,408 @@
+"""B6 — canonicalization: distributed union-find over surface-form keys.
+
+North-star semantics (BASELINE.json:6): "canonicalization runs a distributed
+union-find over groupby(surface-form-key) aggregate shuffles to merge
+coreferent entities".
+
+Graph model (pinned semantics):
+
+- **node** = ``"{type}:{normalize_surface(surface)}"`` — typed surface-form
+  key.  Typing the node prevents the classic transitive-merge hazard where an
+  ambiguous surface ("Lima" the LOC vs "Lima" the ORG alias) would glue two
+  unrelated entities into one component.
+- **edges**: (a) mention node -> ``ent:{entity_id}`` for every cosine-linked
+  mention (B5 output); (b) dictionary edges alias-node -> entity for every
+  UNambiguous (type, alias) pair of the alias dict.  Same-surface variants
+  ("Acme Corp" / "ACME corp.") already share a node via normalize_surface.
+- **components** = coreferent entity clusters; representative label = min
+  node string; ``entity_id`` = stable 63-bit hash of the label.
+
+Algorithm: iterative **min-label propagation** expressed entirely in Ray Data
+(hash-join labels onto half-edges, then ``groupby(node).min(label)`` — the
+"groupby aggregate shuffles" of the north star), driver-side fixpoint check
+via a per-round label checksum.  Converges in O(log diameter) rounds;
+entity-alias stars have diameter <= 2, so 2-3 rounds in practice.  Each round
+shuffles only (node, label) pairs — O(distinct surfaces), *not* O(mentions):
+mention streams are pre-deduplicated to distinct nodes inside map_batches
+before any shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+from ner_ray.functions.normalize import normalize_surface
+from ner_ray.stages.joins import hash_join
+
+ENT_PREFIX = "ent:"
+
+_NODE_LABEL = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+
+def _norm_labels(t: pa.Table) -> pa.Table:
+    """Normalize block schema — Ray's hash join can emit empty blocks with an
+    EMPTY schema, which breaks later unions/joins if left in the stream."""
+    if "node" not in t.column_names or "label" not in t.column_names:
+        return _NODE_LABEL.empty_table()
+    return pa.table({"node": t["node"], "label": t["label"]}, schema=_NODE_LABEL)
+
+
+def stable_id(key: str) -> int:
+    h = hashlib.blake2b(key.encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") >> 1
+
+
+def _checksum(labels: Dataset) -> int:
+    """Order/sharding-independent checksum of the (node,label) multiset."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        s = 0
+        for n, l in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
+            s = (s + zlib.crc32(f"{n}\x00{l}".encode())) & 0xFFFFFFFFFFFF
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    out = labels.map_batches(part, batch_format="pyarrow").sum("s")
+    return int(out or 0)
+
+
+def connected_components(
+    edges: Dataset, max_rounds: int = 8, num_partitions: int = 16
+) -> Dataset:
+    """Min-label propagation over an edge Dataset with columns (src, dst).
+
+    Returns a Dataset (node, label); every endpoint appears exactly once.
+    """
+
+    def to_half_edges(batch: pa.Table) -> pa.Table:
+        src, dst = batch["src"], batch["dst"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays([src.combine_chunks(), dst.combine_chunks()]),
+                "peer": pa.concat_arrays([dst.combine_chunks(), src.combine_chunks()]),
+            }
+        )
+
+    half = edges.map_batches(to_half_edges, batch_format="pyarrow").materialize()
+    labels = (
+        half.select_columns(["node"])
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev = _checksum(labels)
+    for _ in range(max_rounds):
+        # label(node) joined onto half-edges => message (peer, label)
+        def peer_msgs(t: pa.Table) -> pa.Table:
+            if "peer" not in t.column_names or "label" not in t.column_names:
+                return _NODE_LABEL.empty_table()
+            return pa.table({"node": t["peer"], "label": t["label"]}, schema=_NODE_LABEL)
+
+        msgs = hash_join(half, labels, on="node", how="inner").map_batches(
+            peer_msgs, batch_format="pyarrow"
+        )
+        labels = (
+            labels.map_batches(_norm_labels, batch_format="pyarrow")
+            .union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_norm_labels, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = _checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+# ---------------------------------------------------------------------------
+
+
+def mention_nodes(linked_mentions: Dataset) -> Dataset:
+    """Distinct (node, surface, type, entity_id, n_mentions) — deduped inside
+    map_batches (combiner) before the distinct groupby shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple, list] = {}
+        for s, t, e in zip(
+            batch["surface"].to_pylist(),
+            batch["type"].to_pylist(),
+            batch["entity_id"].to_pylist(),
+        ):
+            node = f"{t}:{normalize_surface(s)}"
+            key = (node, s, t, e)
+            if key in agg:
+                agg[key][0] += 1
+            else:
+                agg[key] = [1]
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "node": pa.array([k[0] for k in keys], pa.string()),
+                "surface": pa.array([k[1] for k in keys], pa.string()),
+                "type": pa.array([k[2] for k in keys], pa.string()),
+                "entity_id": pa.array([k[3] for k in keys], pa.int64()),
+                "n_mentions": pa.array([agg[k][0] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        linked_mentions.map_batches(partial, batch_format="pyarrow")
+        .groupby(["node", "surface", "type", "entity_id"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+    )
+
+
+def build_edges(nodes: Dataset, alias_table: pa.Table) -> Dataset:
+    """Mention->entity edges (from data) ∪ unambiguous dictionary edges."""
+    linked = nodes.filter(expr="entity_id >= 0")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ent = pc.binary_join_element_wise(
+            pa.array([ENT_PREFIX] * batch.num_rows),
+            pc.cast(batch["entity_id"], pa.string()),
+            "",
+        )
+        return pa.table({"src": batch["node"], "dst": ent})
+
+    data_edges = linked.map_batches(to_edges, batch_format="pyarrow")
+
+    # dictionary edges: unambiguous (type, alias) -> entity
+    seen: dict[str, set[int]] = {}
+    rows = alias_table.to_pylist()
+    for r in rows:
+        node = f"{r['type']}:{normalize_surface(r['alias'])}"
+        seen.setdefault(node, set()).add(r["entity_id"])
+    dict_edges = [
+        {"src": node, "dst": f"{ENT_PREFIX}{next(iter(eids))}"}
+        for node, eids in sorted(seen.items())
+        if len(eids) == 1
+    ]
+    if dict_edges:
+        data_edges = data_edges.union(rd.from_arrow(pa.Table.from_pylist(dict_edges)))
+    return data_edges
+
+
+def canonicalize(
+    linked_mentions: Dataset,
+    alias_table: pa.Table,
+    max_rounds: int = 8,
+    num_partitions: int = 16,
+) -> tuple[Dataset, Dataset]:
+    """Full B6.
+
+    Returns ``(mapping, entities)``:
+
+    - mapping: (node, surface, type, entity_id, canonical, n_mentions) — one
+      row per distinct typed surface key, including unlinked singletons.
+    - entities: (entity_id, canonical, type, aliases) — one row per merged
+      component (schemas.ENTITIES shape).
+    """
+    nodes = mention_nodes(linked_mentions).materialize()
+    edges = build_edges(nodes, alias_table)
+    labels = connected_components(edges, max_rounds=max_rounds, num_partitions=num_partitions)
+
+    ent_meta = {
+        r["entity_id"]: (r["canonical"], r["type"]) for r in alias_table.to_pylist()
+    }
+
+    # Attach component labels to mention nodes (unlinked nodes keep themselves
+    # as their own component).
+    _NODES_SCHEMA = pa.schema(
+        [
+            ("node", pa.string()),
+            ("surface", pa.string()),
+            ("type", pa.string()),
+            ("entity_id", pa.int64()),
+            ("n_mentions", pa.int64()),
+            ("label", pa.string()),
+        ]
+    )
+
+    def fill_label(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return _NODES_SCHEMA.empty_table()
+        if "label" not in t.column_names:
+            t = t.append_column("label", t["node"])
+        else:
+            t = t.set_column(
+                t.column_names.index("label"), "label", pc.coalesce(t["label"], t["node"])
+            )
+        return t.select(_NODES_SCHEMA.names).cast(_NODES_SCHEMA)
+
+    labeled = hash_join(nodes, labels, on="node", how="left").map_batches(
+        fill_label, batch_format="pyarrow"
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        """One component -> one entity row + per-node mapping rows."""
+        label = group["label"][0].as_py()
+        g = group.to_pylist()
+        # canonical: the dictionary canonical of the smallest entity_id member
+        # if any mention is linked; else the most-supported original surface.
+        linked_ids = sorted({r["entity_id"] for r in g if r["entity_id"] >= 0})
+        if linked_ids and linked_ids[0] in ent_meta:
+            canonical, typ = ent_meta[linked_ids[0]]
+        else:
+            best = max(g, key=lambda r: (r["n_mentions"], -len(r["surface"]), r["surface"]))
+            canonical, typ = best["surface"], best["type"]
+        eid = stable_id(label)
+        aliases = sorted({r["surface"] for r in g})
+        ent = {
+            "entity_id": eid,
+            "canonical": canonical,
+            "type": typ,
+            "aliases": aliases,
+            "node": f"__entity__:{label}",
+            "surface": canonical,
+            "n_mentions": int(sum(r["n_mentions"] for r in g)),
+            "kind": "entity",
+        }
+        maps = [
+            {
+                "entity_id": eid,
+                "canonical": canonical,
+                "type": r["type"],
+                "aliases": None,
+                "node": r["node"],
+                "surface": r["surface"],
+                "n_mentions": r["n_mentions"],
+                "kind": "mapping",
+            }
+            for r in g
+        ]
+        return pa.Table.from_pylist([ent] + maps)
+
+    combined = (
+        labeled.groupby("label").map_groups(finish, batch_format="pyarrow").materialize()
+    )
+    mapping = combined.filter(expr="kind == 'mapping'").select_columns(
+        ["node", "surface", "type", "entity_id", "canonical", "n_mentions"]
+    )
+    entities = combined.filter(expr="kind == 'entity'").select_columns(
+        ["entity_id", "canonical", "type", "aliases"]
+    )
+    return mapping, entities
+
+
+def rewrite_triples(
+    triples: Dataset,
+    mapping: Dataset,
+    how: str = "broadcast",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Rewrite triple subj/obj surfaces to canonical entity names.
+
+    ``broadcast`` (default): the mapping — one row per *distinct* surface key,
+    orders of magnitude smaller than the triple stream — is collected and
+    ``ray.put`` once; rewriting is a shuffle-free map_batches.  Per surface
+    key the canonical with the largest mention support wins (triples carry no
+    type, so the majority type resolves rare cross-type homographs).
+
+    ``join``: two hash joins (subj key, then obj key) for the case where the
+    mapping itself is too large to broadcast.
+    """
+    if how == "join":
+        return _rewrite_join(triples, mapping, num_partitions)
+
+    import ray
+
+    pdf = mapping.to_pandas()
+    best: dict[str, tuple[int, str]] = {}
+    for _, r in pdf.iterrows():
+        key = r["node"].split(":", 1)[1]
+        cur = best.get(key)
+        if cur is None or r["n_mentions"] > cur[0]:
+            best[key] = (r["n_mentions"], r["canonical"])
+    table = {k: v[1] for k, v in best.items()}
+    ref = ray.put(table)
+
+    class Rewriter:
+        def __init__(self):
+            self.table = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            subj = batch["subj"].to_pylist()
+            obj = batch["obj"].to_pylist()
+            t = self.table
+            new_subj = [t.get(normalize_surface(s), s) for s in subj]
+            new_obj = [t.get(normalize_surface(o), o) for o in obj]
+            batch = batch.set_column(
+                batch.column_names.index("subj"), "subj", pa.array(new_subj, pa.string())
+            )
+            return batch.set_column(
+                batch.column_names.index("obj"), "obj", pa.array(new_obj, pa.string())
+            )
+
+    return triples.map_batches(Rewriter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _rewrite_join(triples: Dataset, mapping: Dataset, num_partitions: int) -> Dataset:
+    """Join-based rewrite for non-broadcastable mappings (two hash joins)."""
+
+    def keyed(which: str):
+        def add(batch: pa.Table) -> pa.Table:
+            keys = [normalize_surface(s) for s in batch[which].to_pylist()]
+            return batch.append_column(f"{which}_key", pa.array(keys, pa.string()))
+
+        return add
+
+    # Reduce mapping to one winner per surface key first (small groupby).
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("n_mentions", "descending")])
+        return pa.table(
+            {
+                "skey": [g["skey"][0].as_py()],
+                "canon": [g["canonical"][0].as_py()],
+            }
+        )
+
+    skeys = mapping.map_batches(
+        lambda t: pa.table(
+            {
+                "skey": pa.array(
+                    [n.split(":", 1)[1] for n in t["node"].to_pylist()], pa.string()
+                ),
+                "canonical": t["canonical"],
+                "n_mentions": t["n_mentions"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby("skey").map_groups(pick, batch_format="pyarrow")
+
+    out = hash_join(
+        triples.map_batches(keyed("subj"), batch_format="pyarrow"),
+        skeys.rename_columns({"skey": "subj_key", "canon": "subj_canon"}),
+        on="subj_key",
+        how="left",
+    )
+    out = out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("subj"), "subj", pc.coalesce(t["subj_canon"], t["subj"])
+        ).drop_columns(["subj_key", "subj_canon"]),
+        batch_format="pyarrow",
+    )
+    out = hash_join(
+        out.map_batches(keyed("obj"), batch_format="pyarrow"),
+        skeys.rename_columns({"skey": "obj_key", "canon": "obj_canon"}),
+        on="obj_key",
+        how="left",
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("obj"), "obj", pc.coalesce(t["obj_canon"], t["obj"])
+        ).drop_columns(["obj_key", "obj_canon"]),
+        batch_format="pyarrow",
+    )

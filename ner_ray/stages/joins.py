@@ -1,0 +1,103 @@
+"""Portable distributed joins for Ray Data.
+
+``Dataset.join`` in Ray 2.49 fails with ``ArrowInvalid: No match ... on right
+side of the join`` whenever a hash partition receives zero rows for one side
+(the partition block is built with an EMPTY schema).  With small keyed sides
+(label tables, mapping tables) empty partitions are routine, so this module
+provides the classic portable pattern instead: tag each side, union, and
+``groupby(key).map_groups`` — a single hash shuffle, robust to empty/skewed
+partitions, identical semantics.
+
+Use ``hash_join`` for small-to-medium keyed sides (canonicalization labels,
+surface mappings).  For large-large relational joins prefer broadcast
+(stages.relational.broadcast_join) when one side fits the object store, or
+``Dataset.join`` when both sides are dense enough that no partition is empty.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+_SIDE = "__side__"
+
+
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: str | list[str],
+    how: str = "inner",
+) -> Dataset:
+    """Join two Datasets on key column(s) via union + groupby.
+
+    ``how``: "inner" | "left" (left-outer).  Non-key column names must be
+    disjoint between the two sides.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    ls, rs = _arrow_schema(left), _arrow_schema(right)
+    lcols = [n for n in ls.names if n not in keys]
+    rcols = [n for n in rs.names if n not in keys]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    unified = pa.schema(
+        [(k, ls.field(k).type) for k in keys]
+        + [(c, ls.field(c).type) for c in lcols]
+        + [(c, rs.field(c).type) for c in rcols]
+        + [(_SIDE, pa.int8())]
+    )
+
+    def widen(side: int, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for f in unified:
+                if f.name == _SIDE:
+                    cols[_SIDE] = pa.array([side] * n, pa.int8())
+                elif f.name in t.column_names and (f.name in keys or f.name in own):
+                    cols[f.name] = pc.cast(t[f.name], f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            return pa.table(cols, schema=unified)
+
+        return fn
+
+    both = left.map_batches(widen(0, lcols), batch_format="pyarrow").union(
+        right.map_batches(widen(1, rcols), batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [(k, ls.field(k).type) for k in keys]
+        + [(c, ls.field(c).type) for c in lcols]
+        + [(c, rs.field(c).type) for c in rcols]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group[_SIDE].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        lt = group.filter(pa.array(lmask)).select(keys + lcols)
+        rt = group.filter(pa.array(~lmask)).select(rcols)
+        nl, nr = lt.num_rows, rt.num_rows
+        if nl == 0:
+            return out_schema.empty_table()
+        if nr == 0:
+            if how == "inner":
+                return out_schema.empty_table()
+            cols = {n: lt[n] for n in lt.column_names}
+            for c in rcols:
+                cols[c] = pa.nulls(nl, out_schema.field(c).type)
+            return pa.table(cols, schema=out_schema)
+        # cross product within the key group
+        li = pa.array([i for i in range(nl) for _ in range(nr)], pa.int64())
+        ri = pa.array(list(range(nr)) * nl, pa.int64())
+        cols = {n: lt[n].take(li) for n in lt.column_names}
+        for c in rcols:
+            cols[c] = rt[c].take(ri)
+        return pa.table(cols, schema=out_schema)
+
+    return both.groupby(keys).map_groups(merge, batch_format="pyarrow")

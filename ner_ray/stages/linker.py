@@ -1,0 +1,108 @@
+"""B5 — entity linking: broadcast alias dictionary + embedding cosine.
+
+North-star semantics (BASELINE.json:6): "Entity linking scores candidate
+mentions against an alias dictionary with embedding cosine similarity".
+
+Ray Data mapping: the alias dictionary (aliases + embedding matrix) is a
+SMALL side — it is ``ray.put`` once on the driver and every linker actor
+reads the one shared object-store copy in ``__init__``.  Linking is then a
+pure per-batch lookup + vectorized cosine: **no shuffle**.  (If the alias
+dictionary were itself huge, the fallback is a hash join on the normalized
+surface key — ``Dataset.join`` — but the broadcast path is the 100 TB default
+because alias dictionaries are dwarfed by the mention stream.)
+
+Candidate generation: exact match on ``normalize_surface(alias)``.  Scoring:
+cosine(mention_embedding, entity_embedding); the mention embedding comes from
+``embed_mention`` (a deterministic stand-in for a trained context bi-encoder —
+see fixtures.aliases).  Best candidate wins if score >= ``tau``; otherwise the
+mention stays unlinked (entity_id = -1), which downstream canonicalization
+treats as a surface-only node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ner_ray import schemas
+from ner_ray.fixtures.aliases import pseudo_embedding
+from ner_ray.functions.normalize import normalize_surface
+
+
+def embed_mention(typ: str, surface: str) -> np.ndarray:
+    """Mention-context embedding (deterministic encoder stand-in)."""
+    return pseudo_embedding(typ, surface)
+
+
+class LinkerActor:
+    """Actor-pool linker; alias dict state built once per actor."""
+
+    def __init__(self, alias_ref=None, alias_table: pa.Table | None = None, tau: float = 0.6):
+        if alias_ref is not None:
+            import ray
+
+            alias_table = ray.get(alias_ref)
+        if alias_table is None:
+            from ner_ray.fixtures.aliases import make_alias_table
+
+            alias_table = make_alias_table()
+        self.tau = tau
+        # normalized alias -> list of candidate row indices
+        self.candidates: dict[str, list[int]] = {}
+        aliases = alias_table["alias"].to_pylist()
+        for i, a in enumerate(aliases):
+            self.candidates.setdefault(normalize_surface(a), []).append(i)
+        self.entity_ids = np.asarray(alias_table["entity_id"].to_pylist(), dtype=np.int64)
+        self.canonicals = alias_table["canonical"].to_pylist()
+        self.types = alias_table["type"].to_pylist()
+        emb = alias_table["embedding"].to_pylist()
+        self.emb = np.asarray(emb, dtype=np.float32)
+        norms = np.linalg.norm(self.emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.emb = self.emb / norms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch["surface"].to_pylist()
+        types = batch["type"].to_pylist()
+        n = len(surfaces)
+        entity_id = np.full(n, -1, dtype=np.int64)
+        score = np.zeros(n, dtype=np.float32)
+        # Per *distinct* (surface, type) resolution; vectorized cosine per key.
+        cache: dict[tuple[str, str], tuple[int, float]] = {}
+        for i in range(n):
+            key = (surfaces[i], types[i])
+            hit = cache.get(key)
+            if hit is None:
+                cand = self.candidates.get(normalize_surface(surfaces[i]))
+                if not cand:
+                    hit = (-1, 0.0)
+                else:
+                    m = embed_mention(types[i], surfaces[i])
+                    sims = self.emb[cand] @ m
+                    j = int(np.argmax(sims))
+                    best = float(sims[j])
+                    hit = (int(self.entity_ids[cand[j]]), best) if best >= self.tau else (-1, best)
+                cache[key] = hit
+            entity_id[i], score[i] = hit
+        return batch.append_column(
+            "entity_id", pa.array(entity_id, pa.int64())
+        ).append_column("link_score", pa.array(score, pa.float32()))
+
+
+def link_mentions(
+    mentions: Dataset,
+    alias_ref=None,
+    tau: float = 0.6,
+    batch_size: int = 8192,
+    concurrency=(1, 8),
+) -> Dataset:
+    """Run B5 as an actor-pool map_batches stage over a mentions dataset."""
+    return mentions.map_batches(
+        LinkerActor,
+        fn_constructor_kwargs={"alias_ref": alias_ref, "tau": tau},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

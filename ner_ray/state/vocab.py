@@ -39,10 +39,12 @@ def build_vocab(ds: Dataset, text_col: str = "text", min_count: int = 1) -> dict
             }
         )
 
+    from ray.data.aggregate import Sum
+
     agg = (
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("char")
-        .sum("n", alias_name="n")
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # |alphabet| rows — safe to materialize
     )
     return finalize_vocab(dict(zip(agg["char"], agg["n"])), min_count=min_count)

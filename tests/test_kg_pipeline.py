@@ -1,0 +1,182 @@
+"""End-to-end KG pipeline tests: linking, canonicalization, dedup, the frozen
+golden P/R >= 0.95 gate (BASELINE.json), and checkpoint/resume."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+import ray.data as rd
+
+from ner_ray.fixtures.aliases import make_alias_table
+from ner_ray.functions.metrics import triple_prf
+from ner_ray.pipelines.kg import KGConfig, build_kg
+from ner_ray.stages.canonicalize import connected_components
+from ner_ray.stages.dedup import dedup_triples
+from ner_ray.stages.joins import hash_join
+from ner_ray.stages.linker import LinkerActor
+
+GOLDEN = "tests/golden/golden_triples.parquet"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinker:
+    def test_cosine_disambiguates_ambiguous_alias(self):
+        batch = pa.table(
+            {
+                "surface": pa.array(["Lima", "Lima", "nosuch"], pa.string()),
+                "type": pa.array(["LOC", "ORG", "PER"], pa.string()),
+            }
+        )
+        out = LinkerActor()(batch).to_pylist()
+        assert out[0]["entity_id"] == 14  # LOC Lima
+        assert out[1]["entity_id"] == 22  # ORG Lima Systems
+        assert out[2]["entity_id"] == -1  # unlinked path
+
+    def test_cross_script_alias(self):
+        batch = pa.table(
+            {
+                "surface": pa.array(["张伟", "ACME corp."], pa.string()),
+                "type": pa.array(["PER", "ORG"], pa.string()),
+            }
+        )
+        out = LinkerActor()(batch).to_pylist()
+        assert out[0]["entity_id"] == 4  # Deng Wei
+        assert out[1]["entity_id"] == 20  # Acme Corp (normalized surface)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnionFind:
+    def test_components_vs_bruteforce(self):
+        import random
+
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(30)]
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)]
+        eds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in edges], pa.string()),
+                    "dst": pa.array([b for _, b in edges], pa.string()),
+                }
+            )
+        )
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components(eds, max_rounds=10).to_pandas().to_dict("records")
+        }
+        # brute-force union find
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in edges:
+            assert got[a] == got[b] if find(a) == find(b) else True
+        # same partition structure
+        from collections import defaultdict
+
+        mine, theirs = defaultdict(set), defaultdict(set)
+        for n in got:
+            mine[got[n]].add(n)
+            theirs[find(n)].add(n)
+        assert sorted(map(frozenset, mine.values())) == sorted(map(frozenset, theirs.values()))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashJoin:
+    def test_inner_and_left(self):
+        left = rd.from_arrow(
+            pa.table({"k": ["a", "b", "c", "b"], "x": [1, 2, 3, 4]})
+        )
+        right = rd.from_arrow(pa.table({"k": ["b", "b", "z"], "y": [10, 20, 30]}))
+        inner = hash_join(left, right, on="k", how="inner").to_pandas()
+        assert sorted(map(tuple, inner[["k", "x", "y"]].values.tolist())) == [
+            ("b", 2, 10),
+            ("b", 2, 20),
+            ("b", 4, 10),
+            ("b", 4, 20),
+        ]
+        lo = hash_join(left, right, on="k", how="left").to_pandas()
+        assert len(lo) == 6
+        assert lo[lo.k == "a"]["y"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_dedup_merges_provenance(self):
+        t = pa.table(
+            {
+                "subj": pa.array(["A", "A", "B"], pa.string()),
+                "pred": pa.array(["r", "r", "r"], pa.string()),
+                "obj": pa.array(["C", "C", "C"], pa.string()),
+                "conv_id": pa.array(["c1", "c2", "c1"], pa.string()),
+                "turn_idx": pa.array([0, 1, 2], pa.int32()),
+                "confidence": pa.array([0.5, 1.0, 0.8], pa.float32()),
+            }
+        )
+        out = dedup_triples(rd.from_arrow(t)).to_pandas().sort_values("subj")
+        assert len(out) == 2
+        a = out[out.subj == "A"].iloc[0]
+        assert a.n_support == 2
+        assert a.confidence == pytest.approx(1.0)
+        assert list(a.conv_ids) == ["c1", "c2"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGoldenGate:
+    def test_triple_pr_gate(self, small_transcripts):
+        """The binding P/R >= 0.95 gate vs the frozen golden output
+        (BASELINE.json:2,14; golden = pinned rule-tagger pipeline output,
+        see SURVEY.md §0 on the empty reference mount)."""
+        res = build_kg(rd.from_arrow(small_transcripts), KGConfig())
+        pred = res.triples.to_pandas()
+        gold = pq.read_table(GOLDEN).to_pandas()
+        key = lambda df: set(zip(df.subj, df.pred, df.obj))
+        prf = triple_prf(key(pred), key(gold))
+        assert prf.precision >= 0.95, prf.__dict__
+        assert prf.recall >= 0.95, prf.__dict__
+        # support/provenance columns also stable
+        assert pred.n_support.sum() == gold.n_support.sum()
+
+    def test_entities_match_golden(self, small_transcripts):
+        res = build_kg(rd.from_arrow(small_transcripts), KGConfig())
+        got = res.entities.to_pandas().sort_values("canonical").reset_index(drop=True)
+        gold = (
+            pq.read_table("tests/golden/golden_entities.parquet")
+            .to_pandas()
+            .sort_values("canonical")
+            .reset_index(drop=True)
+        )
+        assert list(got.canonical) == list(gold.canonical)
+        assert list(got.type) == list(gold.type)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckpointResume:
+    def test_resume_skips_and_invalidates(self, small_transcripts, tmp_path):
+        from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts
+        from ner_ray.pipelines.kg import run_kg
+
+        inp = str(tmp_path / "input")
+        ckpt = str(tmp_path / "ckpt")
+        write_transcripts(inp, TranscriptConfig(n_convs=12), shards=2)
+        m1 = run_kg(inp, ckpt, KGConfig(window=2, chunk_turns=8))
+        assert all(not s["skipped"] for s in m1["stages"].values())
+        m2 = run_kg(inp, ckpt, KGConfig(window=2, chunk_turns=8))
+        assert all(s["skipped"] for s in m2["stages"].values())
+        assert m2["stages"]["graph"]["rows"] == m1["stages"]["graph"]["rows"]
+        # config change invalidates the signature -> recompute
+        m3 = run_kg(inp, ckpt, KGConfig(window=3, chunk_turns=8))
+        assert not m3["stages"]["graph"]["skipped"]
