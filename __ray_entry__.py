@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship KG pipeline (transcripts -> canonical triples) over
+  deterministic synthetic transcripts at sf0.001 scale (the transcripts table
+  shape is mandated by BASELINE.json input_hint and is synthesised seeded —
+  /root/testdata has no transcripts table; documents/embeddings/events back
+  the relational + corpus operators instead).
+- ``queries()`` — one entry per implemented operator/pipeline from
+  SURVEY.md §2 (Part B + corpus-pipeline ops), each taking ``sf_dir``.
+- ``oracle_sql()`` — DuckDB twins for every SQL-expressible query (column
+  names and rounding pinned on both sides).
 """
 
 from __future__ import annotations
@@ -20,25 +21,19 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; driver checks rows >= 0."""
+    from ner_ray.pipelines.queries import kg_triples
+
+    return kg_triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ner_ray.pipelines.queries import RAY_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(RAY_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ner_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,166 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+Language-ID (n-gram/char-class heuristic), quality scoring, token counting,
+and document fingerprinting — the per-document operators a 100 TB corpus
+pipeline runs inside ``map_batches``.  Pure functions here; Ray stages wire
+them in ``pipelines.corpus``.
+
+Where an operator has a DuckDB-expressible twin (token counts, fingerprints),
+the semantics are pinned to the SQL equivalent (documented per function) so
+the driver's oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+_WS = re.compile(r"\s+")
+
+# Tiny stopword inventories for the language-ID heuristic.
+_EN_STOP = {
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with",
+    "as", "at", "by", "this", "that", "be", "are", "was", "or", "not",
+}
+
+
+def tokenize_ws(text: str) -> list[str]:
+    """Whitespace tokenization, pinned to DuckDB
+    ``regexp_split_to_array(trim(text), '\\s+')`` semantics (empty text -> [])."""
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def tokenize_bpe_ish(text: str) -> list[str]:
+    """BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+    marks (CJK chars tokenize one-per-char).  The standard pre-pass before a
+    real BPE vocabulary merge."""
+    return _BPE_ISH.findall(text)
+
+
+def char_classes(text: str) -> dict[str, int]:
+    """Counts of char classes (vectorizable per batch via codepoint masks)."""
+    n_alpha = n_digit = n_space = n_punct = n_cjk = 0
+    for ch in text:
+        o = ord(ch)
+        if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+            n_cjk += 1
+        elif ch.isalpha():
+            n_alpha += 1
+        elif ch.isdigit():
+            n_digit += 1
+        elif ch.isspace():
+            n_space += 1
+        else:
+            n_punct += 1
+    return {
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_space": n_space,
+        "n_punct": n_punct,
+        "n_cjk": n_cjk,
+    }
+
+
+def lang_id(text: str) -> str:
+    """Heuristic language ID: 'zh' when CJK-dense, 'en' when English stopwords
+    appear, else 'unk'.  (Deterministic; a stand-in for fastText-style LID —
+    the actor interface is what a real model would plug into.)"""
+    if not text:
+        return "unk"
+    cc = char_classes(text)
+    total = max(1, len(text) - cc["n_space"])
+    if cc["n_cjk"] / total >= 0.25:
+        return "zh"
+    toks = tokenize_ws(text.lower())
+    if not toks:
+        return "unk"
+    stop_ratio = sum(t in _EN_STOP for t in toks) / len(toks)
+    if stop_ratio >= 0.08 or cc["n_alpha"] / total >= 0.6:
+        return "en"
+    return "unk"
+
+
+def quality_features(text: str) -> dict[str, float]:
+    """Quality-scoring features (length / punct / stopword ratios)."""
+    toks = tokenize_ws(text)
+    n_tokens = len(toks)
+    cc = char_classes(text)
+    n = max(1, len(text))
+    low = [t.lower() for t in toks]
+    stop_ratio = (sum(t in _EN_STOP for t in low) / n_tokens) if n_tokens else 0.0
+    mean_tok = (sum(len(t) for t in toks) / n_tokens) if n_tokens else 0.0
+    uniq_ratio = (len(set(low)) / n_tokens) if n_tokens else 0.0
+    return {
+        "n_chars": float(len(text)),
+        "n_tokens": float(n_tokens),
+        "mean_token_len": mean_tok,
+        "digit_ratio": cc["n_digit"] / n,
+        "punct_ratio": cc["n_punct"] / n,
+        "stopword_ratio": stop_ratio,
+        "unique_token_ratio": uniq_ratio,
+    }
+
+
+def quality_score(text: str) -> float:
+    """Scalar quality score in [0, 1] from the features (pinned formula)."""
+    f = quality_features(text)
+    score = 1.0
+    if f["n_tokens"] < 5:
+        score *= 0.3
+    if f["mean_token_len"] < 2 or f["mean_token_len"] > 12:
+        score *= 0.5
+    score *= 1.0 - min(1.0, 2.0 * f["digit_ratio"])
+    score *= 1.0 - min(1.0, 2.0 * f["punct_ratio"])
+    if f["unique_token_ratio"] < 0.2:  # heavy repetition
+        score *= 0.5
+    return round(score, 6)
+
+
+def normalize_for_fingerprint(text: str) -> str:
+    """Pinned to DuckDB ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``."""
+    return _WS.sub(" ", text).strip().lower()
+
+
+def md5_fingerprint(text: str) -> str:
+    """Content fingerprint = md5 of whitespace-normalized lowercase text
+    (DuckDB twin: ``md5(lower(trim(regexp_replace(text,'\\s+',' ','g'))))``)."""
+    return hashlib.md5(normalize_for_fingerprint(text).encode()).hexdigest()
+
+
+def rolling_hashes(text: str, k: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> list[int]:
+    """Rabin-Karp rolling hashes of all k-grams (document fingerprinting /
+    shingling primitive).  O(n) per document."""
+    n = len(text)
+    if n < k:
+        return []
+    out = []
+    h = 0
+    power = pow(base, k - 1, mod)
+    for i, ch in enumerate(text):
+        h = (h * base + ord(ch)) % mod
+        if i >= k - 1:
+            out.append(h)
+            h = (h - ord(text[i - k + 1]) * power) % mod
+    return out
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD'03): min rolling hash per window —
+    the standard local document fingerprint for near-dup/plagiarism sweeps."""
+    hs = rolling_hashes(normalize_for_fingerprint(text), k=k)
+    if not hs:
+        return []
+    out = []
+    prev = -1
+    for i in range(max(1, len(hs) - window + 1)):
+        w = hs[i : i + window]
+        m = min(w)
+        j = i + w.index(m)
+        if j != prev:
+            out.append(m)
+            prev = j
+    return out

@@ -1,0 +1,752 @@
+"""The oracle-facing query catalog (B11 + dedup/ANN/text-analysis ops).
+
+Every entry here backs one ``queries()`` item in ``__ray_entry__.py``; the
+``ORACLE_SQL`` twin (when present) is the ANSI-SQL statement DuckDB runs on
+the same parquet tables.  Column names AND numeric semantics are pinned to
+the SQL (floats rounded to 4 digits on both sides so summation order can't
+flip the value-hash; counts are int64).
+
+Non-SQL-expressible operators (MinHash LSH, SimHash, language ID, LSH ANN,
+the KG pipeline itself) have no SQL twin — the driver records a rows-only
+check for those, and pytest covers their semantics instead.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ner_ray.stages.relational import (
+    broadcast_join,
+    round_columns,
+    sessionize,
+    tumbling_window,
+)
+
+CUTOFF = "1999-01-01"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read_small(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(_t(sf_dir, name), columns=columns).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Relational (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(sf_dir: str) -> Dataset:
+    """TPC-H Q1-style grouped aggregate with filter pushdown at the read."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import datetime as _dt
+
+        t = t.filter(
+            pc.less(t["l_shipdate"], pa.scalar(_dt.datetime(1999, 1, 1), pa.timestamp("us")))
+        )
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("disc_price", rev)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return round_columns(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"])
+
+
+SQL_Q01 = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4)                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                   AS avg_price,
+       count(*)                                         AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(sf_dir: str) -> Dataset:
+    """Vectorized filter + computed projection (no shuffle at all)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_quantity"], 10), pc.less_equal(t["l_quantity"], 20)),
+            pc.greater(t["l_discount"], 0.05),
+        )
+        t = t.filter(mask)
+        rev = pc.round(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            ndigits=4,
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"], "revenue": rev}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q02 = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+"""
+
+
+def q03_revenue_by_nation(sf_dir: str) -> Dataset:
+    """Fact scan + two broadcast dimension joins + grouped aggregate."""
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, dim.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+    out = joined.groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="total_revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return round_columns(out, ["total_revenue"])
+
+
+SQL_Q03 = """
+SELECT n_name, round(sum(o_totalprice), 4) AS total_revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q04_top_orders(sf_dir: str) -> Dataset:
+    """Global sort + top-k with deterministic tie-break."""
+    return (
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_Q04 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q05_filtered_revenue(sf_dir: str) -> Dataset:
+    """TPC-H Q6-style single-row aggregate."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        import datetime as _dt
+
+        lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+        hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], 0.02), pc.less_equal(t["l_discount"], 0.08)),
+                pc.less(t["l_quantity"], 25),
+            ),
+        )
+        t = t.filter(mask)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        n = t.num_rows
+        return pa.table(
+            {
+                "partial_revenue": pa.array([rev.as_py() or 0.0], pa.float64()),
+                "partial_n": pa.array([n], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(fn, batch_format="pyarrow")
+    total = partials.sum(["partial_revenue", "partial_n"])
+    return pd.DataFrame(
+        {
+            "revenue": [round(total["sum(partial_revenue)"], 4)],
+            "n_rows": [int(total["sum(partial_n)"])],
+        }
+    )
+
+
+SQL_Q05 = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25
+"""
+
+
+def q06_orders_by_month(sf_dir: str) -> Dataset:
+    """Calendar tumbling window (month) grouped aggregate."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderstatus", "o_orderdate", "o_totalprice"]
+    )
+    ds = tumbling_window(ds, "o_orderdate", "month", out_col="order_month")
+    out = ds.groupby(["o_orderstatus", "order_month"]).aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    )
+    return round_columns(out, ["total"])
+
+
+SQL_Q06 = """
+SELECT o_orderstatus, date_trunc('month', o_orderdate) AS order_month,
+       count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q07_events_tumbling(sf_dir: str) -> Dataset:
+    """Event-time tumbling hour windows per event type."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = tumbling_window(ds, "ts", "hour")
+    out = ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return round_columns(out, ["sum_value", "max_value"])
+
+
+SQL_Q07 = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q08_sessionize(sf_dir: str) -> Dataset:
+    """Session windows (gap > 30 min) per user — groupby + ordered map_groups."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    return sessionize(ds, gap_seconds=1800)
+
+
+SQL_Q08 = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, sess
+"""
+
+
+def q09_mktsegment_stats(sf_dir: str) -> Dataset:
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Mean("o_totalprice", alias_name="avg_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Min("o_totalprice", alias_name="min_price"),
+    )
+    return round_columns(out, ["avg_price", "max_price", "min_price"])
+
+
+SQL_Q09 = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(max(o_totalprice), 4) AS max_price,
+       round(min(o_totalprice), 4) AS min_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q10_brand_volume(sf_dir: str) -> Dataset:
+    """Two broadcast joins (part, supplier) + filter + grouped aggregate."""
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_brand"])
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_quantity"])
+    j = broadcast_join(li, part.rename(columns={"p_partkey": "l_partkey"}), on="l_partkey")
+    j = broadcast_join(j, supp.rename(columns={"s_suppkey": "l_suppkey"}), on="l_suppkey")
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["s_nationkey"], 15))
+
+    out = (
+        j.map_batches(filt, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_lines"))
+    )
+    return round_columns(out, ["sum_qty"])
+
+
+SQL_Q10 = """
+SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey < 15
+GROUP BY p_brand
+"""
+
+
+def q11_distinct_counts(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "source"])
+    n_docs = ds.count()
+    n_langs = len(ds.unique("lang"))
+    n_sources = len(ds.unique("source"))
+    return pd.DataFrame(
+        {"n_docs": [n_docs], "n_langs": [n_langs], "n_sources": [n_sources]}
+    ).astype("int64")
+
+
+SQL_Q11 = """
+SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources
+FROM documents
+"""
+
+
+def q12_top_users(sf_dir: str) -> Dataset:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+    out = ds.groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
+    return round_columns(out, ["total_value"]).sort(
+        ["total_value", "user_id"], descending=[True, False]
+    ).limit(5)
+
+
+SQL_Q12 = """
+SELECT user_id, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 5
+"""
+
+
+def q20_events_json(sf_dir: str) -> Dataset:
+    """JSON-ish scalar extraction (regex) + grouped aggregate."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, [0]), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
+SQL_Q20 = """
+SELECT event_type, sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / fingerprints over documents
+# ---------------------------------------------------------------------------
+
+
+def q13_dedup_exact(sf_dir: str) -> Dataset:
+    from ner_ray.stages.text_dedup import exact_dedup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+SQL_Q13 = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+"""
+
+
+def q14_fingerprint(sf_dir: str) -> Dataset:
+    from ner_ray.functions.texttools import md5_fingerprint
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [md5_fingerprint(x) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q14 = """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents
+"""
+
+
+def q15_token_stats(sf_dir: str) -> Dataset:
+    from ner_ray.functions.texttools import tokenize_ws
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = [tokenize_ws(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array([len(x) for x in toks], pa.int64()),
+                "n_unique_tokens": pa.array([len(set(x)) for x in toks], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q15 = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_unique_tokens
+FROM documents
+"""
+
+
+def q16_quality_by_source(sf_dir: str) -> Dataset:
+    from ner_ray.functions.texttools import tokenize_ws
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+                "n_tokens": pa.array([len(tokenize_ws(x)) for x in texts], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Mean("n_tokens", alias_name="avg_tokens"),
+        )
+    )
+    return round_columns(out, ["avg_chars", "avg_tokens"])
+
+
+SQL_Q16 = """
+SELECT lang, source, count(*) AS n_docs,
+       round(avg(length(text)), 4) AS avg_chars,
+       round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
+FROM documents GROUP BY lang, source
+"""
+
+
+def q17_term_frequency(sf_dir: str) -> Dataset:
+    """Dictionary-mention counting (the gazetteer-count primitive of mention
+    detection, oracle-checkable in pure SQL)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    terms = ("spark", "table", "customer")
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        cols = {"doc_id": t["doc_id"]}
+        for term in terms:
+            cols[f"tf_{term}"] = pa.array([x.count(term) for x in texts], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q17 = """
+SELECT doc_id,
+       (length(text) - length(replace(text, 'spark', ''))) // length('spark')   AS tf_spark,
+       (length(text) - length(replace(text, 'table', ''))) // length('table')   AS tf_table,
+       (length(text) - length(replace(text, 'customer', ''))) // length('customer') AS tf_customer
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: ANN + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def q18_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id 0 (deterministic)."""
+    import pyarrow.parquet as pq
+
+    from ner_ray.stages.ann import ann_topk
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"))
+    q0 = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = ann_topk(ds, q0[None, :], k=10, exclude_ids={0})
+    out = out[["vec_id", "score", "rank"]].copy()
+    out["score"] = out["score"].round(4)
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
+SQL_Q18 = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding, q.e), 4) AS score,
+       CAST(row_number() OVER (ORDER BY list_cosine_similarity(embedding, q.e) DESC, vec_id) - 1 AS BIGINT) AS rank
+FROM embeddings, (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def q19_embedding_pairs(sf_dir: str) -> Dataset:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
+    from ner_ray.stages.ann import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(ds, threshold=0.4)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("score"), "score", pc.round(t["score"], ndigits=4)
+        )
+
+    return pairs.map_batches(rnd, batch_format="pyarrow")
+
+
+SQL_Q19 = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only operators (no SQL twin; checked by pytest + driver row counts)
+# ---------------------------------------------------------------------------
+
+
+def q21_lang_id(sf_dir: str) -> Dataset:
+    from ner_ray.functions.texttools import lang_id
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pred_lang": pa.array([lang_id(x) for x in t["text"].to_pylist()], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q22_minhash_near_dup(sf_dir: str) -> Dataset:
+    from ner_ray.stages.text_dedup import minhash_near_dup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_near_dup(ds, threshold=0.7)
+
+
+def q23_simhash_near_dup(sf_dir: str) -> Dataset:
+    from ner_ray.stages.text_dedup import simhash_near_dup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_near_dup(ds, max_hamming=3)
+
+
+def q24_quality_scores(sf_dir: str) -> Dataset:
+    from ner_ray.functions.texttools import quality_score
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality": pa.array(
+                    [quality_score(x) for x in t["text"].to_pylist()], pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q25_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate LSH top-k (scale path of q18; recall measured in tests)."""
+    import pyarrow.parquet as pq
+
+    from ner_ray.stages.ann import lsh_topk
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"))
+    q0 = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return lsh_topk(ds, q0[None, :], k=10)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries over deterministic synthetic transcripts (rows-only:
+# the transcripts table is not one of the driver's DuckDB views)
+# ---------------------------------------------------------------------------
+
+_SF_RE = re.compile(r"sf([0-9.]+)")
+
+
+def transcripts_path_for(sf_dir: str) -> str:
+    """Deterministic synthetic transcripts sized to the sf level, cached in
+    /tmp (seed=42; BASELINE.json input_hint shape)."""
+    m = _SF_RE.search(sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.01
+    n_convs = max(50, int(20000 * sf))
+    out = f"/tmp/ner_ray_cache/transcripts_n{n_convs}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts
+
+        write_transcripts(out, TranscriptConfig(n_convs=n_convs, seed=42), shards=8)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def kg_triples(sf_dir: str) -> Dataset:
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return build_kg(tx, KGConfig()).triples
+
+
+def kg_mentions(sf_dir: str) -> Dataset:
+    from ner_ray.stages.tagger import tag_transcripts
+    from ner_ray.pipelines.kg import read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return tag_transcripts(tx, tagger="rule")
+
+
+def kg_entities(sf_dir: str) -> Dataset:
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return build_kg(tx, KGConfig()).entities
+
+
+def kg_neural_mentions(sf_dir: str) -> Dataset:
+    """BiLSTM-CRF/Viterbi mention detection (neural reference path)."""
+    from ner_ray.stages.tagger import tag_transcripts
+    from ner_ray.pipelines.kg import read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return tag_transcripts(tx, tagger="bilstm")
+
+
+def kg_order_restore(sf_dir: str) -> Dataset:
+    """B2 order restore: per-turn text equality under stable ordering."""
+    from ner_ray.stages.order_restore import sort_conversations
+
+    tx = rd.read_parquet(transcripts_path_for(sf_dir))
+    return sort_conversations(tx)
+
+
+# ---------------------------------------------------------------------------
+
+RAY_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_revenue_by_nation": q03_revenue_by_nation,
+    "q04_top_orders": q04_top_orders,
+    "q05_filtered_revenue": q05_filtered_revenue,
+    "q06_orders_by_month": q06_orders_by_month,
+    "q07_events_tumbling": q07_events_tumbling,
+    "q08_sessionize": q08_sessionize,
+    "q09_mktsegment_stats": q09_mktsegment_stats,
+    "q10_brand_volume": q10_brand_volume,
+    "q11_distinct_counts": q11_distinct_counts,
+    "q12_top_users": q12_top_users,
+    "q13_dedup_exact": q13_dedup_exact,
+    "q14_fingerprint": q14_fingerprint,
+    "q15_token_stats": q15_token_stats,
+    "q16_quality_by_source": q16_quality_by_source,
+    "q17_term_frequency": q17_term_frequency,
+    "q18_ann_topk": q18_ann_topk,
+    "q19_embedding_pairs": q19_embedding_pairs,
+    "q20_events_json": q20_events_json,
+    "q21_lang_id": q21_lang_id,
+    "q22_minhash_near_dup": q22_minhash_near_dup,
+    "q23_simhash_near_dup": q23_simhash_near_dup,
+    "q24_quality_scores": q24_quality_scores,
+    "q25_ann_lsh": q25_ann_lsh,
+    "kg_triples": kg_triples,
+    "kg_mentions": kg_mentions,
+    "kg_entities": kg_entities,
+    "kg_neural_mentions": kg_neural_mentions,
+    "kg_order_restore": kg_order_restore,
+}
+
+ORACLE_SQL = {
+    "q01_pricing_summary": SQL_Q01,
+    "q02_filter_project": SQL_Q02,
+    "q03_revenue_by_nation": SQL_Q03,
+    "q04_top_orders": SQL_Q04,
+    "q05_filtered_revenue": SQL_Q05,
+    "q06_orders_by_month": SQL_Q06,
+    "q07_events_tumbling": SQL_Q07,
+    "q08_sessionize": SQL_Q08,
+    "q09_mktsegment_stats": SQL_Q09,
+    "q10_brand_volume": SQL_Q10,
+    "q11_distinct_counts": SQL_Q11,
+    "q12_top_users": SQL_Q12,
+    "q13_dedup_exact": SQL_Q13,
+    "q14_fingerprint": SQL_Q14,
+    "q15_token_stats": SQL_Q15,
+    "q16_quality_by_source": SQL_Q16,
+    "q17_term_frequency": SQL_Q17,
+    "q18_ann_topk": SQL_Q18,
+    "q19_embedding_pairs": SQL_Q19,
+    "q20_events_json": SQL_Q20,
+}

@@ -1,0 +1,281 @@
+"""Deduplication family for document corpora (training-data pipeline ops).
+
+- ``exact_dedup`` — hash-partition on a content fingerprint, keep first id.
+- ``minhash_near_dup`` — shingle -> MinHash -> LSH band buckets -> candidate
+  pairs -> signature-estimate verify -> connected components -> dup groups.
+- ``simhash_near_dup`` — 64-bit SimHash, pigeonhole block buckets, Hamming
+  verify, connected components.
+- ``ngram_jaccard_pairs`` — exact Jaccard verification over candidate pairs
+  (used as the precise re-check inside MinHash buckets when text is at hand).
+
+All deterministic (seeded permutations).  Scale shape: sketches are computed
+per batch inside ``map_batches`` (vectorized numpy); the only shuffles move
+(bucket_key, doc_id, sketch) rows, never full documents; per-bucket pair
+generation is capped (``max_bucket``, logged) so a degenerate hot bucket
+cannot go quadratic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+from ner_ray.functions.hashing import (
+    MinHasher,
+    hamming64,
+    lsh_band_keys,
+    simhash64,
+    simhash_blocks,
+    word_shingles,
+)
+from ner_ray.functions.texttools import md5_fingerprint, tokenize_ws
+from ner_ray.stages.canonicalize import connected_components
+
+
+def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """One row per distinct (whitespace-normalized, lowercased) text:
+    representative ``id = min(id)``, ``n_dups`` duplicate count.
+
+    DuckDB twin:
+      SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text,'\\s+',' ','g'))))
+    """
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [md5_fingerprint(t) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {
+                "fp": pa.array(fps, pa.string()),
+                id_col: batch[id_col],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min(id_col, alias_name=id_col), Sum("n", alias_name="n_dups"))
+        .select_columns([id_col, "n_dups"])
+    )
+
+
+class _MinHashSketcher:
+    """Actor: MinHash signatures + LSH band keys per batch (state = hasher)."""
+
+    def __init__(self, num_perm: int, bands: int, shingle_k: int, text_col: str, id_col: str):
+        self.mh = MinHasher(num_perm=num_perm)
+        self.bands = bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bandix, bandkey, sigs = [], [], [], []
+        for i, text in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
+            sig = self.mh.signature(word_shingles(text or "", k=self.k))
+            keys = lsh_band_keys(sig, self.bands)
+            sb = sig.tobytes()
+            for b, key in enumerate(keys):
+                ids.append(i)
+                bandix.append(b)
+                bandkey.append(key)
+                sigs.append(sb)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(bandix, pa.int32()),
+                "key": pa.array(bandkey, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def minhash_near_dup(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> Dataset:
+    """Near-duplicate groups via MinHash+LSH.
+
+    Returns (doc_id, group_id, keep): every doc appears once; ``group_id`` is
+    the min doc_id of its duplicate cluster; ``keep`` marks the
+    representative.  Verification uses the signature Jaccard estimate
+    (>= threshold), the scalable standard; exact-Jaccard recheck is
+    ``ngram_jaccard_pairs``.
+    """
+    sketch = ds.map_batches(
+        _MinHashSketcher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+        if n > max_bucket:  # cap degenerate buckets (documented, deterministic)
+            group = group.sort_by([("doc_id", "ascending")]).slice(0, max_bucket)
+            n = max_bucket
+        ids = group["doc_id"].to_pylist()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["sig"].to_pylist()]
+        src, dst = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                if float(np.mean(sigs[i] == sigs[j])) >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    src.append(f"d{a}")
+                    dst.append(f"d{b}")
+        return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+
+    edges = sketch.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    return _groups_from_edges(ds, edges, id_col)
+
+
+class _SimHashSketcher:
+    def __init__(self, n_blocks: int, text_col: str, id_col: str):
+        self.n_blocks = n_blocks
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, blk, val, sims = [], [], [], []
+        for i, text in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
+            h = simhash64(tokenize_ws((text or "").lower()))
+            h_signed = h - (1 << 64) if h >= (1 << 63) else h  # store as int64
+            for b, v in simhash_blocks(h, self.n_blocks):
+                ids.append(i)
+                blk.append(b)
+                val.append(v)
+                sims.append(h_signed)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "block": pa.array(blk, pa.int32()),
+                "val": pa.array(val, pa.int64()),
+                "sim": pa.array(sims, pa.int64()),
+            }
+        )
+
+
+def simhash_near_dup(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_bucket: int = 500,
+) -> Dataset:
+    """Near-duplicate groups via SimHash (Hamming distance <= max_hamming;
+    requires max_hamming < n_blocks for the pigeonhole blocking to be exact)."""
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+        if n > max_bucket:
+            group = group.sort_by([("doc_id", "ascending")]).slice(0, max_bucket)
+            n = max_bucket
+        ids = group["doc_id"].to_pylist()
+        sims = [s & ((1 << 64) - 1) for s in group["sim"].to_pylist()]
+        src, dst = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] != ids[j] and hamming64(sims[i], sims[j]) <= max_hamming:
+                    a, b = sorted((ids[i], ids[j]))
+                    src.append(f"d{a}")
+                    dst.append(f"d{b}")
+        return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+
+    sketch = ds.map_batches(
+        _SimHashSketcher,
+        fn_constructor_kwargs=dict(n_blocks=n_blocks, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    edges = sketch.groupby(["block", "val"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    return _groups_from_edges(ds, edges, id_col)
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    pairs: list[tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> pd.DataFrame:
+    """Exact word-k-gram Jaccard for an explicit candidate pair list (the
+    precise verify pass; pairs list is small by construction)."""
+    import ray
+
+    wanted = sorted({i for p in pairs for i in p})
+    vset = pa.array(wanted, pa.int64())
+    texts = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(pa.compute.cast(t[id_col], pa.int64()), value_set=vset)).select(
+            [id_col, text_col]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lookup = dict(zip(texts[id_col], texts[text_col]))
+    from ner_ray.functions.hashing import jaccard
+
+    rows = []
+    for a, b in pairs:
+        sa = word_shingles(lookup.get(a, ""), k=shingle_k)
+        sb = word_shingles(lookup.get(b, ""), k=shingle_k)
+        rows.append({"a": a, "b": b, "jaccard": jaccard(sa, sb)})
+    return pd.DataFrame(rows)
+
+
+def _groups_from_edges(ds: Dataset, edges: Dataset, id_col: str) -> Dataset:
+    """Edges ('d{i}','d{j}') -> (doc_id, group_id, keep) for ALL docs."""
+    labels = connected_components(edges)
+
+    def to_map(batch: pa.Table) -> pa.Table:
+        ids = [int(n[1:]) for n in batch["node"].to_pylist()]
+        grp = [int(l[1:]) for l in batch["label"].to_pylist()]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "group_id": pa.array(grp, pa.int64()),
+            }
+        )
+
+    dup_map = labels.map_batches(to_map, batch_format="pyarrow")
+
+    # Left-join the dup map onto the full id set: singletons map to themselves.
+    from ner_ray.stages.joins import hash_join
+
+    all_ids = ds.map_batches(
+        lambda t: pa.table({id_col: pa.compute.cast(t[id_col], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(all_ids, dup_map, on=id_col, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        grp = pc.coalesce(batch["group_id"], batch[id_col])
+        keep = pc.equal(grp, batch[id_col])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "group_id": grp,
+                "keep": keep,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
