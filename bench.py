@@ -1,0 +1,154 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md protocol).
+
+Default mode: one fresh Ray session at ``RAY_GRAFT_CPUS`` (default 32) runs
+the headline pipelines — the flagship KG build over a cached deterministic
+synthetic transcript corpus (BENCH_N_CONVS conversations, seed 42), plus a
+representative slice of the relational/dedup/ANN operators over
+``GRAFT_SF_DIR`` (default /root/testdata/sf0.1) — and prints ONE JSON line.
+
+``--scaling`` mode: reruns this script in two fresh processes at
+SCALE_LOW / SCALE_HIGH CPUs (default 8 / 32) on the SAME inputs and reports
+both KG throughputs + the scaling efficiency (the sandbox substitute for the
+N-node vs 4N-node cluster criterion — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("BENCH_N_CONVS", "12000"))
+BENCH_TX = f"/tmp/ner_ray_cache/bench_tx_n{N_CONVS}"
+
+
+def _ensure_bench_transcripts() -> str:
+    marker = os.path.join(BENCH_TX, "_SUCCESS")
+    if not os.path.exists(marker):
+        from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts
+
+        write_transcripts(BENCH_TX, TranscriptConfig(n_convs=N_CONVS, seed=42), shards=32)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return BENCH_TX
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=N_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+
+    import pyarrow.parquet as pq
+
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+    from ner_ray.pipelines.queries import RAY_QUERIES
+
+    tx_path = _ensure_bench_transcripts()
+    n_turns = pq.ParquetDataset(tx_path).files and sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in pq.ParquetDataset(tx_path).files
+    )
+    # warm the page cache so scaling runs measure compute, not first-read I/O
+    read_transcripts(tx_path).count()
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    t0 = time.perf_counter()
+    res = build_kg(read_transcripts(tx_path), KGConfig())
+    support = res.triples.map_batches(
+        lambda t: {"s": [sum(t["n_support"].to_pylist())]}, batch_format="pyarrow"
+    ).sum("s")
+    kg_secs = time.perf_counter() - t0
+    queries["kg_build"] = round(kg_secs, 3)
+    extras["kg_turns"] = int(n_turns)
+    extras["kg_raw_triples"] = int(support)
+    extras["kg_triples_per_sec"] = round(support / kg_secs, 1)
+    extras["kg_turns_per_sec"] = round(n_turns / kg_secs, 1)
+
+    for name in [
+        "q01_pricing_summary",
+        "q03_revenue_by_nation",
+        "q07_events_tumbling",
+        "q08_sessionize",
+        "q13_dedup_exact",
+        "q15_token_stats",
+        "q18_ann_topk",
+        "q22_minhash_near_dup",
+    ]:
+        t0 = time.perf_counter()
+        out = RAY_QUERIES[name](SF_DIR)
+        if isinstance(out, ray.data.Dataset):
+            out.to_pandas()  # consume: a Dataset is lazy until read
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "e2e_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": N_CPUS,
+        **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo = int(os.environ.get("SCALE_LOW", "8"))
+    hi = int(os.environ.get("SCALE_HIGH", "32"))
+    out = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo]["queries"]["kg_build"], out[hi]["queries"]["kg_build"]
+    tp_lo, tp_hi = out[lo]["kg_triples_per_sec"], out[hi]["kg_triples_per_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "kg_seconds_low": t_lo,
+        "kg_seconds_high": t_hi,
+        "kg_triples_per_sec_low": tp_lo,
+        "kg_triples_per_sec_high": tp_hi,
+        "total_seconds_low": out[lo]["value"],
+        "total_seconds_high": out[hi]["value"],
+        "kg_turns": out[hi].get("kg_turns"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -109,7 +109,9 @@ def build_kg(
         output="turn_mentions",
         batch_size=cfg.tagger_batch_size,
         concurrency=cfg.tagger_concurrency,
-    )
+    ).materialize()  # consumed by BOTH the triples and the linking branch —
+    # pin it once instead of re-running the tagger per branch.  (run_kg gets
+    # the same effect from its parquet stage checkpoint.)
     raw_triples = extract_triples(
         turn_mentions, window=cfg.window, chunk_turns=cfg.chunk_turns
     )

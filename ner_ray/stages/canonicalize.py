@@ -44,6 +44,10 @@ from ner_ray.stages.joins import hash_join
 
 ENT_PREFIX = "ent:"
 
+# Per-worker-process cache for broadcast objects fetched inside stateless
+# tasks (keyed by ObjectRef hex; lives for the worker's lifetime).
+_BROADCAST_CACHE: dict[str, object] = {}
+
 _NODE_LABEL = pa.schema([("node", pa.string()), ("label", pa.string())])
 
 
@@ -195,11 +199,32 @@ def build_edges(nodes: Dataset, alias_table: pa.Table) -> Dataset:
     return data_edges
 
 
+def local_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find (path-halving + min-root); used when the
+    distinct-key edge set is small enough to collect."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def canonicalize(
     linked_mentions: Dataset,
     alias_table: pa.Table,
     max_rounds: int = 8,
     num_partitions: int = 16,
+    cc_threshold: int = 2_000_000,
 ) -> tuple[Dataset, Dataset]:
     """Full B6.
 
@@ -211,12 +236,21 @@ def canonicalize(
       component (schemas.ENTITIES shape).
     """
     nodes = mention_nodes(linked_mentions).materialize()
-    edges = build_edges(nodes, alias_table)
-    labels = connected_components(edges, max_rounds=max_rounds, num_partitions=num_partitions)
+    edges = build_edges(nodes, alias_table).materialize()
 
     ent_meta = {
         r["entity_id"]: (r["canonical"], r["type"]) for r in alias_table.to_pylist()
     }
+
+    # Hybrid component step (SURVEY.md §7 hard part 3): the
+    # groupby(surface-form-key) combiner above has already reduced the
+    # 10^N-mention stream to DISTINCT keys, so the edge set is bounded by
+    # distinct surfaces, not data size.  Small edge set -> driver union-find
+    # + broadcast labels (zero extra shuffles); huge edge set -> distributed
+    # min-label propagation (connected_components).  Both paths produce
+    # identical labels (tested).
+    n_edges = edges.count()
+    use_driver_cc = n_edges <= cc_threshold
 
     # Attach component labels to mention nodes (unlinked nodes keep themselves
     # as their own component).
@@ -242,9 +276,29 @@ def canonicalize(
             )
         return t.select(_NODES_SCHEMA.names).cast(_NODES_SCHEMA)
 
-    labeled = hash_join(nodes, labels, on="node", how="left").map_batches(
-        fill_label, batch_format="pyarrow"
-    )
+    if use_driver_cc:
+        import ray
+
+        epdf = edges.to_pandas()
+        pairs = list(zip(epdf["src"].tolist(), epdf["dst"].tolist()))
+        label_map = local_union_find(pairs)
+        lref = ray.put(label_map)
+
+        def attach(t: pa.Table) -> pa.Table:
+            lm = ray.get(lref)
+            lbls = [lm.get(n, n) for n in t["node"].to_pylist()]
+            return t.append_column("label", pa.array(lbls, pa.string())).select(
+                _NODES_SCHEMA.names
+            ).cast(_NODES_SCHEMA)
+
+        labeled = nodes.map_batches(attach, batch_format="pyarrow")
+    else:
+        labels = connected_components(
+            edges, max_rounds=max_rounds, num_partitions=num_partitions
+        )
+        labeled = hash_join(nodes, labels, on="node", how="left").map_batches(
+            fill_label, batch_format="pyarrow"
+        )
 
     def finish(group: pa.Table) -> pa.Table:
         """One component -> one entity row + per-node mapping rows."""
@@ -328,25 +382,27 @@ def rewrite_triples(
             best[key] = (r["n_mentions"], r["canonical"])
     table = {k: v[1] for k, v in best.items()}
     ref = ray.put(table)
+    ref_key = ref.hex()
 
-    class Rewriter:
-        def __init__(self):
-            self.table = ray.get(ref)
+    def rewrite(batch: pa.Table) -> pa.Table:
+        # stateless task; the broadcast dict is fetched once per worker
+        # process and cached (no actor-pool spin-up cost)
+        t = _BROADCAST_CACHE.get(ref_key)
+        if t is None:
+            t = ray.get(ref)
+            _BROADCAST_CACHE[ref_key] = t
+        subj = batch["subj"].to_pylist()
+        obj = batch["obj"].to_pylist()
+        new_subj = [t.get(normalize_surface(s), s) for s in subj]
+        new_obj = [t.get(normalize_surface(o), o) for o in obj]
+        batch = batch.set_column(
+            batch.column_names.index("subj"), "subj", pa.array(new_subj, pa.string())
+        )
+        return batch.set_column(
+            batch.column_names.index("obj"), "obj", pa.array(new_obj, pa.string())
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            subj = batch["subj"].to_pylist()
-            obj = batch["obj"].to_pylist()
-            t = self.table
-            new_subj = [t.get(normalize_surface(s), s) for s in subj]
-            new_obj = [t.get(normalize_surface(o), o) for o in obj]
-            batch = batch.set_column(
-                batch.column_names.index("subj"), "subj", pa.array(new_subj, pa.string())
-            )
-            return batch.set_column(
-                batch.column_names.index("obj"), "obj", pa.array(new_obj, pa.string())
-            )
-
-    return triples.map_batches(Rewriter, batch_format="pyarrow", concurrency=(1, 8))
+    return triples.map_batches(rewrite, batch_format="pyarrow")
 
 
 def _rewrite_join(triples: Dataset, mapping: Dataset, num_partitions: int) -> Dataset:
