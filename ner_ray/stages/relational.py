@@ -23,22 +23,30 @@ def broadcast_join(
     how: str = "inner",
     columns: list[str] | None = None,
 ) -> Dataset:
-    """Join a large Dataset against a broadcast small pandas side (no shuffle)."""
+    """Join a large Dataset against a broadcast small side (no shuffle).
+
+    The small side ships once via ``ray.put`` as an Arrow table; every batch
+    runs an in-memory Arrow (acero) hash join — blocks stay zero-copy Arrow
+    end to end (a pandas merge here would force every downstream shuffle to
+    convert pandas blocks, which measurably slows the groupbys that follow).
+    """
     import ray
 
     if columns is not None:
         keys = [on] if isinstance(on, str) else list(on)
         small = small[list(dict.fromkeys(keys + columns))]
-    ref = ray.put(small)
+    small_arrow = pa.Table.from_pandas(small, preserve_index=False)
+    ref = ray.put(small_arrow)
+    join_type = {"inner": "inner", "left": "left outer"}[how]
 
     class Merge:
         def __init__(self):
             self.small = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.small, keys=on, join_type=join_type)
 
-    return ds.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(Merge, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
 
 
 def semi_join_filter(ds: Dataset, keys: set, key_col: str) -> Dataset:

@@ -240,8 +240,43 @@ def ngram_jaccard_pairs(
     return pd.DataFrame(rows)
 
 
-def _groups_from_edges(ds: Dataset, edges: Dataset, id_col: str) -> Dataset:
-    """Edges ('d{i}','d{j}') -> (doc_id, group_id, keep) for ALL docs."""
+def _groups_from_edges(
+    ds: Dataset, edges: Dataset, id_col: str, cc_threshold: int = 2_000_000
+) -> Dataset:
+    """Edges ('d{i}','d{j}') -> (doc_id, group_id, keep) for ALL docs.
+
+    Hybrid component step (same rationale as canonicalize): the edge set is
+    bounded by the number of candidate duplicate PAIRS, which LSH keeps tiny
+    relative to the corpus — small sets finish with driver union-find +
+    broadcast labels (no shuffle); huge sets fall back to distributed
+    min-label propagation.
+    """
+    import ray
+
+    edges = edges.materialize()
+    if edges.count() <= cc_threshold:
+        from ner_ray.stages.canonicalize import local_union_find
+
+        epdf = edges.to_pandas()
+        label_map = local_union_find(list(zip(epdf["src"], epdf["dst"])))
+        ref = ray.put({int(k[1:]): int(v[1:]) for k, v in label_map.items()})
+
+        def attach(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            lm = ray.get(ref)
+            ids = pc.cast(batch[id_col], pa.int64()).to_pylist()
+            grp = [lm.get(i, i) for i in ids]
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "group_id": pa.array(grp, pa.int64()),
+                    "keep": pa.array([g == i for g, i in zip(grp, ids)], pa.bool_()),
+                }
+            )
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
     labels = connected_components(edges)
 
     def to_map(batch: pa.Table) -> pa.Table:
