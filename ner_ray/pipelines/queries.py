@@ -380,7 +380,7 @@ def q20_events_json(sf_dir: str) -> Dataset:
 
 
 SQL_Q20 = """
-SELECT event_type, sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+SELECT event_type, CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -629,6 +629,131 @@ def q25_ann_lsh(sf_dir: str) -> pd.DataFrame:
     return lsh_topk(ds, q0[None, :], k=10)
 
 
+def q26_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact word-3-gram Jaccard on the minhash candidate pairs (verify pass
+    of the near-dup family; rows-only — set semantics are not DuckDB-cheap)."""
+    from ner_ray.stages.text_dedup import minhash_near_dup, ngram_jaccard_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    labeled = minhash_near_dup(ds).to_pandas()
+    dups = labeled[~labeled["keep"]]
+    pairs = sorted(zip(dups["group_id"].astype(int), dups["doc_id"].astype(int)))
+    if not pairs:
+        return pd.DataFrame({"a": pd.Series([], dtype=int), "b": pd.Series([], dtype=int), "jaccard": pd.Series([], dtype=float)})
+    ds2 = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds2, pairs)
+    out["jaccard"] = out["jaccard"].round(4)
+    return out
+
+
+def q27_semi_join(sf_dir: str) -> Dataset:
+    """Semi-join (EXISTS): customers having at least one 'F'-status order."""
+    from ner_ray.stages.relational import semi_join_filter
+
+    keys = set(
+        _read_small(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .query("o_orderstatus == 'F'")["o_custkey"]
+        .astype("int64")
+    )
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"])
+    return round_columns(semi_join_filter(ds, keys, "c_custkey"), ["c_acctbal"])
+
+
+SQL_Q27 = """
+SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def q28_anti_join(sf_dir: str) -> Dataset:
+    """Anti-join (NOT EXISTS): customers with no 'P'-status order."""
+    from ner_ray.stages.relational import semi_join_filter
+
+    keys = set(
+        _read_small(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .query("o_orderstatus == 'P'")["o_custkey"]
+        .astype("int64")
+    )
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    return semi_join_filter(ds, keys, "c_custkey", anti=True)
+
+
+SQL_Q28 = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+
+def q29_top_orders_per_cust(sf_dir: str) -> Dataset:
+    """Windowed rank: top-2 orders per customer by price (deterministic tie
+    break on orderkey)."""
+    from ner_ray.stages.relational import top_n_per_group
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    out = top_n_per_group(ds, "o_custkey", "o_totalprice", n=2, tiebreak_col="o_orderkey")
+    return round_columns(out, ["o_totalprice"])
+
+
+SQL_Q29 = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+FROM orders
+QUALIFY rn <= 2
+"""
+
+
+def q30_asof_gap(sf_dir: str) -> Dataset:
+    """As-of join: per purchase event, seconds since the user's most recent
+    click at-or-before it (sorted searchsorted merge per user group)."""
+    from ner_ray.stages.relational import asof_gap_join
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
+    return asof_gap_join(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        left_pred="purchase",
+        right_pred="click",
+        pred_col="event_type",
+        id_col="event_id",
+    )
+
+
+SQL_Q30 = """
+SELECT a.event_id, round(epoch(a.ts) - epoch(max(b.ts)), 3) AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.event_type = 'click' AND b.ts <= a.ts
+WHERE a.event_type = 'purchase'
+GROUP BY a.event_id, a.ts
+"""
+
+
+def q31_range_pairs(sf_dir: str) -> Dataset:
+    """Self range-join: per user, ordered event pairs within 60 seconds
+    (two-pointer sweep per group vs the oracle's quadratic self-join)."""
+    from ner_ray.stages.relational import range_pair_counts
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    return range_pair_counts(ds, key_col="user_id", ts_col="ts", id_col="event_id")
+
+
+SQL_Q31 = """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+GROUP BY a.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over deterministic synthetic transcripts (rows-only:
 # the transcripts table is not one of the driver's DuckDB views)
@@ -721,6 +846,12 @@ RAY_QUERIES = {
     "q23_simhash_near_dup": q23_simhash_near_dup,
     "q24_quality_scores": q24_quality_scores,
     "q25_ann_lsh": q25_ann_lsh,
+    "q26_ngram_jaccard": q26_ngram_jaccard,
+    "q27_semi_join": q27_semi_join,
+    "q28_anti_join": q28_anti_join,
+    "q29_top_orders_per_cust": q29_top_orders_per_cust,
+    "q30_asof_gap": q30_asof_gap,
+    "q31_range_pairs": q31_range_pairs,
     "kg_triples": kg_triples,
     "kg_mentions": kg_mentions,
     "kg_entities": kg_entities,
@@ -749,4 +880,9 @@ ORACLE_SQL = {
     "q18_ann_topk": SQL_Q18,
     "q19_embedding_pairs": SQL_Q19,
     "q20_events_json": SQL_Q20,
+    "q27_semi_join": SQL_Q27,
+    "q28_anti_join": SQL_Q28,
+    "q29_top_orders_per_cust": SQL_Q29,
+    "q30_asof_gap": SQL_Q30,
+    "q31_range_pairs": SQL_Q31,
 }

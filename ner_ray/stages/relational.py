@@ -49,8 +49,10 @@ def broadcast_join(
     return ds.map_batches(Merge, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
 
 
-def semi_join_filter(ds: Dataset, keys: set, key_col: str) -> Dataset:
-    """Semi-join: keep rows whose key is in the broadcast key set."""
+def semi_join_filter(ds: Dataset, keys: set, key_col: str, anti: bool = False) -> Dataset:
+    """Semi-join (or anti-join with ``anti=True``): keep rows whose key is
+    in (not in) the broadcast key set — the shuffle-free EXISTS/NOT EXISTS
+    plan when the key side is small enough to broadcast."""
     import ray
 
     ref = ray.put(pa.array(sorted(keys)))
@@ -60,7 +62,8 @@ def semi_join_filter(ds: Dataset, keys: set, key_col: str) -> Dataset:
             self.keys = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_in(batch[key_col], value_set=self.keys))
+            mask = pc.is_in(batch[key_col], value_set=self.keys)
+            return batch.filter(pc.invert(mask) if anti else mask)
 
     return ds.map_batches(Filt, batch_format="pyarrow", concurrency=(1, 8))
 
@@ -88,6 +91,91 @@ def round_columns(ds: Dataset, cols: list[str], ndigits: int = 4) -> Dataset:
         return batch
 
     return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+def top_n_per_group(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str,
+    rank_col: str = "rn",
+) -> Dataset:
+    """Per-group top-N with a deterministic rank (DuckDB twin:
+    ``row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie)``).
+
+    Scale note: the groupby hash-shuffles once on ``key_col``; a pre-combiner
+    (per-batch per-key heap of size N inside ``map_batches`` before the
+    shuffle) bounds shuffle payload to N rows/key/block when groups are huge.
+    """
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [order_col, tiebreak_col], ascending=[False, True], kind="mergesort"
+        ).head(n)
+        g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby(key_col).map_groups(head, batch_format="pandas")
+
+
+def asof_gap_join(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    left_pred: str,
+    right_pred: str,
+    pred_col: str,
+    id_col: str,
+    gap_col: str = "gap_s",
+) -> Dataset:
+    """As-of join within each key: for every left row, the most recent right
+    row with ``right.ts <= left.ts``; emits ``(id, gap_s)`` (tie-safe: the
+    gap to ``max(right.ts)`` is unique even when right ids tie on ts).
+
+    One hash shuffle on ``key_col``; inside each group a sorted
+    ``searchsorted`` merge — O(n log n) per group, no pairwise blowup.
+    """
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g[pred_col] == left_pred]
+        right = g[g[pred_col] == right_pred].sort_values(ts_col, kind="mergesort")
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64), gap_col: pd.Series([], dtype=float)})
+        rts = right[ts_col].to_numpy()
+        lts = left[ts_col].to_numpy()
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        ok = idx >= 0
+        gaps = (lts[ok] - rts[idx[ok]]).astype("timedelta64[us]").astype(np.int64) / 1e6
+        return pd.DataFrame(
+            {id_col: left[id_col].to_numpy()[ok], gap_col: np.round(gaps, 3)}
+        )
+
+    return ds.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def range_pair_counts(
+    ds: Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    window_seconds: int = 60,
+    out_col: str = "n_pairs",
+) -> Dataset:
+    """Self range-join count per key: ordered pairs (i<j by ``(ts, id)``) with
+    ``ts_j - ts_i <= window``; a two-pointer sweep over the ts-sorted group
+    replaces the quadratic self-join (DuckDB twin uses the explicit join)."""
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hi = np.searchsorted(ts, ts + window_seconds * 1_000_000, side="right")
+        n = int((hi - np.arange(1, len(ts) + 1)).sum())
+        if n == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype=g[key_col].dtype), out_col: pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]], out_col: np.array([n], dtype=np.int64)})
+
+    return ds.groupby(key_col).map_groups(sweep, batch_format="pandas")
 
 
 def sessionize(
