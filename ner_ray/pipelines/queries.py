@@ -762,6 +762,58 @@ GROUP BY a.user_id
 _SF_RE = re.compile(r"sf([0-9.]+)")
 
 
+def media_path_for(sf_dir: str) -> str:
+    """Deterministic synthetic media table sized to the sf level, cached in
+    /tmp (seed=42; schemas.MEDIA — binary image/audio/video payloads)."""
+    m = _SF_RE.search(sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.01
+    n_media = max(60, int(20000 * sf))
+    out = f"/tmp/ner_ray_cache/media_n{n_media}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        from ner_ray.fixtures.media import MediaConfig, write_media
+
+        write_media(out, MediaConfig(n_media=n_media, seed=42), shards=8)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def mm_image_features(sf_dir: str) -> Dataset:
+    """Actor-pool image decode + featurize over binary payload columns
+    (stubbed codec backend; rows-only — binary media is not a DuckDB view)."""
+    from ner_ray.stages.multimodal import image_features
+
+    return image_features(rd.read_parquet(media_path_for(sf_dir)))
+
+
+def mm_audio_features(sf_dir: str) -> Dataset:
+    from ner_ray.stages.multimodal import audio_features
+
+    return audio_features(rd.read_parquet(media_path_for(sf_dir)))
+
+
+def mm_video_frames(sf_dir: str) -> Dataset:
+    from ner_ray.stages.multimodal import video_frames
+
+    return video_frames(rd.read_parquet(media_path_for(sf_dir)), every_n=8)
+
+
+def mm_resize_pipeline(sf_dir: str) -> Dataset:
+    """Resize -> featurize composition (two actor-pool stages, payloads stay
+    binary Arrow between them)."""
+    from ner_ray.stages.multimodal import image_features, resize_images
+
+    ds = resize_images(rd.read_parquet(media_path_for(sf_dir)), 16, 16)
+    return image_features(ds)
+
+
+def mm_media_stats(sf_dir: str) -> Dataset:
+    from ner_ray.stages.multimodal import media_stats
+
+    return media_stats(rd.read_parquet(media_path_for(sf_dir)))
+
+
 def transcripts_path_for(sf_dir: str) -> str:
     """Deterministic synthetic transcripts sized to the sf level, cached in
     /tmp (seed=42; BASELINE.json input_hint shape)."""
@@ -857,6 +909,11 @@ RAY_QUERIES = {
     "kg_entities": kg_entities,
     "kg_neural_mentions": kg_neural_mentions,
     "kg_order_restore": kg_order_restore,
+    "mm_image_features": mm_image_features,
+    "mm_audio_features": mm_audio_features,
+    "mm_video_frames": mm_video_frames,
+    "mm_resize_pipeline": mm_resize_pipeline,
+    "mm_media_stats": mm_media_stats,
 }
 
 ORACLE_SQL = {

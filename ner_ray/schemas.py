@@ -128,6 +128,58 @@ ALIAS_DICT = pa.schema(
     ]
 )
 
+# Multimodal media table: image/audio/video payloads as opaque binary columns
+# with typed metadata (the 100TB-pipeline pattern: payloads never leave Arrow,
+# decode happens inside actor-pool map_batches stages with small batch sizes).
+MEDIA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),  # image/video frame dims; 0 for audio
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),  # audio; 0 otherwise
+        ("n_frames", pa.int32()),  # video; 1 for image, 0 for audio
+        ("duration_ms", pa.int32()),  # audio/video; 0 for image
+    ]
+)
+
+IMAGE_FEATURES = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("mean_lum", pa.float32()),
+        ("std_lum", pa.float32()),
+        ("phash", pa.int64()),  # 64-bit difference-hash packed to int64
+        ("histogram", pa.list_(pa.float32(), 16)),
+    ]
+)
+
+AUDIO_FEATURES = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("rms_mean", pa.float32()),
+        ("rms_max", pa.float32()),
+        ("zero_cross_rate", pa.float32()),
+    ]
+)
+
+FRAMES = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("frame", pa.binary()),
+    ]
+)
+
 # Fixed BIO tag set of the reference family (reference data.py tag2label,
 # SURVEY.md §2 — 7-tag PER/LOC/ORG BIO set).
 TAG2LABEL = {
