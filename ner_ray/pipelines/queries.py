@@ -629,6 +629,19 @@ def q25_ann_lsh(sf_dir: str) -> pd.DataFrame:
     return lsh_topk(ds, q0[None, :], k=10)
 
 
+def q32_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-quantizer approximate top-k (scale path of q18; recall measured in
+    tests; rows-only — the coarse quantizer is not SQL-expressible)."""
+    import pyarrow.parquet as pq
+
+    from ner_ray.stages.ann import ivf_topk
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"))
+    q0 = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q0[None, :], k=10, n_centroids=16, n_probe=6)
+
+
 def q26_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """Exact word-3-gram Jaccard on the minhash candidate pairs (verify pass
     of the near-dup family; rows-only — set semantics are not DuckDB-cheap)."""
@@ -904,6 +917,7 @@ RAY_QUERIES = {
     "q29_top_orders_per_cust": q29_top_orders_per_cust,
     "q30_asof_gap": q30_asof_gap,
     "q31_range_pairs": q31_range_pairs,
+    "q32_ann_ivf": q32_ann_ivf,
     "kg_triples": kg_triples,
     "kg_mentions": kg_mentions,
     "kg_entities": kg_entities,

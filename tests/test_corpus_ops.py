@@ -182,6 +182,19 @@ class TestANN:
         approx = set(lsh_topk(ds, q[None, :], k=10, n_planes=8, n_probe_bits=3).vec_id)
         assert len(exact & approx) >= 5  # multi-probe recall is decent
 
+    def test_ivf_recall_and_determinism(self):
+        from ner_ray.stages.ann import ann_topk, ivf_topk
+
+        ds, m = self._emb_ds(n=500)
+        q = m[3]
+        exact = set(ann_topk(ds, q[None, :], k=10).vec_id)
+        a = ivf_topk(ds, q[None, :], k=10, n_centroids=8, n_probe=4)
+        b = ivf_topk(ds, q[None, :], k=10, n_centroids=8, n_probe=4)
+        assert list(a.vec_id) == list(b.vec_id)  # seeded quantizer
+        assert len(exact & set(a.vec_id)) >= 5  # probing half the cells
+        full = ivf_topk(ds, q[None, :], k=10, n_centroids=8, n_probe=8)
+        assert set(full.vec_id) == exact  # probing every cell == brute force
+
     def test_near_dup_pairs_symmetric_once(self):
         from ner_ray.stages.ann import embedding_near_dup_pairs
 
