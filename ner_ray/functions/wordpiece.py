@@ -1,0 +1,139 @@
+"""M7 — WordPiece tokenization (reference ``bert/tokenization.py`` semantics,
+reconstructed from the public BERT release; SURVEY.md §2 M7).
+
+Reimplements the two-phase FullTokenizer pipeline **with character offsets**
+(the original discards them; we need offsets to map predicted labels back to
+mention spans in the source turn text):
+
+1. Basic tokenization — lowercase (lookup only; offsets index the ORIGINAL
+   text), whitespace split, punctuation split (each punct char its own
+   token), CJK codepoints isolated one-per-token (`_is_chinese_char` +
+   ``_tokenize_chinese_chars`` semantics).
+2. WordPiece — greedy longest-match-first against the vocab; continuation
+   pieces carry the ``##`` prefix; a word with any unmatchable remainder
+   becomes a single ``[UNK]`` covering the whole word
+   (``WordpieceTokenizer.tokenize`` semantics, including the
+   max_input_chars_per_word=200 guard).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass
+
+MAX_INPUT_CHARS_PER_WORD = 200
+
+UNK_TOKEN = "[UNK]"
+CLS_TOKEN = "[CLS]"
+SEP_TOKEN = "[SEP]"
+PAD_TOKEN = "[PAD]"
+
+
+def is_cjk(cp: int) -> bool:
+    """CJK Unified Ideograph ranges (reference ``_is_chinese_char``)."""
+    return (
+        (0x4E00 <= cp <= 0x9FFF)
+        or (0x3400 <= cp <= 0x4DBF)
+        or (0x20000 <= cp <= 0x2A6DF)
+        or (0x2A700 <= cp <= 0x2B73F)
+        or (0x2B740 <= cp <= 0x2B81F)
+        or (0x2B820 <= cp <= 0x2CEAF)
+        or (0xF900 <= cp <= 0xFAFF)
+        or (0x2F800 <= cp <= 0x2FA1F)
+    )
+
+
+def _is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+@dataclass(frozen=True)
+class Token:
+    piece: str  # vocab form (lowercased; "##"-prefixed for continuations)
+    start: int  # char offsets into the ORIGINAL text
+    end: int
+    is_continuation: bool = False
+
+
+def basic_tokenize(text: str) -> list[tuple[int, int]]:
+    """Whitespace + punctuation + CJK-isolation split; returns (start, end)
+    spans over the original text."""
+    spans: list[tuple[int, int]] = []
+    start = None
+    for i, ch in enumerate(text):
+        if ch.isspace():
+            if start is not None:
+                spans.append((start, i))
+                start = None
+        elif _is_punct(ch) or is_cjk(ord(ch)):
+            if start is not None:
+                spans.append((start, i))
+                start = None
+            spans.append((i, i + 1))
+        else:
+            if start is None:
+                start = i
+    if start is not None:
+        spans.append((start, len(text)))
+    return spans
+
+
+def wordpiece_word(word: str, vocab: set[str], offset: int) -> list[Token]:
+    """Greedy longest-match-first split of one basic token."""
+    if len(word) > MAX_INPUT_CHARS_PER_WORD:
+        return [Token(UNK_TOKEN, offset, offset + len(word))]
+    pieces: list[Token] = []
+    pos = 0
+    while pos < len(word):
+        end = len(word)
+        cur = None
+        while pos < end:
+            sub = word[pos:end]
+            if pos > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [Token(UNK_TOKEN, offset, offset + len(word))]
+        pieces.append(Token(cur, offset + pos, offset + end, is_continuation=pos > 0))
+        pos = end
+    return pieces
+
+
+def tokenize(text: str, vocab: set[str], do_lower_case: bool = True) -> list[Token]:
+    """FullTokenizer.tokenize with offsets (M7)."""
+    out: list[Token] = []
+    for s, e in basic_tokenize(text):
+        word = text[s:e]
+        if do_lower_case:
+            word = word.lower()
+        out.extend(wordpiece_word(word, vocab, s))
+    return out
+
+
+def build_wordpiece_vocab(corpus_words: list[str], max_whole_word_len: int = 6) -> set[str]:
+    """Deterministic vocab: all single chars (plus ``##`` continuations) so
+    tokenization never degenerates to [UNK], and whole words up to
+    ``max_whole_word_len`` chars; longer words therefore split into pieces,
+    exercising the ``##`` path (stand-in for a learned BPE inventory)."""
+    import string
+
+    vocab = {UNK_TOKEN, CLS_TOKEN, SEP_TOKEN, PAD_TOKEN}
+    vocab.update(string.punctuation)
+    for w in corpus_words:
+        w = w.lower()
+        for ch in w:
+            vocab.add(ch)
+            vocab.add("##" + ch)
+        if len(w) <= max_whole_word_len:
+            vocab.add(w)
+        # common prefixes/suffix pieces so long words split into few pieces
+        if len(w) > max_whole_word_len:
+            vocab.add(w[:4])
+            vocab.add("##" + w[4:]) if len(w) - 4 <= 8 else None
+    return vocab

@@ -875,6 +875,16 @@ def kg_neural_mentions(sf_dir: str) -> Dataset:
     return tag_transcripts(tx, tagger="bilstm")
 
 
+def kg_bert_mentions(sf_dir: str) -> Dataset:
+    """BERT-path mention detection (M7 WordPiece -> M8 features -> M9 tiny
+    transformer -> M10 CRF decode), actor pool."""
+    from ner_ray.stages.tagger import tag_transcripts
+    from ner_ray.pipelines.kg import read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return tag_transcripts(tx, tagger="bert")
+
+
 def kg_order_restore(sf_dir: str) -> Dataset:
     """B2 order restore: per-turn text equality under stable ordering."""
     from ner_ray.stages.order_restore import sort_conversations
@@ -922,6 +932,7 @@ RAY_QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_entities": kg_entities,
     "kg_neural_mentions": kg_neural_mentions,
+    "kg_bert_mentions": kg_bert_mentions,
     "kg_order_restore": kg_order_restore,
     "mm_image_features": mm_image_features,
     "mm_audio_features": mm_audio_features,

@@ -243,7 +243,156 @@ class NeuralTagger:
         return _mentions_table(rows)
 
 
-TAGGERS = {"rule": RuleTagger, "bilstm": NeuralTagger}
+class BertTagger:
+    """BERT-path inference actor (reference M7-M10 machinery, numpy).
+
+    Per turn: WordPiece tokenize with offsets (M7) -> ``[CLS] pieces [SEP]``
+    feature rows at ``max_seq_length`` (M8; reference truncates at 128 —
+    ``strict_reference_mode`` reproduces that, default chunks-and-stitches;
+    SURVEY.md §7 hard part 2) -> batched transformer encode + NER head
+    (M9/M10, ``state.bert.FrozenTinyBert``) -> per-token argmax with the
+    reference's X/[CLS]/[SEP] label scheme -> word-level BIO folding back to
+    char spans via token offsets (E1).
+
+    Same actor-pool interface as the other taggers; ``model_ref`` broadcasts
+    the frozen model via the object store.
+    """
+
+    def __init__(
+        self,
+        model_ref=None,
+        output: str = "mentions",
+        max_seq_length: int = 128,
+        strict_reference_mode: bool = False,
+        decode: str = "crf",  # "crf" (BLSTM_CRF head, Viterbi) | "softmax" (argmax)
+    ):
+        from ner_ray.state.bert import BERT_LABELS, FrozenTinyBert, bert_bio_transitions
+
+        if model_ref is not None:
+            import ray
+
+            self.model = ray.get(model_ref)
+        else:
+            self.model = FrozenTinyBert.create()
+        self.labels = BERT_LABELS
+        self.vocab = self.model.vocab
+        self.output = output
+        self.max_seq = max_seq_length
+        self.strict = strict_reference_mode
+        self.decode = decode
+        self.transitions = bert_bio_transitions()
+
+    def _word_tags_and_spans(self, texts: list[str]) -> list[list[tuple[str, str, int, int]]]:
+        from ner_ray.functions import wordpiece as wp
+
+        cap = self.max_seq - 2  # room for [CLS] / [SEP] (M8)
+        seg_rows: list[list] = []  # token lists per segment
+        seg_owner: list[int] = []
+        toks_per_row = []
+        for r, text in enumerate(texts):
+            toks = wp.tokenize(text, self.vocab)
+            toks_per_row.append(toks)
+            if self.strict:
+                segs = [toks[:cap]] if toks else []
+            else:
+                segs = [toks[i : i + cap] for i in range(0, len(toks), cap)]
+            for s in segs:
+                seg_rows.append(s)
+                seg_owner.append(r)
+        spans_per_row: list[list[tuple[str, str, int, int]]] = [[] for _ in texts]
+        if not seg_rows:
+            return spans_per_row
+        cls_id = self.model.tok2id[wp.CLS_TOKEN]
+        sep_id = self.model.tok2id[wp.SEP_TOKEN]
+        unk_id = self.model.tok2id[wp.UNK_TOKEN]
+        lens = np.array([len(s) + 2 for s in seg_rows], dtype=np.int64)
+        Lmax = int(lens.max())
+        ids = np.zeros((len(seg_rows), Lmax), dtype=np.int64)  # 0 == [PAD]
+        mask = np.zeros((len(seg_rows), Lmax), dtype=bool)
+        for i, toks in enumerate(seg_rows):
+            row = [cls_id] + [self.model.tok2id.get(t.piece, unk_id) for t in toks] + [sep_id]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = True
+        logits = self.model.emissions(ids, mask)
+        logits[:, :, 0] = -1e9  # [PAD] label never decodes on real positions
+        if self.decode == "crf":  # M10 BLSTM_CRF head: batched Viterbi
+            pred = viterbi_decode_batch(logits, lens, self.transitions)
+        else:  # softmax path (M6-style argmax head)
+            pred = logits.argmax(axis=2)
+        # token labels -> word-level BIO -> char spans, stitched across segments
+        word_seq: list[list[tuple[str, int, int]]] = [[] for _ in texts]  # (tag, start, end)
+        for i, toks in enumerate(seg_rows):
+            owner = seg_owner[i]
+            for j, t in enumerate(toks):
+                if t.is_continuation:
+                    continue  # continuation pieces carry X by convention
+                lab = self.labels[pred[i, j + 1]]  # +1 skips [CLS]
+                if lab in ("X", "[CLS]", "[SEP]", "[PAD]"):
+                    lab = "O"
+                # extend word end over its continuation pieces
+                end = t.end
+                for t2 in toks[j + 1 :]:
+                    if not t2.is_continuation:
+                        break
+                    end = t2.end
+                word_seq[owner].append((lab, t.start, end))
+        for r, words in enumerate(word_seq):
+            spans_per_row[r] = self._fold_words(texts[r], words)
+        return spans_per_row
+
+    @staticmethod
+    def _fold_words(
+        text: str, words: list[tuple[str, int, int]]
+    ) -> list[tuple[str, str, int, int]]:
+        """Word-level BIO folding (same pinned edge semantics as
+        functions.bio.fold_bio, applied over word offsets)."""
+        spans = []
+        open_type: str | None = None
+        start = end = 0
+        for tag, ws, we in words:
+            if tag.startswith("B-") or (tag.startswith("I-") and open_type != tag[2:]):
+                if open_type is not None:
+                    spans.append((text[start:end], open_type, start, end))
+                open_type = tag[2:]
+                start, end = ws, we
+            elif tag.startswith("I-"):
+                end = we
+            else:
+                if open_type is not None:
+                    spans.append((text[start:end], open_type, start, end))
+                    open_type = None
+        if open_type is not None:
+            spans.append((text[start:end], open_type, start, end))
+        return spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        turn = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        spans_per_row = self._word_tags_and_spans(texts)
+        if self.output == "tags":
+            return _tags_table(
+                conv, turn, texts,
+                [[(s, t, st, en) for s, t, st, en in spans] for spans in spans_per_row],
+            )
+        if self.output == "turn_mentions":
+            return _turn_mentions_table(conv, turn, texts, spans_per_row)
+        rows: dict[str, list] = {
+            k: [] for k in ("conv_id", "turn_idx", "mention_id", "surface", "type", "start", "end")
+        }
+        for c, ti, spans in zip(conv, turn, spans_per_row):
+            for surface, typ, s, e in spans:
+                rows["conv_id"].append(c)
+                rows["turn_idx"].append(ti)
+                rows["mention_id"].append(stable_mention_id(c, ti, s))
+                rows["surface"].append(surface)
+                rows["type"].append(typ)
+                rows["start"].append(s)
+                rows["end"].append(e)
+        return _mentions_table(rows)
+
+
+TAGGERS = {"rule": RuleTagger, "bilstm": NeuralTagger, "bert": BertTagger}
 
 
 def tag_transcripts(
