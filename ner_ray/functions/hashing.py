@@ -64,6 +64,46 @@ class MinHasher:
     def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float(np.mean(sig_a == sig_b))
 
+    @staticmethod
+    def shingle_hashes(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
+        """Word-k-gram shingle hashes from per-token hashes, fully vectorized:
+        a mod-p linear combination of k consecutive token hashes (uniform like
+        the join+blake2b form, ~100x cheaper).  <k tokens -> one shingle."""
+        h = token_hashes.astype(np.uint64) % _MERSENNE
+        n = len(h)
+        if n == 0:
+            return h
+        kk = min(k, n)
+        coef = (np.arange(1, kk + 1, dtype=np.uint64) * np.uint64(2654435761)) % _MERSENNE
+        m = max(1, n - kk + 1)
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(kk):
+            acc = (acc + h[j : j + m] * (coef[j] % (1 << 30))) % _MERSENNE
+        return acc
+
+
+_BAND_PRIME = (1 << 61) - 1
+
+
+def band_keys_vectorized(sigs: np.ndarray, bands: int, seed: int = 42) -> np.ndarray:
+    """Band bucket keys for a signature matrix [N, num_perm] -> int64 [N, bands].
+
+    Arithmetic (multiply-sum mod Mersenne-61) instead of per-band blake2b —
+    the whole batch hashes in a few numpy ops.  Band index is mixed in so
+    equal chunks in different bands don't collide."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    rng = np.random.default_rng(seed ^ 0xBA4D)
+    coef = rng.integers(1, _BAND_PRIME, size=(bands, rows), dtype=np.uint64)
+    salt = rng.integers(1, _BAND_PRIME, size=bands, dtype=np.uint64)
+    chunks = sigs[:, : bands * rows].reshape(n, bands, rows).astype(np.uint64)
+    # exact mod-p dot product without overflow: values < 2^31, coefs reduced
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):
+        acc = (acc + (chunks[:, :, r] % _BAND_PRIME) * (coef[None, :, r] % (1 << 30))) % _BAND_PRIME
+    acc = (acc + salt[None, :]) % _BAND_PRIME
+    return acc.astype(np.int64)
+
 
 def lsh_band_keys(sig: np.ndarray, bands: int, doc_salt: str = "") -> list[int]:
     """Split a signature into ``bands`` bands; hash each band -> bucket key.

@@ -65,19 +65,23 @@ def q01_pricing_summary(sf_dir: str) -> Dataset:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         return t.append_column("disc_price", rev)
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Count(alias_name="count_order"),
-        )
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    out = grouped_agg_partial(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": "l_quantity",
+            "sum_base_price": "l_extendedprice",
+            "sum_disc_price": "disc_price",
+        },
+        count_col="count_order",
     )
-    return round_columns(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"])
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"]:
+        out[c] = out[c].round(4)
+    return out
 
 
 SQL_Q01 = f"""
@@ -137,11 +141,16 @@ def q03_revenue_by_nation(sf_dir: str) -> Dataset:
     joined = broadcast_join(
         orders, dim.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
     )
-    out = joined.groupby("n_name").aggregate(
-        Sum("o_totalprice", alias_name="total_revenue"),
-        Count(alias_name="n_orders"),
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    out = grouped_agg_partial(
+        joined,
+        keys=["n_name"],
+        sums={"total_revenue": "o_totalprice"},
+        count_col="n_orders",
     )
-    return round_columns(out, ["total_revenue"])
+    out["total_revenue"] = out["total_revenue"].round(4)
+    return out
 
 
 SQL_Q03 = """
@@ -284,13 +293,21 @@ def q09_mktsegment_stats(sf_dir: str) -> Dataset:
     joined = broadcast_join(
         orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
     )
-    out = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Mean("o_totalprice", alias_name="avg_price"),
-        Max("o_totalprice", alias_name="max_price"),
-        Min("o_totalprice", alias_name="min_price"),
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    out = grouped_agg_partial(
+        joined,
+        keys=["c_mktsegment"],
+        sums={"_sum_price": "o_totalprice"},
+        count_col="n_orders",
+        mins={"min_price": "o_totalprice"},
+        maxs={"max_price": "o_totalprice"},
     )
-    return round_columns(out, ["avg_price", "max_price", "min_price"])
+    out["avg_price"] = (out["_sum_price"] / out["n_orders"]).round(4)
+    out = out.drop(columns=["_sum_price"])
+    for c in ["max_price", "min_price"]:
+        out[c] = out[c].round(4)
+    return out
 
 
 SQL_Q09 = """
@@ -314,12 +331,16 @@ def q10_brand_volume(sf_dir: str) -> Dataset:
     def filt(t: pa.Table) -> pa.Table:
         return t.filter(pc.less(t["s_nationkey"], 15))
 
-    out = (
-        j.map_batches(filt, batch_format="pyarrow")
-        .groupby("p_brand")
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_lines"))
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    out = grouped_agg_partial(
+        j.map_batches(filt, batch_format="pyarrow"),
+        keys=["p_brand"],
+        sums={"sum_qty": "l_quantity"},
+        count_col="n_lines",
     )
-    return round_columns(out, ["sum_qty"])
+    out["sum_qty"] = out["sum_qty"].round(4)
+    return out
 
 
 SQL_Q10 = """

@@ -93,6 +93,50 @@ def round_columns(ds: Dataset, cols: list[str], ndigits: int = 4) -> Dataset:
     return ds.map_batches(rnd, batch_format="pyarrow")
 
 
+def grouped_agg_partial(
+    ds: Dataset,
+    keys: list[str],
+    sums: dict[str, str] | None = None,
+    count_col: str | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+) -> pd.DataFrame:
+    """Low-cardinality grouped aggregate via the combiner pattern: each block
+    pre-aggregates with Arrow's hash group_by (one partial row per distinct
+    key per block), and the tiny partial set combines on the driver — **no
+    all-to-all shuffle at all**.
+
+    Use ONLY when the distinct-key count is small (TPC-H flag/nation-style
+    groupings); high-cardinality groupbys must use ``Dataset.groupby`` so the
+    combine itself distributes.  ``sums``/``mins``/``maxs`` map output-column
+    -> input-column; means are derived by the caller as sum/count.
+    """
+    sums, mins, maxs = sums or {}, mins or {}, maxs or {}
+    aggs = [(c, "sum") for c in sums.values()]
+    aggs += [(c, "min") for c in mins.values()]
+    aggs += [(c, "max") for c in maxs.values()]
+    if count_col:
+        probe = next(iter(sums.values()), keys[0])
+        aggs.append((probe, "count"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(keys).aggregate(aggs)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    gb = parts.groupby(keys, sort=False)
+    out = pd.DataFrame(index=gb.size().index)
+    for name, c in sums.items():
+        out[name] = gb[f"{c}_sum"].sum()
+    for name, c in mins.items():
+        out[name] = gb[f"{c}_min"].min()
+    for name, c in maxs.items():
+        out[name] = gb[f"{c}_max"].max()
+    if count_col:
+        probe = next(iter(sums.values()), keys[0])
+        out[count_col] = gb[f"{probe}_count"].sum()
+    return out.reset_index()
+
+
 def top_n_per_group(
     ds: Dataset,
     key_col: str,

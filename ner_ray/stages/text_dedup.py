@@ -25,8 +25,9 @@ from ray.data.aggregate import Min, Sum
 
 from ner_ray.functions.hashing import (
     MinHasher,
+    _hash64,
+    band_keys_vectorized,
     hamming64,
-    lsh_band_keys,
     simhash64,
     simhash_blocks,
     word_shingles,
@@ -63,7 +64,16 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 class _MinHashSketcher:
-    """Actor: MinHash signatures + LSH band keys per batch (state = hasher)."""
+    """Actor: one (doc_id, sig, band keys) row per doc.
+
+    Hot-path design: per-token 64-bit hashes come from an actor-lifetime
+    cache (corpus vocabulary is Zipfian — most tokens repeat), shingle hashes
+    are a vectorized mod-p combination of consecutive token hashes, the
+    signature is the existing vectorized [perm x shingle] min, and band keys
+    hash the whole batch in a few numpy ops.  The signature is emitted ONCE
+    per doc as uint32 bytes (num_perm*4 B); band rows for the shuffle carry
+    only (doc_id, band, key).
+    """
 
     def __init__(self, num_perm: int, bands: int, shingle_k: int, text_col: str, id_col: str):
         self.mh = MinHasher(num_perm=num_perm)
@@ -71,24 +81,32 @@ class _MinHashSketcher:
         self.k = shingle_k
         self.text_col = text_col
         self.id_col = id_col
+        self.token_cache: dict[str, int] = {}
+
+    def _token_hashes(self, tokens: list[str]) -> np.ndarray:
+        cache = self.token_cache
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            h = cache.get(t)
+            if h is None:
+                h = _hash64(t)
+                cache[t] = h
+            out[i] = h
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bandix, bandkey, sigs = [], [], [], []
-        for i, text in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
-            sig = self.mh.signature(word_shingles(text or "", k=self.k))
-            keys = lsh_band_keys(sig, self.bands)
-            sb = sig.tobytes()
-            for b, key in enumerate(keys):
-                ids.append(i)
-                bandix.append(b)
-                bandkey.append(key)
-                sigs.append(sb)
+        ids = batch[self.id_col].to_pylist()
+        sigs = np.empty((len(ids), self.mh.num_perm), dtype=np.uint64)
+        for r, text in enumerate(batch[self.text_col].to_pylist()):
+            toks = (text or "").split()
+            sh = MinHasher.shingle_hashes(self._token_hashes(toks), k=self.k)
+            sigs[r] = self.mh.signature(set(sh.tolist()))
+        keys = band_keys_vectorized(sigs, self.bands)  # [N, bands]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bandix, pa.int32()),
-                "key": pa.array(bandkey, pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
+                "sig": pa.array([s.tobytes() for s in sigs.astype(np.uint32)], pa.binary()),
+                "keys": pa.array(keys.tolist(), pa.list_(pa.int64())),
             }
         )
 
@@ -107,10 +125,18 @@ def minhash_near_dup(
 
     Returns (doc_id, group_id, keep): every doc appears once; ``group_id`` is
     the min doc_id of its duplicate cluster; ``keep`` marks the
-    representative.  Verification uses the signature Jaccard estimate
-    (>= threshold), the scalable standard; exact-Jaccard recheck is
-    ``ngram_jaccard_pairs``.
+    representative.
+
+    Scale shape: the (band, key) shuffle moves ~20-byte rows (the signature
+    never enters the all-to-all — at 100 TB the sketch table is the
+    checkpointed dedup index, written once as Parquet).  Bucket groups emit
+    CANDIDATE pairs only; verification (signature agreement >= threshold, the
+    scalable standard — exact-Jaccard recheck is ``ngram_jaccard_pairs``)
+    runs against a sig lookup bounded by the candidate set, which LSH keeps
+    tiny relative to the corpus.
     """
+    import ray
+
     sketch = ds.map_batches(
         _MinHashSketcher,
         fn_constructor_kwargs=dict(
@@ -119,29 +145,80 @@ def minhash_near_dup(
         ),
         batch_format="pyarrow",
         concurrency=(1, 8),
+    ).materialize()  # consumed twice: band explode + candidate verification
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = np.asarray(batch["keys"].to_pylist(), dtype=np.int64)
+        bands_n = keys.shape[1] if n else 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), bands_n), pa.int64()),
+                "band": pa.array(np.tile(np.arange(bands_n, dtype=np.int32), n), pa.int32()),
+                "key": pa.array(keys.reshape(-1), pa.int64()),
+            }
+        )
+
+    band_rows = sketch.select_columns(["doc_id", "keys"]).map_batches(
+        explode, batch_format="pyarrow"
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
         if n < 2:
-            return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         if n > max_bucket:  # cap degenerate buckets (documented, deterministic)
             group = group.sort_by([("doc_id", "ascending")]).slice(0, max_bucket)
             n = max_bucket
-        ids = group["doc_id"].to_pylist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["sig"].to_pylist()]
-        src, dst = [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] == ids[j]:
-                    continue
-                if float(np.mean(sigs[i] == sigs[j])) >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    src.append(f"d{a}")
-                    dst.append(f"d{b}")
-        return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
-    edges = sketch.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    cand = (
+        band_rows.groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+    # Verify candidates against their signatures (bounded by candidate count).
+    if len(cand):
+        wanted = pa.array(sorted(set(cand["a"]) | set(cand["b"])), pa.int64())
+        vref = ray.put(wanted)
+
+        class Filt:
+            def __init__(self):
+                self.keys = ray.get(vref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return t.select(["doc_id", "sig"]).filter(
+                    pc.is_in(t["doc_id"], value_set=self.keys)
+                )
+
+        sig_rows = sketch.map_batches(Filt, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+        sig_map = {
+            int(i): np.frombuffer(s, dtype=np.uint32)
+            for i, s in zip(sig_rows["doc_id"], sig_rows["sig"])
+        }
+        ok = [
+            float(np.mean(sig_map[int(x)] == sig_map[int(y)])) >= threshold
+            for x, y in zip(cand["a"], cand["b"])
+        ]
+        cand = cand[np.asarray(ok, dtype=bool)] if len(ok) else cand
+    edges_pdf = pd.DataFrame(
+        {"src": [f"d{x}" for x in cand["a"]], "dst": [f"d{y}" for y in cand["b"]]}
+    )
+    import ray.data as rd
+
+    edges = rd.from_pandas(edges_pdf) if len(edges_pdf) else rd.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
     return _groups_from_edges(ds, edges, id_col)
 
 
