@@ -133,6 +133,26 @@ class TestDedup:
         assert a.confidence == pytest.approx(1.0)
         assert list(a.conv_ids) == ["c1", "c2"]
 
+    def test_driver_and_distributed_paths_identical(self):
+        t = pa.table(
+            {
+                "subj": pa.array(["A", "A", "B", "A"], pa.string()),
+                "pred": pa.array(["r", "r", "r", "s"], pa.string()),
+                "obj": pa.array(["C", "C", "C", "D"], pa.string()),
+                "conv_id": pa.array(["c1", "c2", "c1", "c3"], pa.string()),
+                "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+                "confidence": pa.array([0.5, 1.0, 0.8, 0.2], pa.float32()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(3)
+        a = dedup_triples(ds).to_pandas().sort_values(["subj", "pred"]).reset_index(drop=True)
+        b = (
+            dedup_triples(ds, driver_threshold=0)  # force the shuffle path
+            .to_pandas().sort_values(["subj", "pred"]).reset_index(drop=True)[a.columns]
+        )
+        assert a.drop(columns=["conv_ids"]).equals(b.drop(columns=["conv_ids"]))
+        assert all(list(x) == list(y) for x, y in zip(a.conv_ids, b.conv_ids))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGoldenGate:
