@@ -22,7 +22,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("BENCH_N_CONVS", "12000"))
+# 216k convs ≈ 1.57M turns: sized so the 8-CPU scaling leg runs >60s and the
+# serial floor (driver combine steps, stage launches ~6-8s) stays under ~10%
+# of the low-leg wall time, per the BASELINE.md protocol.
+N_CONVS = int(os.environ.get("BENCH_N_CONVS", "216000"))
 BENCH_TX = f"/tmp/ner_ray_cache/bench_tx_n{N_CONVS}"
 
 

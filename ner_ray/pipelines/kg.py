@@ -47,7 +47,7 @@ class KGConfig:
     chunk_turns: int = 256  # salt-chunk size for mega-conversation fanout
     link_tau: float = 0.6  # cosine threshold for entity linking
     tagger_batch_size: int = 4096
-    tagger_concurrency: tuple = (1, 8)
+    tagger_concurrency: tuple | None = None  # None -> pool_size() (cluster-wide)
     graph_partitions: int = 16  # hash(subj) partitions of the final graph
     rewrite: str = "broadcast"  # or "join" for non-broadcastable mappings
     uf_rounds: int = 8

@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
+from ner_ray.utils import pool_size
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -83,7 +85,7 @@ def ann_topk(
                 }
             )
 
-    cand = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    cand = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_size()).to_pandas()
     rows = []
     for qi, grp in cand.groupby("query_idx"):
         top = heapq.nsmallest(k, grp.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col)))
@@ -151,7 +153,7 @@ def lsh_topk(
                 }
             )
 
-    cand = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    cand = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_size()).to_pandas()
     rows = []
     for qi, grp in cand.groupby("query_idx"):
         top = heapq.nsmallest(k, grp.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col)))
@@ -244,7 +246,7 @@ def ivf_topk(
                 }
             )
 
-    cand = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    cand = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_size()).to_pandas()
     rows = []
     for qi, grp in cand.groupby("query_idx"):
         top = heapq.nsmallest(k, grp.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col)))
@@ -303,4 +305,4 @@ def embedding_near_dup_pairs(
                 }
             )
 
-    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=pool_size())

@@ -134,6 +134,33 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
+def _node_partials(batch: pa.Table) -> pa.Table:
+    """Per-block combiner: distinct (node, surface, type, entity_id) with
+    partial mention counts."""
+    agg: dict[tuple, list] = {}
+    for s, t, e in zip(
+        batch["surface"].to_pylist(),
+        batch["type"].to_pylist(),
+        batch["entity_id"].to_pylist(),
+    ):
+        node = f"{t}:{normalize_surface(s)}"
+        key = (node, s, t, e)
+        if key in agg:
+            agg[key][0] += 1
+        else:
+            agg[key] = [1]
+    keys = list(agg.keys())
+    return pa.table(
+        {
+            "node": pa.array([k[0] for k in keys], pa.string()),
+            "surface": pa.array([k[1] for k in keys], pa.string()),
+            "type": pa.array([k[2] for k in keys], pa.string()),
+            "entity_id": pa.array([k[3] for k in keys], pa.int64()),
+            "n_mentions": pa.array([agg[k][0] for k in keys], pa.int64()),
+        }
+    )
+
+
 def mention_nodes(linked_mentions: Dataset) -> Dataset:
     """Distinct (node, surface, type, entity_id, n_mentions) — deduped inside
     map_batches (combiner) before the distinct groupby shuffle."""
@@ -219,12 +246,94 @@ def local_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {n: find(n) for n in parent}
 
 
+def _canonicalize_driver(
+    partials_pdf, alias_table: pa.Table
+) -> tuple[Dataset, Dataset]:
+    """Driver-side canonicalization over combined node partials (fast path of
+    ``canonicalize`` — identical output to the distributed path, tested)."""
+    ent_meta = {
+        r["entity_id"]: (r["canonical"], r["type"]) for r in alias_table.to_pylist()
+    }
+    # merge partials -> distinct nodes
+    merged: dict[tuple, int] = {}
+    for node, s, t, e, n in zip(
+        partials_pdf["node"], partials_pdf["surface"], partials_pdf["type"],
+        partials_pdf["entity_id"], partials_pdf["n_mentions"],
+    ):
+        key = (node, s, t, int(e))
+        merged[key] = merged.get(key, 0) + int(n)
+    # edges: data (node -> entity) ∪ unambiguous dictionary edges
+    pairs = [
+        (node, f"{ENT_PREFIX}{e}") for (node, _s, _t, e) in merged if e >= 0
+    ]
+    seen: dict[str, set[int]] = {}
+    for r in alias_table.to_pylist():
+        dnode = f"{r['type']}:{normalize_surface(r['alias'])}"
+        seen.setdefault(dnode, set()).add(r["entity_id"])
+    pairs += [
+        (dnode, f"{ENT_PREFIX}{next(iter(eids))}")
+        for dnode, eids in sorted(seen.items())
+        if len(eids) == 1
+    ]
+    label_map = local_union_find(pairs)
+    # group nodes by component label; finish each component
+    comps: dict[str, list[tuple]] = {}
+    for key in merged:
+        comps.setdefault(label_map.get(key[0], key[0]), []).append(key)
+    map_rows, ent_rows = [], []
+    for label in sorted(comps):
+        group = comps[label]
+        linked_ids = sorted({e for (_n, _s, _t, e) in group if e >= 0})
+        if linked_ids and linked_ids[0] in ent_meta:
+            canonical, typ = ent_meta[linked_ids[0]]
+        else:
+            best = max(
+                group, key=lambda k: (merged[k], -len(k[1]), k[1])
+            )
+            canonical, typ = best[1], best[2]
+        eid = stable_id(label)
+        ent_rows.append(
+            {
+                "entity_id": eid,
+                "canonical": canonical,
+                "type": typ,
+                "aliases": sorted({k[1] for k in group}),
+            }
+        )
+        for node, s, t, e in group:
+            map_rows.append(
+                {
+                    "node": node,
+                    "surface": s,
+                    "type": t,
+                    "entity_id": eid,
+                    "canonical": canonical,
+                    "n_mentions": merged[(node, s, t, e)],
+                }
+            )
+    mapping = rd.from_arrow(pa.Table.from_pylist(map_rows))
+    entities = rd.from_arrow(
+        pa.Table.from_pylist(ent_rows).cast(
+            pa.schema(
+                [
+                    ("entity_id", pa.int64()),
+                    ("canonical", pa.string()),
+                    ("type", pa.string()),
+                    ("aliases", pa.list_(pa.string())),
+                ]
+            )
+        )
+    )
+    return mapping, entities
+
+
 def canonicalize(
     linked_mentions: Dataset,
     alias_table: pa.Table,
     max_rounds: int = 8,
     num_partitions: int = 16,
     cc_threshold: int = 2_000_000,
+    node_threshold: int = 500_000,
 ) -> tuple[Dataset, Dataset]:
     """Full B6.
 
@@ -234,8 +343,25 @@ def canonicalize(
       row per distinct typed surface key, including unlinked singletons.
     - entities: (entity_id, canonical, type, aliases) — one row per merged
       component (schemas.ENTITIES shape).
+
+    Fast path: the per-block combiner bounds partial rows by the distinct
+    surface vocabulary, which is dwarfed by the mention stream at any corpus
+    size — when the partial set is small (``node_threshold``) EVERYTHING
+    after the one embarrassingly-parallel combiner map happens driver-side
+    (node merge, edge build, union-find, component finish): one Ray execution
+    instead of three shuffled ones.  A truly open surface vocabulary (beyond
+    the threshold) falls back to the original distributed path below.
     """
-    nodes = mention_nodes(linked_mentions).materialize()
+    partials = linked_mentions.map_batches(
+        _node_partials, batch_format="pyarrow"
+    ).materialize()
+    if partials.count() <= node_threshold:
+        return _canonicalize_driver(partials.to_pandas(), alias_table)
+    nodes = (
+        partials.groupby(["node", "surface", "type", "entity_id"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+        .materialize()
+    )
     edges = build_edges(nodes, alias_table).materialize()
 
     ent_meta = {

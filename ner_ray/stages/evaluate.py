@@ -20,6 +20,8 @@ from ner_ray import schemas
 from ner_ray.functions.bio import fold_bio
 from ner_ray.functions.metrics import PRF, SpanEval
 
+from ner_ray.utils import pool_size
+
 
 def tag_bio_corpus(ds: Dataset, tagger: str = "rule", **tagger_kwargs) -> Dataset:
     """Run a tagger over BIO_CORPUS rows; output adds ``pred_tags``.
@@ -49,7 +51,7 @@ def tag_bio_corpus(ds: Dataset, tagger: str = "rule", **tagger_kwargs) -> Datase
             tagged = self.tagger(shim)
             return batch.append_column("pred_tags", tagged["tags"])
 
-    return ds.map_batches(CorpusTagger, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(CorpusTagger, batch_format="pyarrow", concurrency=pool_size())
 
 
 def evaluate_tags(

@@ -29,6 +29,8 @@ from ner_ray import schemas
 from ner_ray.fixtures.aliases import pseudo_embedding
 from ner_ray.functions.normalize import normalize_surface
 
+from ner_ray.utils import pool_size
+
 
 def embed_mention(typ: str, surface: str) -> np.ndarray:
     """Mention-context embedding (deterministic encoder stand-in)."""
@@ -61,6 +63,9 @@ class LinkerActor:
         norms = np.linalg.norm(self.emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         self.emb = self.emb / norms
+        # distinct (surface, type) -> (entity_id, score), ACTOR lifetime:
+        # surface vocabulary is Zipfian, so most batches hit only the cache.
+        self._cache: dict[tuple[str, str], tuple[int, float]] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         surfaces = batch["surface"].to_pylist()
@@ -68,8 +73,7 @@ class LinkerActor:
         n = len(surfaces)
         entity_id = np.full(n, -1, dtype=np.int64)
         score = np.zeros(n, dtype=np.float32)
-        # Per *distinct* (surface, type) resolution; vectorized cosine per key.
-        cache: dict[tuple[str, str], tuple[int, float]] = {}
+        cache = self._cache
         for i in range(n):
             key = (surfaces[i], types[i])
             hit = cache.get(key)
@@ -94,8 +98,8 @@ def link_mentions(
     mentions: Dataset,
     alias_ref=None,
     tau: float = 0.6,
-    batch_size: int = 8192,
-    concurrency=(1, 8),
+    batch_size: int = 4096,
+    concurrency=pool_size(),
 ) -> Dataset:
     """Run B5 as an actor-pool map_batches stage over a mentions dataset."""
     return mentions.map_batches(

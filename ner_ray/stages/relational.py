@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from ner_ray.utils import pool_size
+
 
 def broadcast_join(
     ds: Dataset,
@@ -46,7 +48,7 @@ def broadcast_join(
         def __call__(self, batch: pa.Table) -> pa.Table:
             return batch.join(self.small, keys=on, join_type=join_type)
 
-    return ds.map_batches(Merge, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    return ds.map_batches(Merge, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool_size())
 
 
 def semi_join_filter(ds: Dataset, keys: set, key_col: str, anti: bool = False) -> Dataset:
@@ -65,7 +67,7 @@ def semi_join_filter(ds: Dataset, keys: set, key_col: str, anti: bool = False) -
             mask = pc.is_in(batch[key_col], value_set=self.keys)
             return batch.filter(pc.invert(mask) if anti else mask)
 
-    return ds.map_batches(Filt, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Filt, batch_format="pyarrow", concurrency=pool_size())
 
 
 def tumbling_window(ds: Dataset, ts_col: str, unit: str, out_col: str = "window_start") -> Dataset:

@@ -35,6 +35,8 @@ from ner_ray.functions.hashing import (
 from ner_ray.functions.texttools import md5_fingerprint, tokenize_ws
 from ner_ray.stages.canonicalize import connected_components
 
+from ner_ray.utils import pool_size
+
 
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """One row per distinct (whitespace-normalized, lowercased) text:
@@ -144,7 +146,7 @@ def minhash_near_dup(
             text_col=text_col, id_col=id_col,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     ).materialize()  # consumed twice: band explode + candidate verification
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -201,7 +203,7 @@ def minhash_near_dup(
                     pc.is_in(t["doc_id"], value_set=self.keys)
                 )
 
-        sig_rows = sketch.map_batches(Filt, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+        sig_rows = sketch.map_batches(Filt, batch_format="pyarrow", concurrency=pool_size()).to_pandas()
         sig_map = {
             int(i): np.frombuffer(s, dtype=np.uint32)
             for i, s in zip(sig_rows["doc_id"], sig_rows["sig"])
@@ -281,7 +283,7 @@ def simhash_near_dup(
         _SimHashSketcher,
         fn_constructor_kwargs=dict(n_blocks=n_blocks, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=pool_size(),
     )
     edges = sketch.groupby(["block", "val"]).map_groups(bucket_pairs, batch_format="pyarrow")
     return _groups_from_edges(ds, edges, id_col)

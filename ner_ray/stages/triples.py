@@ -93,35 +93,98 @@ def extract_pattern_triples(batch: pa.Table) -> pa.Table:
     return _triples_table(rows)
 
 
+def add_group_key(batch: pa.Table) -> pa.Table:
+    """Pre-shuffle prep for the window groupby: drop mention-less turns (they
+    can be neither window anchor nor target — typically a large fraction of a
+    transcript corpus never enters the all-to-all) and compress the
+    ``(conv_id, chunk)`` key into ONE int64 ``gkey`` so the shuffle sorts
+    int64s, not strings.  crc32 collisions across conversations are handled
+    by per-conversation segmentation inside the extractor."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.greater(pc.list_value_length(batch["mentions"]), 0))
+    convs = batch["conv_id"].to_pylist()
+    chunks = batch["chunk"].to_pylist()
+    cache: dict[str, int] = {}
+    keys = np.empty(len(convs), dtype=np.int64)
+    for i, (c, k) in enumerate(zip(convs, chunks)):
+        h = cache.get(c)
+        if h is None:
+            h = zlib.crc32(c.encode())
+            cache[c] = h
+        keys[i] = (h << 24) ^ k
+    return batch.append_column("gkey", pa.array(keys, pa.int64()))
+
+
 def make_window_extractor(window: int):
-    """Per-(conv_id, chunk) group fn emitting cross-turn window triples."""
+    """Per-``gkey`` group fn emitting cross-turn window triples (one group =
+    one (conv_id, chunk) salt cell, modulo rare crc32 collisions, which are
+    segmented out below so windows never cross conversations)."""
+
+    def _emit(turns, owned, surfs, conv_id, subj_p, obj_p, tid_p, conv_p):
+        import numpy as np
+
+        his = np.searchsorted(turns, turns + window, side="left")
+        n = len(turns)
+        for i in range(n):
+            if not owned[i]:
+                continue  # windows are anchored at owned turns only
+            si = surfs[i]
+            for j in range(i + 1, int(his[i])):
+                if turns[j] == turns[i]:
+                    continue
+                sj = surfs[j]
+                # nested-loop order preserved: a outer (repeat), b inner (tile)
+                subj_p.append(np.repeat(si, len(sj)))
+                obj_p.append(np.tile(sj, len(si)))
+                tid_p.append(np.full(len(si) * len(sj), turns[i], dtype=np.int64))
+                conv_p.append(conv_id)
 
     def extract(group: pa.Table) -> pa.Table:
-        group = group.sort_by([("turn_idx", "ascending")])
-        turn = group["turn_idx"].to_pylist()
-        owned = group["owned"].to_pylist()
-        conv = group["conv_id"].to_pylist()
+        import numpy as np
+
+        group = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = group.num_rows
+        if n == 0:
+            return _triples_table({k: [] for k in _TRIPLE_COLS})
+        turns = group["turn_idx"].to_numpy().astype(np.int64)
+        owned = group["owned"].to_numpy(zero_copy_only=False)
+        convs = group["conv_id"].to_pylist()
         mentions = group["mentions"].to_pylist()
-        rows: dict[str, list] = {k: [] for k in _TRIPLE_COLS}
-        n = len(turn)
-        for i in range(n):
-            if not owned[i] or not mentions[i]:
-                continue  # windows are anchored at owned turns only
-            for j in range(i + 1, n):
-                dt = turn[j] - turn[i]
-                if dt <= 0:
-                    continue  # duplicate turn rows cannot occur; safety
-                if dt >= window:
-                    break
-                for a in mentions[i]:
-                    for b in mentions[j]:
-                        rows["subj"].append(a["surface"])
-                        rows["pred"].append(CO_MENTIONED)
-                        rows["obj"].append(b["surface"])
-                        rows["conv_id"].append(conv[i])
-                        rows["turn_idx"].append(turn[i])
-                        rows["confidence"].append(0.5)
-        return _triples_table(rows)
+        surfs = [np.array([m["surface"] for m in ms], dtype=object) for ms in mentions]
+        subj_p, obj_p, tid_p, conv_p = [], [], [], []
+        if convs[0] == convs[-1]:  # fast path: one conversation (the norm)
+            _emit(turns, owned, surfs, convs[0], subj_p, obj_p, tid_p, conv_p)
+        else:  # crc32 collision: segment per conversation
+            conv_arr = np.asarray(convs, dtype=object)
+            bounds = np.flatnonzero(conv_arr[1:] != conv_arr[:-1]) + 1
+            for seg in np.split(np.arange(n), bounds):
+                s = slice(seg[0], seg[-1] + 1)
+                _emit(turns[s], owned[s], surfs[s.start : s.stop], convs[seg[0]],
+                      subj_p, obj_p, tid_p, conv_p)
+        if not subj_p:
+            return _triples_table({k: [] for k in _TRIPLE_COLS})
+        subj = np.concatenate(subj_p)
+        obj = np.concatenate(obj_p)
+        tid = np.concatenate(tid_p)
+        conv_col = np.concatenate(
+            [np.full(len(sp), c, dtype=object) for sp, c in zip(subj_p, conv_p)]
+        )
+        m = len(subj)
+        return pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(np.full(m, CO_MENTIONED, dtype=object), pa.string()),
+                "obj": pa.array(obj, pa.string()),
+                "conv_id": pa.array(conv_col, pa.string()),
+                "turn_idx": pa.array(tid.astype(np.int32), pa.int32()),
+                "confidence": pa.array(np.full(m, 0.5, dtype=np.float32), pa.float32()),
+            },
+            schema=schemas.TRIPLES,
+        )
 
     return extract
 
@@ -137,7 +200,8 @@ def extract_triples(
         return pattern
     narrow = turn_mentions.drop_columns(["text"])  # keep the shuffle payload narrow
     chunked = add_salted_chunks(narrow, chunk_turns=chunk_turns, window=window)
-    cross = chunked.groupby(["conv_id", "chunk"]).map_groups(
+    keyed = chunked.map_batches(add_group_key, batch_format="pyarrow")
+    cross = keyed.groupby("gkey").map_groups(
         make_window_extractor(window), batch_format="pyarrow"
     )
     return pattern.union(cross)

@@ -1,0 +1,24 @@
+"""Small shared runtime helpers."""
+
+from __future__ import annotations
+
+
+def pool_size(min_actors: int = 1) -> tuple[int, int]:
+    """Default actor-pool ``concurrency`` for stateful ``map_batches`` stages:
+    autoscale from ``min_actors`` up to the cluster's CPU count.
+
+    A hardcoded cap (the old ``(1, 8)``) silently throttles every actor-pool
+    stage on clusters wider than the cap — the scaling-efficiency killer when
+    the same job runs at N and 4N CPUs.  Reading the cluster size at plan
+    time keeps the pool proportional to the cluster.
+    """
+    import ray
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    else:  # planning before ray.init (tests, doc examples): modest default
+        cpus = 8
+    # min = cpus/4: the autoscaling pool ramps too slowly for short stages if
+    # it starts at 1 actor, but reserving the whole cluster as minimum would
+    # starve concurrent pools in a fused pipeline.
+    return (max(min_actors, cpus // 4), max(8, cpus))

@@ -49,6 +49,37 @@ class TestLinker:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestCanonicalizePaths:
+    def test_driver_and_distributed_identical(self, small_transcripts):
+        import ray
+
+        from ner_ray.fixtures.aliases import make_alias_table
+        from ner_ray.pipelines.kg import explode_mentions
+        from ner_ray.stages.canonicalize import canonicalize
+        from ner_ray.stages.linker import link_mentions
+        from ner_ray.stages.tagger import tag_transcripts
+
+        alias = make_alias_table()
+        tm = tag_transcripts(
+            rd.from_arrow(small_transcripts), tagger="rule", output="turn_mentions"
+        ).materialize()
+        linked = link_mentions(
+            tm.drop_columns(["text"]).map_batches(explode_mentions, batch_format="pyarrow"),
+            alias_ref=ray.put(alias),
+        ).materialize()
+        ma, ea = canonicalize(linked, alias)  # driver fast path
+        mb, eb = canonicalize(linked, alias, node_threshold=0)  # distributed
+        srt = lambda d, c: d.to_pandas().sort_values(c).reset_index(drop=True)
+        A = srt(ma, ["node", "surface", "entity_id"])
+        B = srt(mb, ["node", "surface", "entity_id"])[A.columns]
+        assert A.equals(B)
+        EA, EB = srt(ea, ["entity_id"]), srt(eb, ["entity_id"])
+        EB = EB[EA.columns]
+        assert EA.drop(columns=["aliases"]).equals(EB.drop(columns=["aliases"]))
+        assert all(list(x) == list(y) for x, y in zip(EA.aliases, EB.aliases))
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestUnionFind:
     def test_components_vs_bruteforce(self):
         import random
