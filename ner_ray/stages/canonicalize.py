@@ -501,11 +501,11 @@ def rewrite_triples(
 
     pdf = mapping.to_pandas()
     best: dict[str, tuple[int, str]] = {}
-    for _, r in pdf.iterrows():
-        key = r["node"].split(":", 1)[1]
+    for node, canonical, n_m in zip(pdf["node"], pdf["canonical"], pdf["n_mentions"]):
+        key = node.split(":", 1)[1]
         cur = best.get(key)
-        if cur is None or r["n_mentions"] > cur[0]:
-            best[key] = (r["n_mentions"], r["canonical"])
+        if cur is None or n_m > cur[0]:
+            best[key] = (n_m, canonical)
     table = {k: v[1] for k, v in best.items()}
     ref = ray.put(table)
     ref_key = ref.hex()
@@ -517,16 +517,21 @@ def rewrite_triples(
         if t is None:
             t = ray.get(ref)
             _BROADCAST_CACHE[ref_key] = t
-        subj = batch["subj"].to_pylist()
-        obj = batch["obj"].to_pylist()
-        new_subj = [t.get(normalize_surface(s), s) for s in subj]
-        new_obj = [t.get(normalize_surface(o), o) for o in obj]
-        batch = batch.set_column(
-            batch.column_names.index("subj"), "subj", pa.array(new_subj, pa.string())
-        )
-        return batch.set_column(
-            batch.column_names.index("obj"), "obj", pa.array(new_obj, pa.string())
-        )
+        for col in ("subj", "obj"):
+            arr = batch[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # surfaces are Zipfian: normalize/lookup per DISTINCT value only,
+            # then fan the result back out with a vectorized take
+            enc = pc.dictionary_encode(arr)
+            mapped = pa.array(
+                [t.get(normalize_surface(u), u) for u in enc.dictionary.to_pylist()],
+                pa.string(),
+            )
+            batch = batch.set_column(
+                batch.column_names.index(col), col, pc.take(mapped, enc.indices)
+            )
+        return batch
 
     return triples.map_batches(rewrite, batch_format="pyarrow")
 

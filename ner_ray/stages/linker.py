@@ -67,31 +67,42 @@ class LinkerActor:
         # surface vocabulary is Zipfian, so most batches hit only the cache.
         self._cache: dict[tuple[str, str], tuple[int, float]] = {}
 
+    def _resolve(self, typ: str, surface: str) -> tuple[int, float]:
+        cand = self.candidates.get(normalize_surface(surface))
+        if not cand:
+            return (-1, 0.0)
+        m = embed_mention(typ, surface)
+        sims = self.emb[cand] @ m
+        j = int(np.argmax(sims))
+        best = float(sims[j])
+        return (int(self.entity_ids[cand[j]]), best) if best >= self.tau else (-1, best)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        surfaces = batch["surface"].to_pylist()
-        types = batch["type"].to_pylist()
-        n = len(surfaces)
-        entity_id = np.full(n, -1, dtype=np.int64)
-        score = np.zeros(n, dtype=np.float32)
+        import pyarrow.compute as pc
+
+        # resolve per DISTINCT (type, surface) key (Zipfian surfaces), then
+        # fan results back out with a vectorized take
+        surf = batch["surface"]
+        typ = batch["type"]
+        if isinstance(surf, pa.ChunkedArray):
+            surf = surf.combine_chunks()
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        enc = pc.dictionary_encode(pc.binary_join_element_wise(typ, surf, "\x00"))
         cache = self._cache
-        for i in range(n):
-            key = (surfaces[i], types[i])
+        uniq_eid = np.empty(len(enc.dictionary), dtype=np.int64)
+        uniq_score = np.empty(len(enc.dictionary), dtype=np.float32)
+        for u, key in enumerate(enc.dictionary.to_pylist()):
             hit = cache.get(key)
             if hit is None:
-                cand = self.candidates.get(normalize_surface(surfaces[i]))
-                if not cand:
-                    hit = (-1, 0.0)
-                else:
-                    m = embed_mention(types[i], surfaces[i])
-                    sims = self.emb[cand] @ m
-                    j = int(np.argmax(sims))
-                    best = float(sims[j])
-                    hit = (int(self.entity_ids[cand[j]]), best) if best >= self.tau else (-1, best)
+                t, s = key.split("\x00", 1)
+                hit = self._resolve(t, s)
                 cache[key] = hit
-            entity_id[i], score[i] = hit
+            uniq_eid[u], uniq_score[u] = hit
+        idx = enc.indices
         return batch.append_column(
-            "entity_id", pa.array(entity_id, pa.int64())
-        ).append_column("link_score", pa.array(score, pa.float32()))
+            "entity_id", pc.take(pa.array(uniq_eid, pa.int64()), idx)
+        ).append_column("link_score", pc.take(pa.array(uniq_score, pa.float32()), idx))
 
 
 def link_mentions(

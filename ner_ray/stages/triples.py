@@ -93,13 +93,17 @@ def extract_pattern_triples(batch: pa.Table) -> pa.Table:
     return _triples_table(rows)
 
 
-def add_group_key(batch: pa.Table) -> pa.Table:
+def add_group_key(batch: pa.Table, n_buckets: int = 8192) -> pa.Table:
     """Pre-shuffle prep for the window groupby: drop mention-less turns (they
     can be neither window anchor nor target — typically a large fraction of a
-    transcript corpus never enters the all-to-all) and compress the
-    ``(conv_id, chunk)`` key into ONE int64 ``gkey`` so the shuffle sorts
-    int64s, not strings.  crc32 collisions across conversations are handled
-    by per-conversation segmentation inside the extractor."""
+    transcript corpus never enters the all-to-all), compress ``(conv_id,
+    chunk)`` into ONE int64 ``gkey``, and assign a ``bucket`` that packs MANY
+    salt cells per shuffle group — Ray's per-group dispatch costs ~50µs, so
+    grouping by the raw (conv, chunk) key at 10^8 conversations would spend
+    more time dispatching than extracting.  The extractor re-segments inside
+    each bucket (vectorized), so bucketing changes no output.  crc32
+    collisions across conversations are handled by conv-boundary
+    segmentation there too."""
     import zlib
 
     import numpy as np
@@ -116,71 +120,103 @@ def add_group_key(batch: pa.Table) -> pa.Table:
             h = zlib.crc32(c.encode())
             cache[c] = h
         keys[i] = (h << 24) ^ k
-    return batch.append_column("gkey", pa.array(keys, pa.int64()))
+    batch = batch.append_column("gkey", pa.array(keys, pa.int64()))
+    return batch.append_column("bucket", pa.array(keys % n_buckets, pa.int64()))
+
+
+def _ranges(counts):
+    """Vectorized concatenation of ``[0..counts[p])`` ranges: the local index
+    within each range, for all ranges at once."""
+    import numpy as np
+
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), total
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts), total
 
 
 def make_window_extractor(window: int):
     """Per-``gkey`` group fn emitting cross-turn window triples (one group =
     one (conv_id, chunk) salt cell, modulo rare crc32 collisions, which are
-    segmented out below so windows never cross conversations)."""
+    segmented below so windows never cross conversations).
 
-    def _emit(turns, owned, surfs, conv_id, subj_p, obj_p, tid_p, conv_p):
-        import numpy as np
-
-        his = np.searchsorted(turns, turns + window, side="left")
-        n = len(turns)
-        for i in range(n):
-            if not owned[i]:
-                continue  # windows are anchored at owned turns only
-            si = surfs[i]
-            for j in range(i + 1, int(his[i])):
-                if turns[j] == turns[i]:
-                    continue
-                sj = surfs[j]
-                # nested-loop order preserved: a outer (repeat), b inner (tile)
-                subj_p.append(np.repeat(si, len(sj)))
-                obj_p.append(np.tile(sj, len(si)))
-                tid_p.append(np.full(len(si) * len(sj), turns[i], dtype=np.int64))
-                conv_p.append(conv_id)
+    Fully vectorized: pair indices come from cumsum/repeat arithmetic (no
+    Python loop over pairs), and the mention fanout + string materialization
+    run as Arrow ``take`` over the group's flat surface array — per-triple
+    cost is a few vectorized ops, not a numpy call per pair.
+    """
 
     def extract(group: pa.Table) -> pa.Table:
         import numpy as np
+        import pyarrow.compute as pc
 
-        group = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        if "gkey" not in group.column_names:  # direct unit use: one salt cell
+            group = group.append_column(
+                "gkey", pa.array([0] * group.num_rows, pa.int64())
+            )
+        group = group.sort_by(
+            [("gkey", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
         n = group.num_rows
         if n == 0:
             return _triples_table({k: [] for k in _TRIPLE_COLS})
         turns = group["turn_idx"].to_numpy().astype(np.int64)
-        owned = group["owned"].to_numpy(zero_copy_only=False)
-        convs = group["conv_id"].to_pylist()
-        mentions = group["mentions"].to_pylist()
-        surfs = [np.array([m["surface"] for m in ms], dtype=object) for ms in mentions]
-        subj_p, obj_p, tid_p, conv_p = [], [], [], []
-        if convs[0] == convs[-1]:  # fast path: one conversation (the norm)
-            _emit(turns, owned, surfs, convs[0], subj_p, obj_p, tid_p, conv_p)
-        else:  # crc32 collision: segment per conversation
-            conv_arr = np.asarray(convs, dtype=object)
-            bounds = np.flatnonzero(conv_arr[1:] != conv_arr[:-1]) + 1
-            for seg in np.split(np.arange(n), bounds):
-                s = slice(seg[0], seg[-1] + 1)
-                _emit(turns[s], owned[s], surfs[s.start : s.stop], convs[seg[0]],
-                      subj_p, obj_p, tid_p, conv_p)
-        if not subj_p:
+        owned = group["owned"].to_numpy(zero_copy_only=False).astype(bool)
+        gkeys = group["gkey"].to_numpy().astype(np.int64)
+        ments = group["mentions"]
+        if isinstance(ments, pa.ChunkedArray):
+            ments = ments.combine_chunks()
+        flat_surf = pc.struct_field(ments.values, "surface")  # group's mentions, flat
+        offsets = ments.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        offs = offsets[:-1]
+        conv_col = group["conv_id"]
+
+        # segment = one (conv_id, chunk) salt cell: boundary where gkey
+        # changes, or (crc32-collision guard) where conv_id changes
+        new_seg = np.concatenate([[True], gkeys[1:] != gkeys[:-1]])
+        if not new_seg.all():
+            conv_np = np.asarray(group["conv_id"].to_pylist(), dtype=object)
+            new_seg[1:] |= conv_np[1:] != conv_np[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+
+        # per-row window end (exclusive) confined to the row's segment,
+        # vectorized across all segments: offset turns by segment id so
+        # searchsorted never crosses a boundary
+        BIG = np.int64(1) << 33
+        aug = seg_id * BIG + turns
+        his = np.searchsorted(aug, aug + window, side="left")
+        pair_counts = np.clip(his - np.arange(1, n + 1), 0, None)
+        pair_counts[~owned] = 0  # windows are anchored at owned turns only
+        local, n_pairs = _ranges(pair_counts)
+        if n_pairs == 0:
             return _triples_table({k: [] for k in _TRIPLE_COLS})
-        subj = np.concatenate(subj_p)
-        obj = np.concatenate(obj_p)
-        tid = np.concatenate(tid_p)
-        conv_col = np.concatenate(
-            [np.full(len(sp), c, dtype=object) for sp, c in zip(subj_p, conv_p)]
-        )
-        m = len(subj)
+        I = np.repeat(np.arange(n, dtype=np.int64), pair_counts)
+        J = I + 1 + local
+
+        # mention fanout per pair: li*lj triples, a outer (//) b inner (%)
+        li, lj = lens[I], lens[J]
+        K = li * lj
+        t_local, m = _ranges(K)
+        if m == 0:
+            return _triples_table({k: [] for k in _TRIPLE_COLS})
+        LJ = np.repeat(lj, K)
+        subj_idx = np.repeat(offs[I], K) + t_local // LJ
+        obj_idx = np.repeat(offs[J], K) + t_local % LJ
+        row_of_triple = np.repeat(I, K)
+
+        subj = pc.take(flat_surf, pa.array(subj_idx))
+        obj = pc.take(flat_surf, pa.array(obj_idx))
+        conv = pc.take(conv_col, pa.array(row_of_triple))
+        tid = turns[row_of_triple].astype(np.int32)
         return pa.table(
             {
-                "subj": pa.array(subj, pa.string()),
+                "subj": subj,
                 "pred": pa.array(np.full(m, CO_MENTIONED, dtype=object), pa.string()),
-                "obj": pa.array(obj, pa.string()),
-                "conv_id": pa.array(conv_col, pa.string()),
-                "turn_idx": pa.array(tid.astype(np.int32), pa.int32()),
+                "obj": obj,
+                "conv_id": conv,
+                "turn_idx": pa.array(tid, pa.int32()),
                 "confidence": pa.array(np.full(m, 0.5, dtype=np.float32), pa.float32()),
             },
             schema=schemas.TRIPLES,
@@ -201,7 +237,7 @@ def extract_triples(
     narrow = turn_mentions.drop_columns(["text"])  # keep the shuffle payload narrow
     chunked = add_salted_chunks(narrow, chunk_turns=chunk_turns, window=window)
     keyed = chunked.map_batches(add_group_key, batch_format="pyarrow")
-    cross = keyed.groupby("gkey").map_groups(
+    cross = keyed.groupby("bucket").map_groups(
         make_window_extractor(window), batch_format="pyarrow"
     )
     return pattern.union(cross)
