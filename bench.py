@@ -116,14 +116,63 @@ def run_bench() -> dict:
     return result
 
 
+def run_kg_only(tagger: str, n_convs: int) -> dict:
+    """One fresh-session KG build (the scaling-leg payload): the flagship
+    neural (BERT-path) pipeline by default — compute-dense like the north
+    star's 'batched BERT encoding' stage, so the measurement reflects the
+    engine's partitioning rather than single-box memory-bandwidth limits."""
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=N_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+
+    from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+
+    path = f"/tmp/ner_ray_cache/bench_tx_n{n_convs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_transcripts(path, TranscriptConfig(n_convs=n_convs, seed=42), shards=32)
+        open(os.path.join(path, "_SUCCESS"), "w").write("ok")
+    n_turns = read_transcripts(path).count()  # also warms the page cache
+    t0 = time.perf_counter()
+    res = build_kg(read_transcripts(path), KGConfig(tagger=tagger))
+    support = res.triples.map_batches(
+        lambda t: {"s": [sum(t["n_support"].to_pylist())]}, batch_format="pyarrow"
+    ).sum("s")
+    secs = time.perf_counter() - t0
+    out = {
+        "kg_seconds": round(secs, 3),
+        "kg_turns": int(n_turns),
+        "kg_raw_triples": int(support),
+        "kg_triples_per_sec": round(support / secs, 1),
+        "num_cpus": N_CPUS,
+        "tagger": tagger,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     lo = int(os.environ.get("SCALE_LOW", "8"))
     hi = int(os.environ.get("SCALE_HIGH", "32"))
+    tagger = os.environ.get("SCALE_TAGGER", "bert")
+    n_convs = int(os.environ.get("SCALE_N_CONVS", "36000"))
     out = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--kg-only", tagger, str(n_convs)],
             env=env,
             capture_output=True,
             text=True,
@@ -131,8 +180,7 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
-    t_lo, t_hi = out[lo]["queries"]["kg_build"], out[hi]["queries"]["kg_build"]
-    tp_lo, tp_hi = out[lo]["kg_triples_per_sec"], out[hi]["kg_triples_per_sec"]
+    t_lo, t_hi = out[lo]["kg_seconds"], out[hi]["kg_seconds"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -140,12 +188,11 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "cpus_low": lo,
         "cpus_high": hi,
+        "tagger": tagger,
         "kg_seconds_low": t_lo,
         "kg_seconds_high": t_hi,
-        "kg_triples_per_sec_low": tp_lo,
-        "kg_triples_per_sec_high": tp_hi,
-        "total_seconds_low": out[lo]["value"],
-        "total_seconds_high": out[hi]["value"],
+        "kg_triples_per_sec_low": out[lo]["kg_triples_per_sec"],
+        "kg_triples_per_sec_high": out[hi]["kg_triples_per_sec"],
         "kg_turns": out[hi].get("kg_turns"),
     }
 
@@ -153,5 +200,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--kg-only" in sys.argv:
+        i = sys.argv.index("--kg-only")
+        print(json.dumps(run_kg_only(sys.argv[i + 1], int(sys.argv[i + 2]))))
     else:
         print(json.dumps(run_bench()))

@@ -27,6 +27,9 @@ import ray.data as rd
 from ray.data import Dataset
 
 from ner_ray.fixtures.aliases import make_alias_table
+from ner_ray.utils import configure_context
+
+configure_context()
 from ner_ray.stages.canonicalize import canonicalize, rewrite_triples
 from ner_ray.stages.dedup import dedup_triples
 from ner_ray.stages.linker import link_mentions

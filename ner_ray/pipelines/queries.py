@@ -31,6 +31,10 @@ from ner_ray.stages.relational import (
     tumbling_window,
 )
 
+from ner_ray.utils import configure_context
+
+configure_context()
+
 CUTOFF = "1999-01-01"
 
 
@@ -906,6 +910,62 @@ def kg_bert_mentions(sf_dir: str) -> Dataset:
     return tag_transcripts(tx, tagger="bert")
 
 
+def kg_demo(sf_dir: str) -> pd.DataFrame:
+    """E3 demo path: single-sentence tagging through the same tagger actors
+    (reference ``--mode demo``); returns the extracted entities."""
+    from ner_ray.stages.tagger import RuleTagger
+
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["demo"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "text": pa.array(["Alice Chen works at Acme Corp in Nanjing."], pa.string()),
+        }
+    )
+    return RuleTagger()(batch).to_pandas()[["surface", "type", "start", "end"]]
+
+
+def kg_vocab(sf_dir: str) -> pd.DataFrame:
+    """P2 distributed vocab build (combiner + tiny groupby) over the
+    transcripts; returns (char, id) sorted by id."""
+    from ner_ray.state.vocab import build_vocab
+
+    tx = rd.read_parquet(transcripts_path_for(sf_dir), columns=["text"])
+    vocab = build_vocab(tx, min_count=2)
+    items = sorted(vocab.items(), key=lambda kv: kv[1])
+    return pd.DataFrame({"char": [k for k, _ in items], "id": [v for _, v in items]})
+
+
+def kg_tagger_eval(sf_dir: str) -> pd.DataFrame:
+    """E2 distributed conlleval: BERT tagger vs rule-tagger gold over the
+    synthetic corpus; one row per entity type + overall."""
+    from ner_ray.stages.evaluate import evaluate_tags, tag_bio_corpus
+    from ner_ray.stages.tagger import tag_transcripts
+    from ner_ray.pipelines.kg import read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    gold = tag_transcripts(tx, tagger="rule", output="tags")
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        import zlib
+
+        sids = [
+            (zlib.crc32(c.encode()) << 20) ^ ti
+            for c, ti in zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())
+        ]
+        return pa.table(
+            {"sentence_id": pa.array(sids, pa.int64()), "chars": t["chars"], "tags": t["tags"]}
+        )
+
+    corpus = gold.map_batches(to_corpus, batch_format="pyarrow")
+    tagged = tag_bio_corpus(corpus, tagger="bert")
+    rep = evaluate_tags(tagged)
+    rows = [
+        {"type": k, **{m: round(v, 4) for m, v in d.items()}} for k, d in sorted(rep.items())
+    ]
+    return pd.DataFrame(rows)
+
+
 def kg_order_restore(sf_dir: str) -> Dataset:
     """B2 order restore: per-turn text equality under stable ordering."""
     from ner_ray.stages.order_restore import sort_conversations
@@ -955,6 +1015,9 @@ RAY_QUERIES = {
     "kg_neural_mentions": kg_neural_mentions,
     "kg_bert_mentions": kg_bert_mentions,
     "kg_order_restore": kg_order_restore,
+    "kg_demo": kg_demo,
+    "kg_vocab": kg_vocab,
+    "kg_tagger_eval": kg_tagger_eval,
     "mm_image_features": mm_image_features,
     "mm_audio_features": mm_audio_features,
     "mm_video_frames": mm_video_frames,

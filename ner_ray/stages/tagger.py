@@ -307,19 +307,31 @@ class BertTagger:
         sep_id = self.model.tok2id[wp.SEP_TOKEN]
         unk_id = self.model.tok2id[wp.UNK_TOKEN]
         lens = np.array([len(s) + 2 for s in seg_rows], dtype=np.int64)
-        Lmax = int(lens.max())
-        ids = np.zeros((len(seg_rows), Lmax), dtype=np.int64)  # 0 == [PAD]
-        mask = np.zeros((len(seg_rows), Lmax), dtype=bool)
-        for i, toks in enumerate(seg_rows):
-            row = [cls_id] + [self.model.tok2id.get(t.piece, unk_id) for t in toks] + [sep_id]
-            ids[i, : len(row)] = row
-            mask[i, : len(row)] = True
-        logits = self.model.emissions(ids, mask)
-        logits[:, :, 0] = -1e9  # [PAD] label never decodes on real positions
-        if self.decode == "crf":  # M10 BLSTM_CRF head: batched Viterbi
-            pred = viterbi_decode_batch(logits, lens, self.transitions)
-        else:  # softmax path (M6-style argmax head)
-            pred = logits.argmax(axis=2)
+        # length-bucketed micro-batches: sort by length, pad each chunk to its
+        # OWN max — padding everything to the batch max makes the transformer
+        # pay max-len cost for typical short turns (the M8 fixed-128 padding
+        # the reference uses, which we deliberately avoid)
+        order = np.argsort(lens, kind="stable")
+        pred = [None] * len(seg_rows)
+        CHUNK = 512
+        for c0 in range(0, len(order), CHUNK):
+            sel = order[c0 : c0 + CHUNK]
+            Lmax = int(lens[sel].max())
+            ids = np.zeros((len(sel), Lmax), dtype=np.int64)  # 0 == [PAD]
+            mask = np.zeros((len(sel), Lmax), dtype=bool)
+            for r, i in enumerate(sel):
+                toks = seg_rows[i]
+                row = [cls_id] + [self.model.tok2id.get(t.piece, unk_id) for t in toks] + [sep_id]
+                ids[r, : len(row)] = row
+                mask[r, : len(row)] = True
+            logits = self.model.emissions(ids, mask)
+            logits[:, :, 0] = -1e9  # [PAD] label never decodes on real positions
+            if self.decode == "crf":  # M10 BLSTM_CRF head: batched Viterbi
+                chunk_pred = viterbi_decode_batch(logits, lens[sel], self.transitions)
+            else:  # softmax path (M6-style argmax head)
+                chunk_pred = logits.argmax(axis=2)
+            for r, i in enumerate(sel):
+                pred[i] = chunk_pred[r]
         # token labels -> word-level BIO -> char spans, stitched across segments
         word_seq: list[list[tuple[str, int, int]]] = [[] for _ in texts]  # (tag, start, end)
         for i, toks in enumerate(seg_rows):
@@ -327,7 +339,7 @@ class BertTagger:
             for j, t in enumerate(toks):
                 if t.is_continuation:
                     continue  # continuation pieces carry X by convention
-                lab = self.labels[pred[i, j + 1]]  # +1 skips [CLS]
+                lab = self.labels[pred[i][j + 1]]  # +1 skips [CLS]
                 if lab in ("X", "[CLS]", "[SEP]", "[PAD]"):
                     lab = "O"
                 # extend word end over its continuation pieces

@@ -125,17 +125,19 @@ class FrozenTinyBert:
         V = len(vocab_list)
         rng = np.random.default_rng(seed)
         s = 0.02  # BERT's truncated-normal init scale; small so prior dominates
-        mk = lambda *shape: rng.normal(0, s, size=shape)
+        # float32 everywhere: halves memory traffic and roughly doubles the
+        # tanh/GELU throughput of the encoder hot path
+        mk = lambda *shape: rng.normal(0, s, size=shape).astype(np.float32)
         layers = []
         for _ in range(n_layers):
             layers.append(
                 {
                     "wq": mk(hidden, hidden), "wk": mk(hidden, hidden),
                     "wv": mk(hidden, hidden), "wo": mk(hidden, hidden),
-                    "ln1_g": np.ones(hidden), "ln1_b": np.zeros(hidden),
-                    "w1": mk(hidden, 4 * hidden), "b1": np.zeros(4 * hidden),
-                    "w2": mk(4 * hidden, hidden), "b2": np.zeros(hidden),
-                    "ln2_g": np.ones(hidden), "ln2_b": np.zeros(hidden),
+                    "ln1_g": np.ones(hidden, np.float32), "ln1_b": np.zeros(hidden, np.float32),
+                    "w1": mk(hidden, 4 * hidden), "b1": np.zeros(4 * hidden, np.float32),
+                    "w2": mk(4 * hidden, hidden), "b2": np.zeros(hidden, np.float32),
+                    "ln2_g": np.ones(hidden, np.float32), "ln2_b": np.zeros(hidden, np.float32),
                 }
             )
         return cls(
@@ -145,8 +147,8 @@ class FrozenTinyBert:
             pos_emb=mk(512, hidden),
             layers=layers,
             head_w=mk(hidden, len(BERT_LABELS)),
-            head_b=np.zeros(len(BERT_LABELS)),
-            prior=_token_priors(vocab_list),
+            head_b=np.zeros(len(BERT_LABELS), np.float32),
+            prior=_token_priors(vocab_list).astype(np.float32),
             hidden=hidden,
             n_heads=n_heads,
         )

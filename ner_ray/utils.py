@@ -2,6 +2,27 @@
 
 from __future__ import annotations
 
+_configured = False
+
+
+def configure_context() -> None:
+    """Engine-wide DataContext tuning, applied once per process.
+
+    Push-based sort shuffle: measurably better reduce-side parallelism for
+    the groupby/sort exchanges on wide clusters (window-triples stage:
+    1.6x 8->32-CPU scaling vs 1.2x with the pull-based default, and ~15%
+    faster absolute at 32 CPUs).  Called from the pipeline/query entry
+    modules; safe to call repeatedly.
+    """
+    global _configured
+    if _configured:
+        return
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    _configured = True
+
 
 def pool_size(min_actors: int = 1) -> tuple[int, int]:
     """Default actor-pool ``concurrency`` for stateful ``map_batches`` stages:
