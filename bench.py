@@ -167,12 +167,19 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("SCALE_LOW", "8"))
     hi = int(os.environ.get("SCALE_HIGH", "32"))
     tagger = os.environ.get("SCALE_TAGGER", "bert")
-    n_convs = int(os.environ.get("SCALE_N_CONVS", "36000"))
+    n_convs = int(os.environ.get("SCALE_N_CONVS", "108000"))
     out = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        cmd = [sys.executable, os.path.abspath(__file__), "--kg-only", tagger, str(n_convs)]
+        # Pin each leg to exactly n physical cores: ray.init(num_cpus=n)
+        # limits scheduling slots but NOT cpu affinity, so an unpinned
+        # "8-CPU" leg would silently spread its workers over every core of
+        # the box and understate real N-node vs 4N-node scaling.
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{n - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--kg-only", tagger, str(n_convs)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

@@ -68,9 +68,21 @@ class KGResult:
     metrics: dict = field(default_factory=dict)
 
 
-def read_transcripts(path: str) -> Dataset:
-    """B1 — pruned transcript read (only the columns the KG build touches)."""
-    return rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+def read_transcripts(path: str, num_blocks: int | None = None) -> Dataset:
+    """B1 — pruned transcript read (only the columns the KG build touches).
+
+    Block count IS the parallelism ceiling of every downstream map stage
+    (``batch_size`` only slices within a task), so the read is split to
+    ~4 blocks per CPU; a small corpus would otherwise collapse to a handful
+    of blocks and idle most of the tagger actor pool.
+    """
+    from ner_ray.utils import pool_size
+
+    if num_blocks is None:
+        num_blocks = pool_size()[1] * 4
+    return rd.read_parquet(
+        path, columns=["conv_id", "turn_idx", "text"], override_num_blocks=num_blocks
+    )
 
 
 def explode_mentions(batch: pa.Table) -> pa.Table:

@@ -39,7 +39,7 @@ from ner_ray.functions.bio import fold_bio, spans_to_bio
 from ner_ray.functions.viterbi import viterbi_decode_batch
 from ner_ray.schemas import LABEL2TAG
 from ner_ray.state.model import FrozenBiLSTM
-from ner_ray.utils import pool_size
+from ner_ray.utils import heavy_pool_size, pool_size
 
 _ASCII_WORD = re.compile(r"[A-Za-z0-9]")
 
@@ -425,6 +425,6 @@ def tag_transcripts(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else pool_size(),
+        concurrency=concurrency if concurrency is not None else heavy_pool_size(),
         num_cpus=num_cpus,
     )

@@ -43,3 +43,19 @@ def pool_size(min_actors: int = 1) -> tuple[int, int]:
     # it starts at 1 actor, but reserving the whole cluster as minimum would
     # starve concurrent pools in a fused pipeline.
     return (max(min_actors, cpus // 4), max(8, cpus))
+
+
+def heavy_pool_size() -> tuple[int, int]:
+    """Pool sizing for the single heaviest stage of a pipeline (the flagship
+    tagger): min = 3/4 of the cluster so the pool is already wide when work
+    arrives — the autoscaler's ramp otherwise eats most of the stage on
+    medium inputs — while the remaining 1/4 keeps reads and downstream ops
+    fed.  (A full-cluster fixed pool starves the upstream read: measured
+    hang.)"""
+    import ray
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    else:
+        cpus = 8
+    return (max(2, cpus * 3 // 4), max(8, cpus))
