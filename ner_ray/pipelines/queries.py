@@ -792,6 +792,75 @@ GROUP BY a.user_id
 """
 
 
+def q33_hopping_window(sf_dir: str) -> Dataset:
+    """Hopping window (period 30min, size 60min): each event counted in the
+    two windows covering it."""
+    from ner_ray.stages.relational import hopping_window
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    out = (
+        hopping_window(ds, "ts", period_minutes=30, size_periods=2)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return round_columns(out, ["sum_value"])
+
+
+SQL_Q33 = """
+WITH fanned AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value FROM events
+)
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM fanned GROUP BY window_start, event_type
+"""
+
+
+def q34_deterministic_sample(sf_dir: str) -> Dataset:
+    """Content-hash sampling: md5(doc_id) first byte < 0x20 (~12.5%),
+    reproducible across engines (the DuckDB twin computes the same md5)."""
+    from ner_ray.stages.relational import deterministic_sample
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    return deterministic_sample(ds, "doc_id", keep_hex_below="20")
+
+
+SQL_Q34 = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 32
+"""
+
+
+def q35_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Top-10 most frequent users in events via per-block SpaceSaving-style
+    partial counts (exact when cap >> k; oracle is the exact groupby)."""
+    from ner_ray.stages.relational import heavy_hitters
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    return heavy_hitters(ds, "user_id", k=10, per_block_cap=200)
+
+
+SQL_Q35 = """
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
+    """Graph analytics over the emitted KG: per-entity degrees."""
+    from ner_ray.stages.graph import degree_stats
+
+    return degree_stats(kg_triples(sf_dir))
+
+
+def kg_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the canonical entity graph (support-weighted)."""
+    from ner_ray.stages.graph import pagerank
+
+    return pagerank(kg_triples(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over deterministic synthetic transcripts (rows-only:
 # the transcripts table is not one of the driver's DuckDB views)
@@ -1009,6 +1078,11 @@ RAY_QUERIES = {
     "q30_asof_gap": q30_asof_gap,
     "q31_range_pairs": q31_range_pairs,
     "q32_ann_ivf": q32_ann_ivf,
+    "q33_hopping_window": q33_hopping_window,
+    "q34_deterministic_sample": q34_deterministic_sample,
+    "q35_heavy_hitters": q35_heavy_hitters,
+    "kg_degree_stats": kg_degree_stats,
+    "kg_pagerank": kg_pagerank,
     "kg_triples": kg_triples,
     "kg_mentions": kg_mentions,
     "kg_entities": kg_entities,
@@ -1051,4 +1125,7 @@ ORACLE_SQL = {
     "q29_top_orders_per_cust": SQL_Q29,
     "q30_asof_gap": SQL_Q30,
     "q31_range_pairs": SQL_Q31,
+    "q33_hopping_window": SQL_Q33,
+    "q34_deterministic_sample": SQL_Q34,
+    "q35_heavy_hitters": SQL_Q35,
 }

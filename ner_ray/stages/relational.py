@@ -224,6 +224,80 @@ def range_pair_counts(
     return ds.groupby(key_col).map_groups(sweep, batch_format="pandas")
 
 
+def hopping_window(
+    ds: Dataset,
+    ts_col: str,
+    period_minutes: int = 30,
+    size_periods: int = 2,
+    out_col: str = "window_start",
+) -> Dataset:
+    """Hopping (sliding) event-time window: period ``p``, size ``k*p`` — each
+    event replicates into the ``k`` windows covering it (flat map; no state).
+    DuckDB twin: UNION ALL of ``k`` shifted tumbling windows."""
+
+    def fan(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch[ts_col], multiple=period_minutes, unit="minute")
+        parts = []
+        for i in range(size_periods):
+            shifted = pc.subtract(
+                base, pa.scalar(i * period_minutes * 60_000_000, pa.duration("us"))
+            )
+            parts.append(batch.append_column(out_col, pc.cast(shifted, batch[ts_col].type)))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def deterministic_sample(
+    ds: Dataset, id_col: str, keep_hex_below: str = "20", salt: str = ""
+) -> Dataset:
+    """Deterministic content-hash sampling: keep rows whose ``md5(id||salt)``
+    first hex byte is below the threshold (fraction ≈ int(threshold,16)/256).
+    Unlike seeded RNG sampling this is reproducible across engines — the
+    DuckDB twin computes the identical md5."""
+    import hashlib
+
+    thresh = int(keep_hex_below, 16)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        mask = [
+            int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:2], 16) < thresh
+            for i in ids
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def heavy_hitters(
+    ds: Dataset, col: str, k: int = 10, per_block_cap: int = 200
+) -> pd.DataFrame:
+    """Approximate top-k frequent values (SpaceSaving-style): each block
+    keeps its ``per_block_cap`` most frequent values (Arrow hash count), the
+    driver merges partials and takes top-k.  Exact whenever every true
+    heavy hitter is within each block's cap — guaranteed here because
+    ``per_block_cap >> k`` (the standard mergeable-summary argument); the
+    shuffle payload is ``cap`` rows per block, never the value universe."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([col]).aggregate([(col, "count")])
+        g = g.sort_by([(f"{col}_count", "descending"), (col, "ascending")])
+        return g.slice(0, per_block_cap)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = (
+        parts.groupby(col, sort=False)[f"{col}_count"]
+        .sum()
+        .reset_index(name="n")
+        .sort_values(["n", col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def sessionize(
     ds: Dataset,
     key_col: str = "user_id",
