@@ -1,0 +1,112 @@
+"""JSONL transcript source: newline-delimited JSON -> the mandated
+transcripts schema (BASELINE.json input_hint).
+
+Transcript interchange commonly ships as JSONL (one turn or one conversation
+per line).  This source normalizes both layouts to the canonical
+``schemas.TRANSCRIPTS`` shape so every downstream stage is format-agnostic:
+
+- turn-per-line: ``{"conv_id", "turn_idx", "role", "text", "tool"?, "ts"?}``
+- conversation-per-line: ``{"conv_id", "turns": [{"role", "text", ...}, ...]}``
+  (turn_idx assigned by position)
+
+Missing ``tool`` -> ""; missing/epoch ``ts`` -> timestamp[us] (epoch seconds
+or micros accepted, heuristically: values < 10^12 are seconds).
+Distribution unit = file line blocks via ``ray.data.read_json`` (turn lines)
+or whole files (conversation lines — a conversation must not split).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+from ner_ray import schemas
+
+
+def _to_ts_us(v) -> int:
+    if v is None:
+        return 0
+    v = int(v)
+    return v * 1_000_000 if v < 1_000_000_000_000 else v
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    cols = {k: [] for k in schemas.TRANSCRIPTS.names}
+    for r in rows:
+        cols["conv_id"].append(str(r["conv_id"]))
+        cols["turn_idx"].append(int(r["turn_idx"]))
+        cols["role"].append(str(r.get("role", "")))
+        cols["text"].append(str(r.get("text", "")))
+        cols["tool"].append(str(r.get("tool") or ""))
+        cols["ts"].append(_to_ts_us(r.get("ts")))
+    return pa.table(
+        {
+            "conv_id": pa.array(cols["conv_id"], pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+            "role": pa.array(cols["role"], pa.string()),
+            "text": pa.array(cols["text"], pa.string()),
+            "tool": pa.array(cols["tool"], pa.string()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        },
+        schema=schemas.TRANSCRIPTS,
+    )
+
+
+def read_transcripts_jsonl(paths: str | list[str], layout: str = "turns") -> Dataset:
+    """Read JSONL transcripts into the canonical schema.
+
+    ``layout="turns"``: one turn object per line (line-splittable -> blocks).
+    ``layout="conversations"``: one conversation per line with a ``turns``
+    list; parsed per file so a conversation never splits mid-line-block.
+    """
+    if layout == "turns":
+        raw = rd.read_json(paths)
+
+        def norm(batch: pa.Table) -> pa.Table:
+            return _rows_to_table(batch.to_pylist())
+
+        return raw.map_batches(norm, batch_format="pyarrow")
+
+    if layout != "conversations":
+        raise ValueError(f"unknown layout {layout!r}")
+
+    import json
+
+    files = rd.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for data in batch["bytes"].to_pylist():
+            for line in data.decode("utf-8").splitlines():
+                if not line.strip():
+                    continue
+                conv = json.loads(line)
+                for i, t in enumerate(conv.get("turns", [])):
+                    rows.append(
+                        {
+                            "conv_id": conv["conv_id"],
+                            "turn_idx": t.get("turn_idx", i),
+                            **{k: t.get(k) for k in ("role", "text", "tool", "ts")},
+                        }
+                    )
+        return _rows_to_table(rows)
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def write_transcripts_jsonl(ds: Dataset, out_dir: str) -> list[str]:
+    """Sink: one JSONL shard (turn-per-line) per block."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, batch in enumerate(ds.iter_batches(batch_format="pyarrow")):
+        p = os.path.join(out_dir, f"part-{i:05d}.jsonl")
+        with open(p, "w", encoding="utf-8") as f:
+            for r in batch.to_pylist():
+                r["ts"] = int(r["ts"].timestamp() * 1e6) if r.get("ts") is not None else 0
+                f.write(json.dumps(r, ensure_ascii=False) + "\n")
+        paths.append(p)
+    return paths
