@@ -847,6 +847,35 @@ GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
 """
 
 
+def q36_native_join(sf_dir: str) -> Dataset:
+    """Ray Data's built-in distributed hash join (Dataset.join) — the
+    big-big join path when neither side broadcasts; here orders x customer
+    with a grouped rollup on the joined stream."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    out = grouped_agg_partial(
+        joined,
+        keys=["c_nationkey"],
+        sums={"revenue": "o_totalprice"},
+        count_col="n_orders",
+    )
+    out["revenue"] = out["revenue"].round(4)
+    out["c_nationkey"] = out["c_nationkey"].astype("int32")
+    return out
+
+
+SQL_Q36 = """
+SELECT c_nationkey, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -1081,6 +1110,7 @@ RAY_QUERIES = {
     "q33_hopping_window": q33_hopping_window,
     "q34_deterministic_sample": q34_deterministic_sample,
     "q35_heavy_hitters": q35_heavy_hitters,
+    "q36_native_join": q36_native_join,
     "kg_degree_stats": kg_degree_stats,
     "kg_pagerank": kg_pagerank,
     "kg_triples": kg_triples,
@@ -1128,4 +1158,5 @@ ORACLE_SQL = {
     "q33_hopping_window": SQL_Q33,
     "q34_deterministic_sample": SQL_Q34,
     "q35_heavy_hitters": SQL_Q35,
+    "q36_native_join": SQL_Q36,
 }
