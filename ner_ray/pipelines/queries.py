@@ -1042,7 +1042,10 @@ def kg_tagger_eval(sf_dir: str) -> pd.DataFrame:
     from ner_ray.pipelines.kg import read_transcripts
 
     tx = read_transcripts(transcripts_path_for(sf_dir))
-    gold = tag_transcripts(tx, tagger="rule", output="tags")
+    # materialize: releases the gold tagger's actor pool before the second
+    # tagger pool below spins up (two min-sized pools in one streaming graph
+    # would otherwise contend for the whole cluster)
+    gold = tag_transcripts(tx, tagger="rule", output="tags").materialize()
 
     def to_corpus(t: pa.Table) -> pa.Table:
         import zlib

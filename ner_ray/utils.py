@@ -47,15 +47,17 @@ def pool_size(min_actors: int = 1) -> tuple[int, int]:
 
 def heavy_pool_size() -> tuple[int, int]:
     """Pool sizing for the single heaviest stage of a pipeline (the flagship
-    tagger): min = 3/4 of the cluster so the pool is already wide when work
+    tagger): min = half the cluster so the pool is already wide when work
     arrives — the autoscaler's ramp otherwise eats most of the stage on
-    medium inputs — while the remaining 1/4 keeps reads and downstream ops
-    fed.  (A full-cluster fixed pool starves the upstream read: measured
-    hang.)"""
+    medium inputs.  Capped at 1/2 (not more) so a pipeline composing TWO
+    such pools (e.g. gold tagging -> re-tagging for evaluation) cannot
+    live-lock: pools claim their minimum actors eagerly, and minimums that
+    sum to the whole cluster starve the upstream read tasks (measured hang
+    at 3/4 + 1/4)."""
     import ray
 
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
     else:
         cpus = 8
-    return (max(2, cpus * 3 // 4), max(8, cpus))
+    return (max(2, cpus // 2), max(8, cpus))
