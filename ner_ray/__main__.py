@@ -1,0 +1,61 @@
+"""CLI entry point — the ``ray job submit`` launch path of the north rule:
+
+    ray job submit --working-dir . -- python -m ner_ray \
+        --input /data/transcripts --out /data/kg --tagger rule
+
+Runs the checkpointed, resumable KG build (``pipelines.kg.run_kg``) and
+prints the metrics JSON.  Owns a Ray session only when launched standalone
+(``ray job submit`` / terminal); inside an existing session it reuses it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ner_ray", description="Ray-Data-native KG construction")
+    ap.add_argument("--input", required=True, help="transcripts Parquet dir/file")
+    ap.add_argument("--out", required=True, help="output root (stage checkpoints + graph)")
+    ap.add_argument("--tagger", default="rule", choices=["rule", "bilstm", "bert"])
+    ap.add_argument("--window", type=int, default=3)
+    ap.add_argument("--chunk-turns", type=int, default=256)
+    ap.add_argument("--link-tau", type=float, default=0.6)
+    ap.add_argument("--graph-partitions", type=int, default=16)
+    ap.add_argument("--num-cpus", type=int, default=None, help="standalone ray.init size")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        init_kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if args.num_cpus:
+            init_kwargs["num_cpus"] = args.num_cpus
+        ray.init(**init_kwargs)
+
+    try:
+        from ner_ray.pipelines.kg import KGConfig, run_kg
+
+        metrics = run_kg(
+            args.input,
+            args.out,
+            KGConfig(
+                tagger=args.tagger,
+                window=args.window,
+                chunk_turns=args.chunk_turns,
+                link_tau=args.link_tau,
+                graph_partitions=args.graph_partitions,
+            ),
+        )
+        print(json.dumps(metrics))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -131,6 +131,27 @@ def md5_fingerprint(text: str) -> str:
     return hashlib.md5(normalize_for_fingerprint(text).encode()).hexdigest()
 
 
+def hash_embed(text: str, dim: int = 64) -> "np.ndarray":
+    """Deterministic feature-hashing document embedding: each token hashes to
+    a signed bucket (the hashing trick), L2-normalized.  A stand-in for a
+    trained text encoder with the same interface — near-identical texts get
+    near-identical vectors, so cosine similarity ranks near-duplicates."""
+    import numpy as np
+
+    v = np.zeros(dim, dtype=np.float32)
+    for tok in tokenize_ws(text):
+        h = _te_hash64(tok)
+        v[h % dim] += 1.0 if (h >> 62) & 1 else -1.0
+    n = float(np.linalg.norm(v))
+    return v / n if n else v
+
+
+def _te_hash64(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
 def rolling_hashes(text: str, k: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> list[int]:
     """Rabin-Karp rolling hashes of all k-grams (document fingerprinting /
     shingling primitive).  O(n) per document."""

@@ -876,6 +876,29 @@ GROUP BY c_nationkey
 """
 
 
+def q37_doc_embedding_near_dup(sf_dir: str) -> Dataset:
+    """Embedding-cosine near-dup over raw documents: feature-hash each doc to
+    a vector inside map_batches (encoder stand-in; swap for a model actor),
+    then all-pairs cosine >= threshold via the broadcast-matrix path
+    (rows-only: per-token hashing is not DuckDB-expressible)."""
+    from ner_ray.functions.texttools import hash_embed
+    from ner_ray.stages.ann import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def embed(t: pa.Table) -> pa.Table:
+        vecs = [hash_embed(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["doc_id"], pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+
+    emb = ds.map_batches(embed, batch_format="pyarrow")
+    return embedding_near_dup_pairs(emb, threshold=0.9)
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -1114,6 +1137,7 @@ RAY_QUERIES = {
     "q34_deterministic_sample": q34_deterministic_sample,
     "q35_heavy_hitters": q35_heavy_hitters,
     "q36_native_join": q36_native_join,
+    "q37_doc_embedding_near_dup": q37_doc_embedding_near_dup,
     "kg_degree_stats": kg_degree_stats,
     "kg_pagerank": kg_pagerank,
     "kg_triples": kg_triples,

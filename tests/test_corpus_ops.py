@@ -230,3 +230,24 @@ class TestOracleSubset:
             oracle = canon(con.execute(ORACLE_SQL[name]).df())
             ok, why = compare(mine, oracle)
             assert ok, f"{name}: {why}"
+
+
+class TestHashEmbed:
+    def test_near_identical_texts_high_cosine(self):
+        import numpy as np
+
+        from ner_ray.functions.texttools import hash_embed
+
+        a = hash_embed("the quick brown fox jumps over the lazy dog")
+        b = hash_embed("the quick brown fox jumps over the lazy dogs today")
+        c = hash_embed("completely different content about databases and shuffles")
+        assert float(a @ b) > 0.7
+        assert float(a @ c) < 0.5
+        assert np.isclose(np.linalg.norm(a), 1.0)
+
+    def test_deterministic(self):
+        import numpy as np
+
+        from ner_ray.functions.texttools import hash_embed
+
+        assert np.array_equal(hash_embed("abc def"), hash_embed("abc def"))
