@@ -833,12 +833,13 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 32
 
 
 def q35_heavy_hitters(sf_dir: str) -> pd.DataFrame:
-    """Top-10 most frequent users in events via per-block SpaceSaving-style
-    partial counts (exact when cap >> k; oracle is the exact groupby)."""
+    """Top-10 most frequent users in events via per-block partial counts
+    (exact combiner merge — matches the oracle's exact groupby regardless of
+    the user_id distribution)."""
     from ner_ray.stages.relational import heavy_hitters
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
-    return heavy_hitters(ds, "user_id", k=10, per_block_cap=200)
+    return heavy_hitters(ds, "user_id", k=10)
 
 
 SQL_Q35 = """

@@ -64,7 +64,11 @@ def parse_bio_text(text: str, start_id: int = 0) -> pa.Table:
 
 def read_bio_corpus(paths: str | list[str]) -> Dataset:
     """Distributed BIO corpus read: one task per file; sentence ids are made
-    globally unique by hashing the file path into the high bits."""
+    globally unique by packing a 39-bit path hash into the high bits of a
+    positive int64 (low 24 bits = per-file sentence counter).  39 bits keeps
+    the 50% birthday-collision bound at ~740k corpus files (the old 32-bit
+    hash collided at ~65k); a file exceeding 2^24 sentences raises instead of
+    silently overflowing into the next file's id range."""
     import hashlib
 
     files = rd.read_binary_files(paths, include_paths=True)
@@ -72,10 +76,19 @@ def read_bio_corpus(paths: str | list[str]) -> Dataset:
     def parse(batch: pa.Table) -> pa.Table:
         tables = []
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            h = int.from_bytes(
-                hashlib.blake2b(str(path).encode(), digest_size=4).digest(), "big"
+            h = (
+                int.from_bytes(
+                    hashlib.blake2b(str(path).encode(), digest_size=8).digest(), "big"
+                )
+                >> 25  # keep 39 bits so (h << 24) stays within positive int64
             )
-            tables.append(parse_bio_text(data.decode("utf-8"), start_id=h << 24))
+            t = parse_bio_text(data.decode("utf-8"), start_id=h << 24)
+            if t.num_rows >= 1 << 24:
+                raise ValueError(
+                    f"{path}: {t.num_rows} sentences overflows the 24-bit "
+                    "per-file id range; shard the file"
+                )
+            tables.append(t)
         return pa.concat_tables(tables) if tables else parse_bio_text("")
 
     return files.map_batches(parse, batch_format="pyarrow")

@@ -96,17 +96,33 @@ def read_transcripts_jsonl(paths: str | list[str], layout: str = "turns") -> Dat
 
 
 def write_transcripts_jsonl(ds: Dataset, out_dir: str) -> list[str]:
-    """Sink: one JSONL shard (turn-per-line) per block."""
+    """Parallel sink: each task writes its own JSONL shard (turn-per-line);
+    the driver only collects the (path, n_rows) manifest, never the data.
+
+    ``ts`` is serialized by casting the Arrow timestamp[us] column to int64
+    epoch micros — tz-independent (calling ``datetime.timestamp()`` on the
+    naive Python values would re-interpret them in the host's local zone and
+    shift every value on a non-UTC machine).
+    """
     import json
     import os
+    import uuid
 
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
-    for i, batch in enumerate(ds.iter_batches(batch_format="pyarrow")):
-        p = os.path.join(out_dir, f"part-{i:05d}.jsonl")
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_pylist()
+        rows = batch.drop_columns(["ts"]).to_pylist()
+        p = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
         with open(p, "w", encoding="utf-8") as f:
-            for r in batch.to_pylist():
-                r["ts"] = int(r["ts"].timestamp() * 1e6) if r.get("ts") is not None else 0
+            for r, t in zip(rows, ts_us):
+                r["ts"] = int(t) if t is not None else 0
                 f.write(json.dumps(r, ensure_ascii=False) + "\n")
-        paths.append(p)
-    return paths
+        return pa.table(
+            {"path": pa.array([p], pa.string()), "n_rows": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    manifest = ds.map_batches(write_shard, batch_format="pyarrow", batch_size=None).to_pandas()
+    return sorted(manifest["path"])

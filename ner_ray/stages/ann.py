@@ -8,9 +8,13 @@
   projections) shrink the candidate set; same-bucket (multi-probe) candidates
   are scored exactly.  Approximate: recall < 1 by design; tests measure
   recall vs brute force.
-- ``embedding_near_dup_pairs`` — all pairs with cosine >= threshold
-  (brute: batch x broadcast-matrix matmul; DuckDB twin is a self-join with
-  ``list_cosine_similarity``).
+- ``ivf_build_index`` / ``ivf_search_index`` — the 100 TB IVF layout: vectors
+  written ONCE as cell-partitioned Parquet, queries read ONLY probed cells.
+- ``embedding_near_dup_pairs`` — all pairs with cosine >= threshold.
+  ``method="block"`` (default, exact): chunk-pair tasks, each scoring one
+  chunk x chunk tile — the corpus never collects to the driver and no task
+  holds more than two chunks.  ``method="lsh"`` (approximate scale path):
+  hyperplane band buckets -> per-bucket exact cosine -> distributed dedup.
 """
 
 from __future__ import annotations
@@ -86,6 +90,12 @@ def ann_topk(
             )
 
     cand = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_size()).to_pandas()
+    return _topk_merge(cand, k, id_col)
+
+
+def _topk_merge(cand: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Driver merge of O(blocks * k) candidate rows -> final per-query top-k
+    with deterministic (score desc, id asc) tie-break."""
     rows = []
     for qi, grp in cand.groupby("query_idx"):
         top = heapq.nsmallest(k, grp.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col)))
@@ -154,14 +164,7 @@ def lsh_topk(
             )
 
     cand = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_size()).to_pandas()
-    rows = []
-    for qi, grp in cand.groupby("query_idx"):
-        top = heapq.nsmallest(k, grp.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col)))
-        for rank, r in enumerate(top):
-            rows.append(
-                {"query_idx": int(qi), id_col: getattr(r, id_col), "score": r.score, "rank": rank}
-            )
-    return pd.DataFrame(rows)
+    return _topk_merge(cand, k, id_col)
 
 
 def kmeans_lite(sample: np.ndarray, n_centroids: int, n_iter: int = 8, seed: int = 42) -> np.ndarray:
@@ -247,14 +250,130 @@ def ivf_topk(
             )
 
     cand = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_size()).to_pandas()
-    rows = []
-    for qi, grp in cand.groupby("query_idx"):
-        top = heapq.nsmallest(k, grp.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col)))
-        for rank, r in enumerate(top):
-            rows.append(
-                {"query_idx": int(qi), id_col: getattr(r, id_col), "score": r.score, "rank": rank}
+    return _topk_merge(cand, k, id_col)
+
+
+def ivf_build_index(
+    ds: Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    train_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Build the 100 TB IVF layout: assign every vector to its nearest coarse
+    centroid and write the corpus ONCE as cell-partitioned Parquet
+    (``index_dir/data/cell=<c>/``); centroids persist beside it.  Queries then
+    read only probed cell partitions (``ivf_search_index``) — the read path
+    prunes, it doesn't scan-and-skip."""
+    import json
+    import os
+
+    import ray
+
+    sample_tbl = ds.limit(train_size).map_batches(
+        lambda t: t.select([emb_col]), batch_format="pyarrow"
+    ).to_pandas()
+    sample = np.asarray(list(sample_tbl[emb_col]), dtype=np.float64)
+    cent = kmeans_lite(sample, n_centroids, seed=seed)
+    cref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, emb_col))
+            cells = np.argmax(m @ self.cent.T, axis=1).astype(np.int32)
+            # "cell" becomes the hive partition key (stripped from the data
+            # files); "cell_id" stays a data column so the pruned read does
+            # not depend on partition-column re-inference.
+            return batch.append_column("cell", pa.array(cells, pa.int32())).append_column(
+                "cell_id", pa.array(cells, pa.int32())
             )
-    return pd.DataFrame(rows)
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(Assign, batch_format="pyarrow", concurrency=pool_size()).write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["cell"]
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump(cent.tolist(), f)
+    return cent
+
+
+def ivf_search_index(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Search a cell-partitioned IVF index reading ONLY the probed cells'
+    Parquet partitions (union over all queries); per-query candidates are
+    additionally masked to that query's own probe set, so results are
+    identical to the in-pass ``ivf_topk`` with the same quantizer."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        cent = np.asarray(json.load(f), dtype=np.float64)
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # [Q, n_probe]
+    cells = sorted({int(c) for row in probe for c in row})
+    paths = []
+    for c in cells:
+        d = os.path.join(index_dir, "data", f"cell={c}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    if not paths:
+        return pd.DataFrame({"query_idx": [], id_col: [], "score": [], "rank": []})
+    probed = rd.read_parquet(paths)  # pruned read: unprobed cells never leave disk
+    qref, pref = ray.put(q), ray.put(probe)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.probe = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            cell = batch["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_batch_matrix(batch, emb_col))
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                mask = np.isin(cell, self.probe[qi])
+                if not mask.any():
+                    continue
+                sub = m[mask] @ self.q[qi]
+                sub_ids = ids[mask]
+                kk = min(k, len(sub_ids))
+                idx = np.argpartition(-sub, kk - 1)[:kk] if kk < len(sub_ids) else np.arange(len(sub_ids))
+                for i in idx:
+                    out_q.append(qi)
+                    out_id.append(int(sub_ids[i]))
+                    out_s.append(float(sub[i]))
+            return pa.table(
+                {
+                    "query_idx": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cand = probed.map_batches(Scorer, batch_format="pyarrow", concurrency=pool_size()).to_pandas()
+    return _topk_merge(cand, k, id_col)
+
+
+# Per-worker cache of normalized chunk matrices for the block-pair scorer
+# (keyed by chunk index; lives for the worker process lifetime).
+_CHUNK_CACHE: dict = {}
 
 
 def embedding_near_dup_pairs(
@@ -262,47 +381,176 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    method: str = "block",
+    target_chunk_rows: int = 4096,
+    n_planes: int = 12,
+    band_bits: int = 3,
+    max_bucket: int = 2000,
+    seed: int = 42,
 ) -> Dataset:
     """All (a < b) pairs with cosine >= threshold.
 
-    Brute: every batch matmuls against the broadcast full matrix and emits
-    only its rows' qualifying pairs (each pair found once via a<b filter).
-    DuckDB twin: self-join with list_cosine_similarity.  For corpora where
-    the full matrix exceeds the object store, use LSH bucketing instead
-    (``lsh_topk``-style) — documented approximation.
+    ``method="block"`` (default, EXACT): the corpus is chunked once
+    (``materialize`` + object-store block refs) and one task per chunk pair
+    (i <= j) scores a chunk x chunk tile.  The full matrix is never collected
+    to the driver and never broadcast whole — each task holds exactly two
+    chunks (O(chunk^2) memory), compute is O(N^2 / n_pairs) per task and
+    spreads over the cluster.  Exact all-pairs is inherently quadratic in
+    compute; when that is too costly, use:
+
+    ``method="lsh"`` (approximate scale path): hyperplane band buckets ->
+    per-bucket exact cosine (bucket size capped + LOGGED) -> distributed pair
+    dedup.  Recall < 1 by design (tests measure recall vs the exact path);
+    linear shuffle volume, no quadratic global step.
     """
+    if method == "lsh":
+        return _near_dup_pairs_lsh(
+            ds, threshold, id_col, emb_col, n_planes, band_bits, max_bucket, seed
+        )
+    if method != "block":
+        raise ValueError(f"unknown method {method!r}")
     import ray
+    import ray.data as rd
 
-    full = ds.map_batches(
+    mat = ds.map_batches(
         lambda t: t.select([id_col, emb_col]), batch_format="pyarrow"
-    ).to_pandas()
-    all_ids = full[id_col].to_numpy()
-    mat = _normalize(np.asarray(list(full[emb_col]), dtype=np.float64))
-    ref = ray.put((all_ids, mat))
+    ).materialize()
+    n_rows = mat.count()
+    n_chunks = max(1, -(-n_rows // target_chunk_rows))
+    if mat.num_blocks() != n_chunks:
+        mat = mat.repartition(n_chunks).materialize()
+    refs = mat.to_arrow_refs()
+    pair_rows = [
+        {"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))
+    ]
 
-    class Pairs:
-        def __init__(self):
-            self.all_ids, self.mat = ray.get(ref)
+    def fetch(idx: int) -> tuple[np.ndarray, np.ndarray]:
+        key = ("nd", refs[idx].hex(), id_col)
+        hit = _CHUNK_CACHE.get(key)
+        if hit is None:
+            t = ray.get(refs[idx])
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_batch_matrix(t, emb_col))
+            hit = (ids, m)
+            _CHUNK_CACHE[key] = hit
+        return hit
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            m = _normalize(_batch_matrix(batch, emb_col))
-            scores = m @ self.mat.T
-            src, dst, val = [], [], []
-            for r in range(len(ids)):
-                hit = np.where(scores[r] >= threshold)[0]
-                for j in hit:
-                    a, b = int(ids[r]), int(self.all_ids[j])
-                    if a < b:
-                        src.append(a)
-                        dst.append(b)
-                        val.append(float(scores[r, j]))
-            return pa.table(
-                {
-                    "vec_id_a": pa.array(src, pa.int64()),
-                    "vec_id_b": pa.array(dst, pa.int64()),
-                    "score": pa.array(val, pa.float64()),
-                }
+    def score_tile(batch: pa.Table) -> pa.Table:
+        src, dst, val = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_a, m_a = fetch(i)
+            ids_b, m_b = fetch(j)
+            scores = m_a @ m_b.T
+            mask = scores >= threshold
+            if i == j:
+                mask &= np.tri(len(ids_a), k=-1, dtype=bool).T  # strict upper
+            rr, cc = np.nonzero(mask)
+            if len(rr) == 0:
+                continue
+            a_ids, b_ids, sv = ids_a[rr], ids_b[cc], scores[rr, cc]
+            same = a_ids == b_ids
+            a_ids, b_ids, sv = a_ids[~same], b_ids[~same], sv[~same]
+            lo = np.minimum(a_ids, b_ids)
+            hi = np.maximum(a_ids, b_ids)
+            src.extend(lo.tolist())
+            dst.extend(hi.tolist())
+            val.extend(sv.tolist())
+        return pa.table(
+            {
+                "vec_id_a": pa.array(src, pa.int64()),
+                "vec_id_b": pa.array(dst, pa.int64()),
+                "score": pa.array(val, pa.float64()),
+            }
+        )
+
+    tiles = rd.from_items(pair_rows)
+    return tiles.map_batches(score_tile, batch_format="pyarrow", batch_size=1)
+
+
+def _near_dup_pairs_lsh(
+    ds: Dataset,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    n_planes: int,
+    band_bits: int,
+    max_bucket: int,
+    seed: int,
+) -> Dataset:
+    """Banded hyperplane-LSH near-dup pairs (the approximate linear-shuffle
+    path): sketch per batch -> (band, key) bucket groupby -> per-bucket exact
+    cosine -> distributed groupby dedup of surviving pairs."""
+    n_bands = max(1, n_planes // band_bits)
+
+    # planes are built lazily per worker from the seed (no driver-side dim probe)
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        planes = _CHUNK_CACHE.get(("planes", seed, n_planes, m.shape[1]))
+        if planes is None:
+            planes = np.random.default_rng(seed).standard_normal((m.shape[1], n_planes))
+            _CHUNK_CACHE[("planes", seed, n_planes, m.shape[1])] = planes
+        bits = (m @ planes > 0).astype(np.uint64)  # [N, P]
+        out_id, out_band, out_key, out_emb = [], [], [], []
+        emb = batch[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        for b in range(n_bands):
+            seg = bits[:, b * band_bits : (b + 1) * band_bits]
+            key = (seg * (1 << np.arange(seg.shape[1], dtype=np.uint64))).sum(axis=1)
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_key.append(key.astype(np.int64))
+            out_emb.append(emb)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "key": pa.array(np.concatenate(out_key), pa.int64()),
+                emb_col: pa.concat_arrays([e for e in out_emb]),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        if group.num_rows > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "near_dup_pairs_lsh: bucket truncated %d -> %d rows (recall loss)",
+                group.num_rows,
+                max_bucket,
             )
+            group = group.sort_by([(id_col, "ascending")]).slice(0, max_bucket)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(_batch_matrix(group, emb_col))[order]
+        scores = m @ m.T
+        rr, cc = np.triu_indices(len(ids), k=1)
+        s = scores[rr, cc]
+        hit = (s >= threshold) & (ids[rr] != ids[cc])
+        if not hit.any():
+            return empty
+        return pa.table(
+            {
+                "vec_id_a": pa.array(ids[rr[hit]], pa.int64()),
+                "vec_id_b": pa.array(ids[cc[hit]], pa.int64()),
+                "score": pa.array(s[hit], pa.float64()),
+            }
+        )
 
-    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=pool_size())
+    sketch = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    pairs = sketch.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # distributed dedup: the same pair surfaces in up to n_bands buckets
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["vec_id_a", "vec_id_b"]).aggregate(Max("score", alias_name="score"))

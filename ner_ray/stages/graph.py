@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 
@@ -45,6 +46,137 @@ def degree_stats(triples: Dataset) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def edge_weights_ds(triples: Dataset) -> Dataset:
+    """Distinct (subj, obj) edges with support weight, fully distributed:
+    per-block Arrow combiner then a single ``groupby([subj,obj]).sum`` —
+    the shuffle payload is per-block-distinct edges, never raw triples."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if "n_support" in batch.column_names:
+            g = batch.group_by(["subj", "obj"]).aggregate([("n_support", "sum")])
+            return g.rename_columns(["subj", "obj", "w"])
+        g = batch.group_by(["subj", "obj"]).aggregate([("subj", "count")])
+        return g.rename_columns(["subj", "obj", "w"])
+
+    parts = triples.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(["subj", "obj"]).aggregate(Sum("w", alias_name="w"))
+
+
+def pagerank_distributed(
+    edges: Dataset, damping: float = 0.85, n_iter: int = 30
+) -> Dataset:
+    """Sharded-matvec PageRank: ranks and edges stay Datasets end to end.
+
+    Each round = one hash-join of ranks onto edges by source node, a
+    per-block partial-product combiner, and one ``groupby(dst).sum`` shuffle
+    (+ a scalar dangling-mass aggregate).  No step materializes the graph on
+    the driver; memory per round is O(nodes) spread over the cluster.
+
+    ``edges`` must have columns (subj, obj, w).  Returns a Dataset
+    (node, rank), ranks rounded to 10 digits — write it out or sort/limit it;
+    collecting it is the caller's choice.
+    """
+    from ray.data.aggregate import Sum
+
+    from ner_ray.stages.joins import hash_join
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["subj"].combine_chunks(), t["obj"].combine_chunks()]
+                )
+            }
+        )
+
+    nodes = (
+        edges.map_batches(ends, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .materialize()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda t: pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())}),
+            batch_format="pyarrow",
+        )
+
+    out_w = edges.groupby("subj").aggregate(Sum("w", alias_name="out_w"))
+    nedges = hash_join(edges, out_w, on="subj", how="inner").map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["subj"],
+                "dst": t["obj"],
+                "norm_w": pc.divide(
+                    pc.cast(t["w"], pa.float64()), pc.cast(t["out_w"], pa.float64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("rank", pa.array([1.0 / n] * t.num_rows, pa.float64())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_iter):
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "rank" not in t.column_names:
+                return pa.table(
+                    {"node": pa.array([], pa.string()), "c": pa.array([], pa.float64())}
+                )
+            prod = pc.multiply(t["rank"], t["norm_w"])
+            g = (
+                t.append_column("c", prod)
+                .select(["dst", "c"])
+                .group_by(["dst"])
+                .aggregate([("c", "sum")])
+            )
+            return g.rename_columns(["node", "c"])
+
+        ranks_src = ranks.map_batches(
+            lambda t: pa.table({"src": t["node"], "rank": t["rank"]}),
+            batch_format="pyarrow",
+        )
+        contribs = (
+            hash_join(nedges, ranks_src, on="src", how="inner")
+            .map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+            .materialize()
+        )
+        # Rank mass is conserved (sum r = 1 every round) and each source's
+        # norm weights sum to 1, so sum(contribs) = rank mass of nodes WITH
+        # outgoing edges; the dangling mass is the complement — no extra
+        # dangling-set join per round.
+        d_mass = max(0.0, 1.0 - float(contribs.sum("c") or 0.0))
+        base = (1.0 - damping) / n + damping * (d_mass / n)
+
+        def update(t: pa.Table) -> pa.Table:
+            if "c" not in t.column_names:
+                return pa.table({"node": t["node"], "rank": pa.array([base] * t.num_rows)})
+            c = pc.fill_null(pc.cast(t["c"], pa.float64()), 0.0)
+            return pa.table(
+                {"node": t["node"], "rank": pc.add(base, pc.multiply(damping, c))}
+            )
+
+        ranks = (
+            hash_join(nodes, contribs, on="node", how="left")
+            .map_batches(update, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank": pc.round(t["rank"], ndigits=10)}),
+        batch_format="pyarrow",
+    )
+
+
 def pagerank(
     triples: Dataset,
     damping: float = 0.85,
@@ -55,14 +187,17 @@ def pagerank(
     """PageRank over the canonical entity graph (weighted by edge support).
 
     Deterministic: fixed iteration count / tolerance, sorted node order.
-    Returns (node, rank) sorted by rank desc then node.
+    Returns (node, rank) sorted by rank desc then node.  Hybrid plan (same
+    rationale as canonicalize): below ``driver_threshold`` distinct edges the
+    power iteration is a driver-side numpy matvec; above it the computation
+    stays fully distributed (``pagerank_distributed``) and the sorted result
+    streams back — tested identical on seeded graphs.
     """
-    e = edge_weights(triples)
-    if len(e) > driver_threshold:  # pragma: no cover - sandbox corpora are small
-        raise NotImplementedError(
-            "edge set exceeds driver threshold; shard the matvec by source "
-            "range (each round = map_batches partial products -> groupby-sum)"
-        )
+    edges_ds = edge_weights_ds(triples).materialize()
+    if edges_ds.count() > driver_threshold:
+        ranks = pagerank_distributed(edges_ds, damping=damping, n_iter=n_iter)
+        return ranks.sort(["rank", "node"], descending=[True, False]).to_pandas()
+    e = edges_ds.to_pandas()
     nodes = sorted(set(e["subj"]) | set(e["obj"]))
     idx = {n: i for i, n in enumerate(nodes)}
     n = len(nodes)

@@ -110,9 +110,16 @@ def link_mentions(
     alias_ref=None,
     tau: float = 0.6,
     batch_size: int = 4096,
-    concurrency=pool_size(),
+    concurrency=None,
 ) -> Dataset:
-    """Run B5 as an actor-pool map_batches stage over a mentions dataset."""
+    """Run B5 as an actor-pool map_batches stage over a mentions dataset.
+
+    ``concurrency`` resolves via ``pool_size()`` at CALL time (a default
+    evaluated at import time would read the pre-``ray.init`` CPU fallback and
+    permanently cap the pool at 8 actors on wide clusters).
+    """
+    if concurrency is None:
+        concurrency = pool_size()
     return mentions.map_batches(
         LinkerActor,
         fn_constructor_kwargs={"alias_ref": alias_ref, "tau": tau},

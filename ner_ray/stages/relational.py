@@ -118,10 +118,16 @@ def grouped_agg_partial(
     aggs += [(c, "min") for c in mins.values()]
     aggs += [(c, "max") for c in maxs.values()]
     if count_col:
-        probe = next(iter(sums.values()), keys[0])
-        aggs.append((probe, "count"))
+        # COUNT(*) via an explicit constant-1 column: Arrow's per-column
+        # "count" skips nulls, which diverges from the SQL twin whenever a
+        # summed column contains nulls.
+        aggs.append(("_one", "sum"))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if count_col:
+            batch = batch.append_column(
+                "_one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+            )
         return batch.group_by(keys).aggregate(aggs)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
@@ -134,9 +140,30 @@ def grouped_agg_partial(
     for name, c in maxs.items():
         out[name] = gb[f"{c}_max"].max()
     if count_col:
-        probe = next(iter(sums.values()), keys[0])
-        out[count_col] = gb[f"{probe}_count"].sum()
+        out[count_col] = gb["_one_sum"].sum().astype("int64")
     return out.reset_index()
+
+
+def _block_topn(
+    batch: pa.Table, key_col: str, order_col: str, n: int, tiebreak_col: str
+) -> pa.Table:
+    """Per-block per-key top-N in Arrow (the shuffle pre-combiner of
+    ``top_n_per_group``): sort the block, then keep the first N rows of each
+    contiguous key run via a vectorized run-position mask."""
+    if batch.num_rows <= n:
+        return batch
+    t = batch.sort_by(
+        [(key_col, "ascending"), (order_col, "descending"), (tiebreak_col, "ascending")]
+    )
+    key = t[key_col]
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    codes = pc.dictionary_encode(key).indices.to_numpy(zero_copy_only=False)
+    change = np.r_[True, codes[1:] != codes[:-1]]
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    pos_in_run = np.arange(len(codes)) - starts[run_id]
+    return t.filter(pa.array(pos_in_run < n))
 
 
 def top_n_per_group(
@@ -150,10 +177,15 @@ def top_n_per_group(
     """Per-group top-N with a deterministic rank (DuckDB twin:
     ``row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie)``).
 
-    Scale note: the groupby hash-shuffles once on ``key_col``; a pre-combiner
-    (per-batch per-key heap of size N inside ``map_batches`` before the
-    shuffle) bounds shuffle payload to N rows/key/block when groups are huge.
-    """
+    Scale shape: a per-block Arrow PRE-COMBINER keeps only the top-N rows per
+    key per block before the hash shuffle, so the groupby moves at most
+    ``N * blocks`` rows per key — a skewed hot key lands a bounded group on
+    its reducer instead of the whole raw group.  The final per-group head is
+    exact because the true top-N of a group is contained in the union of its
+    per-block top-Ns (min/max distributivity)."""
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        return _block_topn(batch, key_col, order_col, n, tiebreak_col)
 
     def head(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -162,7 +194,8 @@ def top_n_per_group(
         g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return ds.groupby(key_col).map_groups(head, batch_format="pandas")
+    pre = ds.map_batches(precombine, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby(key_col).map_groups(head, batch_format="pandas")
 
 
 def asof_gap_join(
@@ -271,31 +304,46 @@ def deterministic_sample(
 
 
 def heavy_hitters(
-    ds: Dataset, col: str, k: int = 10, per_block_cap: int = 200
+    ds: Dataset, col: str, k: int = 10, per_block_cap: int | None = None
 ) -> pd.DataFrame:
-    """Approximate top-k frequent values (SpaceSaving-style): each block
-    keeps its ``per_block_cap`` most frequent values (Arrow hash count), the
-    driver merges partials and takes top-k.  Exact whenever every true
-    heavy hitter is within each block's cap — guaranteed here because
-    ``per_block_cap >> k`` (the standard mergeable-summary argument); the
-    shuffle payload is ``cap`` rows per block, never the value universe."""
+    """Top-k frequent values via the combiner pattern.
+
+    Exact by default: each block emits one (value, count) partial per
+    DISTINCT value (Arrow hash count — the shuffle payload is the per-block
+    distinct set, never raw rows), the partials merge through a distributed
+    ``groupby(col).sum`` and the tiny aggregated result sorts/limits.
+
+    ``per_block_cap`` switches to the capped SpaceSaving-style approximation
+    for genuinely unbounded value universes; truncation is LOGGED per block
+    and values outside every block's cap can be undercounted — don't pair the
+    capped mode with an exact oracle."""
+    from ray.data.aggregate import Sum as _Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by([col]).aggregate([(col, "count")])
-        g = g.sort_by([(f"{col}_count", "descending"), (col, "ascending")])
-        return g.slice(0, per_block_cap)
+        if per_block_cap is not None and g.num_rows > per_block_cap:
+            import logging
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    out = (
-        parts.groupby(col, sort=False)[f"{col}_count"]
-        .sum()
-        .reset_index(name="n")
-        .sort_values(["n", col], ascending=[False, True], kind="mergesort")
-        .head(k)
-        .reset_index(drop=True)
+            logging.getLogger(__name__).warning(
+                "heavy_hitters: block truncated %d -> %d distinct values "
+                "(approximate mode; counts may be lower bounds)",
+                g.num_rows,
+                per_block_cap,
+            )
+            g = g.sort_by([(f"{col}_count", "descending"), (col, "ascending")])
+            g = g.slice(0, per_block_cap)
+        return g
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .aggregate(_Sum(f"{col}_count", alias_name="n"))
+        .sort(["n", col], descending=[True, False])
+        .limit(k)
+        .to_pandas()
     )
-    out["n"] = out["n"].astype("int64")
-    return out
+    merged["n"] = merged["n"].astype("int64")
+    return merged[[col, "n"]]
 
 
 def sessionize(

@@ -137,8 +137,6 @@ def minhash_near_dup(
     runs against a sig lookup bounded by the candidate set, which LSH keeps
     tiny relative to the corpus.
     """
-    import ray
-
     sketch = ds.map_batches(
         _MinHashSketcher,
         fn_constructor_kwargs=dict(
@@ -169,7 +167,14 @@ def minhash_near_dup(
         n = group.num_rows
         if n < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        if n > max_bucket:  # cap degenerate buckets (documented, deterministic)
+        if n > max_bucket:  # cap degenerate buckets (deterministic + LOGGED)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_near_dup: bucket truncated %d -> %d docs (recall loss)",
+                n,
+                max_bucket,
+            )
             group = group.sort_by([("doc_id", "ascending")]).slice(0, max_bucket)
             n = max_bucket
         ids = sorted(set(group["doc_id"].to_pylist()))
@@ -180,47 +185,51 @@ def minhash_near_dup(
                 b.append(ids[j])
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
+    # Distributed pair-dedup: the same candidate pair surfaces in up to
+    # ``bands`` buckets; one groupby collapses it without driver collection.
     cand = (
         band_rows.groupby(["band", "key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
     )
 
-    # Verify candidates against their signatures (bounded by candidate count).
-    if len(cand):
-        wanted = pa.array(sorted(set(cand["a"]) | set(cand["b"])), pa.int64())
-        vref = ray.put(wanted)
+    # Distributed verify: join each side's signature onto the pair stream
+    # (hash_join), compare signature agreement inside map_batches.  No
+    # ``.to_pandas()`` between the band explode and the final group output —
+    # at 100 TB the candidate set is not driver-sized.
+    from ner_ray.stages.joins import hash_join
 
-        class Filt:
-            def __init__(self):
-                self.keys = ray.get(vref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                return t.select(["doc_id", "sig"]).filter(
-                    pc.is_in(t["doc_id"], value_set=self.keys)
-                )
-
-        sig_rows = sketch.map_batches(Filt, batch_format="pyarrow", concurrency=pool_size()).to_pandas()
-        sig_map = {
-            int(i): np.frombuffer(s, dtype=np.uint32)
-            for i, s in zip(sig_rows["doc_id"], sig_rows["sig"])
-        }
-        ok = [
-            float(np.mean(sig_map[int(x)] == sig_map[int(y)])) >= threshold
-            for x, y in zip(cand["a"], cand["b"])
-        ]
-        cand = cand[np.asarray(ok, dtype=bool)] if len(ok) else cand
-    edges_pdf = pd.DataFrame(
-        {"src": [f"d{x}" for x in cand["a"]], "dst": [f"d{y}" for y in cand["b"]]}
+    sig_a = sketch.map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "sig_a": t["sig"]}), batch_format="pyarrow"
     )
-    import ray.data as rd
-
-    edges = rd.from_pandas(edges_pdf) if len(edges_pdf) else rd.from_arrow(
-        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    sig_b = sketch.map_batches(
+        lambda t: pa.table({"b": t["doc_id"], "sig_b": t["sig"]}), batch_format="pyarrow"
     )
+    paired = hash_join(hash_join(cand, sig_a, on="a"), sig_b, on="b")
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+        if t.num_rows == 0 or "sig_a" not in t.column_names:
+            return empty
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        keep_a, keep_b = [], []
+        for x, y, sa, sb in zip(a, b, t["sig_a"].to_pylist(), t["sig_b"].to_pylist()):
+            if sa is None or sb is None:
+                continue
+            agree = float(
+                np.mean(np.frombuffer(sa, dtype=np.uint32) == np.frombuffer(sb, dtype=np.uint32))
+            )
+            if agree >= threshold:
+                keep_a.append(f"d{x}")
+                keep_b.append(f"d{y}")
+        return pa.table(
+            {"src": pa.array(keep_a, pa.string()), "dst": pa.array(keep_b, pa.string())}
+        )
+
+    edges = paired.map_batches(verify, batch_format="pyarrow")
     return _groups_from_edges(ds, edges, id_col)
 
 
@@ -266,6 +275,13 @@ def simhash_near_dup(
         if n < 2:
             return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
         if n > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_near_dup: bucket truncated %d -> %d docs (recall loss)",
+                n,
+                max_bucket,
+            )
             group = group.sort_by([("doc_id", "ascending")]).slice(0, max_bucket)
             n = max_bucket
         ids = group["doc_id"].to_pylist()
