@@ -34,6 +34,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ner_ray.pipelines.queries import ORACLE_SQL
+    from ner_ray.pipelines.queries import oracle_sql_catalog
 
-    return dict(ORACLE_SQL)
+    return oracle_sql_catalog()

@@ -594,7 +594,38 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 # ---------------------------------------------------------------------------
 
 
+SQL_Q21 = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]', '', 'g')) AS n_cjk,
+         length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         length(text) AS n_raw,
+         greatest(1, length(text) - n_space) AS total,
+         n_cjk, n_alpha, len(toks) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','for','on','with','as','at','by','this','that','be','are','was','or','not'))) AS DOUBLE) / len(toks) END AS stop_ratio
+  FROM f
+)
+SELECT doc_id,
+       CASE WHEN n_raw = 0 THEN 'unk'
+            WHEN CAST(n_cjk AS DOUBLE) / total >= 0.25 THEN 'zh'
+            WHEN n_tokens = 0 THEN 'unk'
+            WHEN stop_ratio >= 0.08 OR CAST(n_alpha AS DOUBLE) / total >= 0.6 THEN 'en'
+            ELSE 'unk' END AS pred_lang
+FROM g
+"""
+
+
 def q21_lang_id(sf_dir: str) -> Dataset:
+    """Heuristic language-ID (SQL twin mirrors the pinned char-class +
+    stopword-ratio heuristic; Latin letter class — the fixture corpus is
+    ASCII + CJK, matching Python ``str.isalpha`` on it)."""
     from ner_ray.functions.texttools import lang_id
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -624,7 +655,38 @@ def q23_simhash_near_dup(sf_dir: str) -> Dataset:
     return simhash_near_dup(ds, max_hamming=3)
 
 
+SQL_Q24 = r"""
+WITH f AS (
+  SELECT doc_id,
+         greatest(length(text), 1) AS n,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+  FROM documents
+), g AS (
+  SELECT doc_id, n, n_digit, n_punct,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE) / len(toks) END AS mean_tok,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_distinct(list_transform(toks, t -> lower(t)))) AS DOUBLE) / len(toks) END AS uniq_ratio
+  FROM f
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN n_tokens < 5 THEN 0.3 ELSE 1.0 END)
+       * (CASE WHEN mean_tok < 2 OR mean_tok > 12 THEN 0.5 ELSE 1.0 END)
+       * (1.0 - least(1.0, 2.0 * n_digit / n))
+       * (1.0 - least(1.0, 2.0 * n_punct / n))
+       * (CASE WHEN uniq_ratio < 0.2 THEN 0.5 ELSE 1.0 END), 6) AS quality
+FROM g
+"""
+
+
 def q24_quality_scores(sf_dir: str) -> Dataset:
+    """Quality scoring (SQL twin pins the exact feature formula: token count,
+    mean token length, digit/punct ratios, unique-token ratio)."""
     from ner_ray.functions.texttools import quality_score
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1178,6 +1240,8 @@ ORACLE_SQL = {
     "q18_ann_topk": SQL_Q18,
     "q19_embedding_pairs": SQL_Q19,
     "q20_events_json": SQL_Q20,
+    "q21_lang_id": SQL_Q21,
+    "q24_quality_scores": SQL_Q24,
     "q27_semi_join": SQL_Q27,
     "q28_anti_join": SQL_Q28,
     "q29_top_orders_per_cust": SQL_Q29,
@@ -1188,3 +1252,22 @@ ORACLE_SQL = {
     "q35_heavy_hitters": SQL_Q35,
     "q36_native_join": SQL_Q36,
 }
+
+
+def oracle_sql_catalog() -> dict[str, str]:
+    """Static twins plus twins whose SQL embeds a generated-fixture path.
+
+    ``kg_order_restore`` is oracle-checkable once DuckDB can see the same
+    synthetic transcripts the Ray query reads: the fixture is ensured HERE
+    (idempotent, cached) so the oracle works regardless of whether the driver
+    runs SQL before or after the Ray side.  The twin is a plain SELECT — the
+    driver's comparator sorts rows, so it exactly pins the per-turn text
+    equality invariant of the order-restore stage (BASELINE.json input_hint).
+    """
+    sql = dict(ORACLE_SQL)
+    path = transcripts_path_for("/root/testdata/sf0.01")
+    sql["kg_order_restore"] = (
+        "SELECT conv_id, turn_idx, role, text, tool, ts "
+        f"FROM read_parquet('{path}/*.parquet')"
+    )
+    return sql
