@@ -42,6 +42,27 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def read_parquet_clean(path, columns=None, **kwargs) -> Dataset:
+    """``read_parquet`` with the file-embedded pandas schema metadata
+    stripped at the SOURCE (an explicit cleaned ``schema=``).
+
+    Parquet written by pandas carries a ``b'pandas'`` schema-metadata dict;
+    ``pa.Schema.__hash__`` raises on it, so the read operator and every
+    downstream shuffle log 'Failed to hash the schemas (for deduplication)'
+    and lose Ray's schema-dedup fast path.  Supplying the stripped schema
+    fixes it with no extra pipeline stage."""
+    import pyarrow.parquet as pq
+
+    p = path if isinstance(path, str) else path[0]
+    if os.path.isdir(p):
+        p = next(
+            os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+        )
+    full = pq.read_schema(p).remove_metadata()
+    sch = pa.schema([full.field(c) for c in columns]) if columns is not None else full
+    return rd.read_parquet(path, columns=columns, schema=sch, **kwargs)
+
+
 def _read_small(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
@@ -55,7 +76,7 @@ def _read_small(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
 
 def q01_pricing_summary(sf_dir: str) -> Dataset:
     """TPC-H Q1-style grouped aggregate with filter pushdown at the read."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -104,7 +125,7 @@ GROUP BY l_returnflag, l_linestatus
 
 def q02_filter_project(sf_dir: str) -> Dataset:
     """Vectorized filter + computed projection (no shuffle at all)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -141,7 +162,7 @@ def q03_revenue_by_nation(sf_dir: str) -> Dataset:
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
         ["c_custkey", "n_name"]
     ]
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(
         orders, dim.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
     )
@@ -168,7 +189,7 @@ GROUP BY n_name
 def q04_top_orders(sf_dir: str) -> Dataset:
     """Global sort + top-k with deterministic tie-break."""
     return (
-        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+        read_parquet_clean(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(10)
     )
@@ -182,7 +203,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 def q05_filtered_revenue(sf_dir: str) -> Dataset:
     """TPC-H Q6-style single-row aggregate."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "lineitem"),
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
     )
@@ -230,7 +251,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 def q06_orders_by_month(sf_dir: str) -> Dataset:
     """Calendar tumbling window (month) grouped aggregate."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_orderstatus", "o_orderdate", "o_totalprice"]
     )
     ds = tumbling_window(ds, "o_orderdate", "month", out_col="order_month")
@@ -249,7 +270,7 @@ FROM orders GROUP BY 1, 2
 
 def q07_events_tumbling(sf_dir: str) -> Dataset:
     """Event-time tumbling hour windows per event type."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
     ds = tumbling_window(ds, "ts", "hour")
     out = ds.groupby(["event_type", "window_start"]).aggregate(
         Count(alias_name="n_events"),
@@ -269,7 +290,7 @@ FROM events GROUP BY 1, 2
 
 def q08_sessionize(sf_dir: str) -> Dataset:
     """Session windows (gap > 30 min) per user — groupby + ordered map_groups."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
     return sessionize(ds, gap_seconds=1800)
 
 
@@ -293,7 +314,7 @@ FROM sessions GROUP BY user_id, sess
 
 def q09_mktsegment_stats(sf_dir: str) -> Dataset:
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(
         orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
     )
@@ -328,7 +349,7 @@ def q10_brand_volume(sf_dir: str) -> Dataset:
     """Two broadcast joins (part, supplier) + filter + grouped aggregate."""
     part = _read_small(sf_dir, "part", ["p_partkey", "p_brand"])
     supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_quantity"])
+    li = read_parquet_clean(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey", "l_quantity"])
     j = broadcast_join(li, part.rename(columns={"p_partkey": "l_partkey"}), on="l_partkey")
     j = broadcast_join(j, supp.rename(columns={"s_suppkey": "l_suppkey"}), on="l_suppkey")
 
@@ -357,7 +378,7 @@ GROUP BY p_brand
 
 
 def q11_distinct_counts(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "source"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "lang", "source"])
     n_docs = ds.count()
     n_langs = len(ds.unique("lang"))
     n_sources = len(ds.unique("source"))
@@ -374,7 +395,7 @@ FROM documents
 
 
 def q12_top_users(sf_dir: str) -> Dataset:
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "value"])
     out = ds.groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
     return round_columns(out, ["total_value"]).sort(
         ["total_value", "user_id"], descending=[True, False]
@@ -390,7 +411,7 @@ ORDER BY total_value DESC, user_id LIMIT 5
 
 def q20_events_json(sf_dir: str) -> Dataset:
     """JSON-ish scalar extraction (regex) + grouped aggregate."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "props"])
 
     def fn(t: pa.Table) -> pa.Table:
         ext = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>\d+)')
@@ -419,7 +440,7 @@ FROM events GROUP BY event_type
 def q13_dedup_exact(sf_dir: str) -> Dataset:
     from ner_ray.stages.text_dedup import exact_dedup
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return exact_dedup(ds)
 
 
@@ -433,7 +454,7 @@ GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
 def q14_fingerprint(sf_dir: str) -> Dataset:
     from ner_ray.functions.texttools import md5_fingerprint
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         fps = [md5_fingerprint(x) for x in t["text"].to_pylist()]
@@ -451,7 +472,7 @@ FROM documents
 def q15_token_stats(sf_dir: str) -> Dataset:
     from ner_ray.functions.texttools import tokenize_ws
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         toks = [tokenize_ws(x) for x in t["text"].to_pylist()]
@@ -477,7 +498,7 @@ FROM documents
 def q16_quality_by_source(sf_dir: str) -> Dataset:
     from ner_ray.functions.texttools import tokenize_ws
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["lang", "source", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -513,7 +534,7 @@ FROM documents GROUP BY lang, source
 def q17_term_frequency(sf_dir: str) -> Dataset:
     """Dictionary-mention counting (the gazetteer-count primitive of mention
     detection, oracle-checkable in pure SQL)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     terms = ("spark", "table", "customer")
 
     def fn(t: pa.Table) -> pa.Table:
@@ -548,7 +569,7 @@ def q18_ann_topk(sf_dir: str) -> pd.DataFrame:
 
     emb = pq.read_table(_t(sf_dir, "embeddings"))
     q0 = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = ann_topk(ds, q0[None, :], k=10, exclude_ids={0})
     out = out[["vec_id", "score", "rank"]].copy()
     out["score"] = out["score"].round(4)
@@ -570,7 +591,7 @@ def q19_embedding_pairs(sf_dir: str) -> Dataset:
     """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
     from ner_ray.stages.ann import embedding_near_dup_pairs
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     pairs = embedding_near_dup_pairs(ds, threshold=0.4)
 
     def rnd(t: pa.Table) -> pa.Table:
@@ -628,7 +649,7 @@ def q21_lang_id(sf_dir: str) -> Dataset:
     ASCII + CJK, matching Python ``str.isalpha`` on it)."""
     from ner_ray.functions.texttools import lang_id
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -644,14 +665,14 @@ def q21_lang_id(sf_dir: str) -> Dataset:
 def q22_minhash_near_dup(sf_dir: str) -> Dataset:
     from ner_ray.stages.text_dedup import minhash_near_dup
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return minhash_near_dup(ds, threshold=0.7)
 
 
 def q23_simhash_near_dup(sf_dir: str) -> Dataset:
     from ner_ray.stages.text_dedup import simhash_near_dup
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return simhash_near_dup(ds, max_hamming=3)
 
 
@@ -689,7 +710,7 @@ def q24_quality_scores(sf_dir: str) -> Dataset:
     mean token length, digit/punct ratios, unique-token ratio)."""
     from ner_ray.functions.texttools import quality_score
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -712,7 +733,7 @@ def q25_ann_lsh(sf_dir: str) -> pd.DataFrame:
 
     emb = pq.read_table(_t(sf_dir, "embeddings"))
     q0 = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return lsh_topk(ds, q0[None, :], k=10)
 
 
@@ -725,7 +746,7 @@ def q32_ann_ivf(sf_dir: str) -> pd.DataFrame:
 
     emb = pq.read_table(_t(sf_dir, "embeddings"))
     q0 = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ivf_topk(ds, q0[None, :], k=10, n_centroids=16, n_probe=6)
 
 
@@ -734,13 +755,13 @@ def q26_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     of the near-dup family; rows-only — set semantics are not DuckDB-cheap)."""
     from ner_ray.stages.text_dedup import minhash_near_dup, ngram_jaccard_pairs
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     labeled = minhash_near_dup(ds).to_pandas()
     dups = labeled[~labeled["keep"]]
     pairs = sorted(zip(dups["group_id"].astype(int), dups["doc_id"].astype(int)))
     if not pairs:
         return pd.DataFrame({"a": pd.Series([], dtype=int), "b": pd.Series([], dtype=int), "jaccard": pd.Series([], dtype=float)})
-    ds2 = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds2 = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ngram_jaccard_pairs(ds2, pairs)
     out["jaccard"] = out["jaccard"].round(4)
     return out
@@ -755,7 +776,7 @@ def q27_semi_join(sf_dir: str) -> Dataset:
         .query("o_orderstatus == 'F'")["o_custkey"]
         .astype("int64")
     )
-    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"])
+    ds = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"])
     return round_columns(semi_join_filter(ds, keys, "c_custkey"), ["c_acctbal"])
 
 
@@ -776,7 +797,7 @@ def q28_anti_join(sf_dir: str) -> Dataset:
         .query("o_orderstatus == 'P'")["o_custkey"]
         .astype("int64")
     )
-    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    ds = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     return semi_join_filter(ds, keys, "c_custkey", anti=True)
 
 
@@ -793,7 +814,7 @@ def q29_top_orders_per_cust(sf_dir: str) -> Dataset:
     break on orderkey)."""
     from ner_ray.stages.relational import top_n_per_group
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_totalprice"]
     )
     out = top_n_per_group(ds, "o_custkey", "o_totalprice", n=2, tiebreak_col="o_orderkey")
@@ -814,7 +835,7 @@ def q30_asof_gap(sf_dir: str) -> Dataset:
     click at-or-before it (sorted searchsorted merge per user group)."""
     from ner_ray.stages.relational import asof_gap_join
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
     return asof_gap_join(
         ds,
         key_col="user_id",
@@ -840,7 +861,7 @@ def q31_range_pairs(sf_dir: str) -> Dataset:
     (two-pointer sweep per group vs the oracle's quadratic self-join)."""
     from ner_ray.stages.relational import range_pair_counts
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
     return range_pair_counts(ds, key_col="user_id", ts_col="ts", id_col="event_id")
 
 
@@ -859,7 +880,7 @@ def q33_hopping_window(sf_dir: str) -> Dataset:
     two windows covering it."""
     from ner_ray.stages.relational import hopping_window
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
     out = (
         hopping_window(ds, "ts", period_minutes=30, size_periods=2)
         .groupby(["window_start", "event_type"])
@@ -884,7 +905,7 @@ def q34_deterministic_sample(sf_dir: str) -> Dataset:
     reproducible across engines (the DuckDB twin computes the same md5)."""
     from ner_ray.stages.relational import deterministic_sample
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
     return deterministic_sample(ds, "doc_id", keep_hex_below="20")
 
 
@@ -900,7 +921,7 @@ def q35_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     the user_id distribution)."""
     from ner_ray.stages.relational import heavy_hitters
 
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
     return heavy_hitters(ds, "user_id", k=10)
 
 
@@ -914,8 +935,8 @@ def q36_native_join(sf_dir: str) -> Dataset:
     """Ray Data's built-in distributed hash join (Dataset.join) — the
     big-big join path when neither side broadcasts; here orders x customer
     with a grouped rollup on the joined stream."""
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    orders = read_parquet_clean(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     joined = orders.join(
         cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
     )
@@ -947,7 +968,7 @@ def q37_doc_embedding_near_dup(sf_dir: str) -> Dataset:
     from ner_ray.functions.texttools import hash_embed
     from ner_ray.stages.ann import embedding_near_dup_pairs
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def embed(t: pa.Table) -> pa.Table:
         vecs = [hash_embed(x or "") for x in t["text"].to_pylist()]

@@ -37,7 +37,9 @@ def broadcast_join(
     if columns is not None:
         keys = [on] if isinstance(on, str) else list(on)
         small = small[list(dict.fromkeys(keys + columns))]
-    small_arrow = pa.Table.from_pandas(small, preserve_index=False)
+    # strip pandas schema metadata: it makes pa.Schema unhashable, which
+    # defeats Ray's downstream schema-dedup (log-spams every shuffle)
+    small_arrow = pa.Table.from_pandas(small, preserve_index=False).replace_schema_metadata(None)
     ref = ray.put(small_arrow)
     join_type = {"inner": "inner", "left": "left outer"}[how]
 
