@@ -55,13 +55,31 @@ def _token_priors(vocab_list: list[str]) -> np.ndarray:
     """Per-token-id label priors from the planted gazetteer surfaces: the
     first piece of a surface's first word gets B-typ, every other piece of
     the surface gets I-typ (continuation pieces still get tagged here — the
-    head's X prior handles them)."""
+    head's X prior handles them).
+
+    Two deterministic disambiguation rules (they resolve the CJK
+    prefix-surface ties, e.g. LOC 南京 inside ORG 南京大学):
+
+    - **presence, not accumulation**: a piece shared by several surfaces of
+      one label (京 ends both 南京 and 北京) must not outweigh the same
+      piece's other labels by mere repetition, so the prior is set, not
+      summed;
+    - **end-of-surface bonus** (+0.5 on the surface's final piece): Viterbi
+      then prefers the path that COMPLETES the longest planted surface —
+      standalone 南京 decodes LOC (12.5 vs 12), while 南京大学 decodes as
+      one ORG (24.5 vs 19), matching the rule tagger's leftmost-longest
+      semantics.  The margins dwarf the 0.02-scale random-head noise.
+    """
     tok2id = {t: i for i, t in enumerate(vocab_list)}
     vocab = set(vocab_list)
     prior = np.zeros((len(vocab_list), len(BERT_LABELS)), dtype=np.float64)
     prior[:, BERT_LABEL2ID["O"]] = 2.0
+    bonus = np.zeros_like(prior)
     for surface, typ in gz.SURFACE2TYPE.items():
         toks = wp.tokenize(surface, vocab)
+        last_word_pos = max(
+            (pos for pos, t in enumerate(toks) if not t.is_continuation), default=None
+        )
         for pos, t in enumerate(toks):
             if t.is_continuation:
                 lab = "X"
@@ -70,9 +88,12 @@ def _token_priors(vocab_list: list[str]) -> np.ndarray:
             else:
                 lab = f"I-{typ}"
             tid = tok2id.get(t.piece)
-            if tid is not None:
-                prior[tid, BERT_LABEL2ID[lab]] += 6.0
-    return prior
+            if tid is None:
+                continue
+            prior[tid, BERT_LABEL2ID[lab]] = 6.0
+            if pos == last_word_pos and lab != "X":
+                bonus[tid, BERT_LABEL2ID[lab]] = 0.5
+    return prior + bonus
 
 
 def bert_bio_transitions() -> np.ndarray:
