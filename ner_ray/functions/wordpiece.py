@@ -58,9 +58,9 @@ class Token:
     is_continuation: bool = False
 
 
-def basic_tokenize(text: str) -> list[tuple[int, int]]:
-    """Whitespace + punctuation + CJK-isolation split; returns (start, end)
-    spans over the original text."""
+def basic_tokenize_scalar(text: str) -> list[tuple[int, int]]:
+    """Reference per-char implementation (kept as the parity oracle for the
+    vectorized path below)."""
     spans: list[tuple[int, int]] = []
     start = None
     for i, ch in enumerate(text):
@@ -79,6 +79,70 @@ def basic_tokenize(text: str) -> list[tuple[int, int]]:
     if start is not None:
         spans.append((start, len(text)))
     return spans
+
+
+# per-process cache: rare (non-ASCII, non-CJK) codepoint -> (isspace, ispunct)
+_RARE_CLASS: dict[int, tuple[bool, bool]] = {}
+
+
+def basic_tokenize(text: str) -> list[tuple[int, int]]:
+    """Whitespace + punctuation + CJK-isolation split; returns (start, end)
+    spans over the original text.
+
+    Vectorized: char classes come from numpy range tests over the codepoint
+    array (ASCII space/punct ranges match ``str.isspace``/``_is_punct``
+    exactly; CJK from ``is_cjk`` ranges); the rare remaining codepoints fall
+    back to the exact Python predicates through a process-lifetime cache.
+    Tested equal to ``basic_tokenize_scalar`` on ASCII+CJK+unicode inputs."""
+    import numpy as np
+
+    n = len(text)
+    if n == 0:
+        return []
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    space = ((cps >= 9) & (cps <= 13)) | (cps == 32) | ((cps >= 28) & (cps <= 31))
+    punct = (
+        ((cps >= 33) & (cps <= 47))
+        | ((cps >= 58) & (cps <= 64))
+        | ((cps >= 91) & (cps <= 96))
+        | ((cps >= 123) & (cps <= 126))
+    )
+    cjk = (
+        ((cps >= 0x4E00) & (cps <= 0x9FFF))
+        | ((cps >= 0x3400) & (cps <= 0x4DBF))
+        | ((cps >= 0x20000) & (cps <= 0x2A6DF))
+        | ((cps >= 0x2A700) & (cps <= 0x2B81F))
+        | ((cps >= 0x2B820) & (cps <= 0x2CEAF))
+        | ((cps >= 0xF900) & (cps <= 0xFAFF))
+        | ((cps >= 0x2F800) & (cps <= 0x2FA1F))
+    )
+    rare = (cps >= 128) & ~cjk
+    if rare.any():
+        for i in np.nonzero(rare)[0]:
+            cp = int(cps[i])
+            cls = _RARE_CLASS.get(cp)
+            if cls is None:
+                ch = chr(cp)
+                cls = (ch.isspace(), _is_punct(ch))
+                _RARE_CLASS[cp] = cls
+            if cls[0]:
+                space[i] = True
+            elif cls[1]:
+                punct[i] = True
+    single = punct | cjk
+    word = ~(space | single)
+    idx = np.nonzero(word)[0]
+    if len(idx):
+        brk = np.nonzero(np.diff(idx) > 1)[0]
+        rs = np.concatenate([[idx[0]], idx[brk + 1]])
+        re_ = np.concatenate([idx[brk], [idx[-1]]]) + 1
+    else:
+        rs = re_ = np.empty(0, dtype=np.int64)
+    singles = np.nonzero(single)[0]
+    starts = np.concatenate([rs, singles])
+    ends = np.concatenate([re_, singles + 1])
+    order = np.argsort(starts, kind="stable")
+    return list(zip(starts[order].tolist(), ends[order].tolist()))
 
 
 def wordpiece_word(word: str, vocab: set[str], offset: int) -> list[Token]:
@@ -105,14 +169,34 @@ def wordpiece_word(word: str, vocab: set[str], offset: int) -> list[Token]:
     return pieces
 
 
-def tokenize(text: str, vocab: set[str], do_lower_case: bool = True) -> list[Token]:
-    """FullTokenizer.tokenize with offsets (M7)."""
+def tokenize(
+    text: str,
+    vocab: set[str],
+    do_lower_case: bool = True,
+    cache: dict | None = None,
+) -> list[Token]:
+    """FullTokenizer.tokenize with offsets (M7).
+
+    ``cache`` (optional, actor-lifetime) memoizes the greedy wordpiece split
+    per distinct lowercased word as relative pieces — corpus vocabulary is
+    Zipfian, so after warmup tokenization is a dict hit + offset rebase per
+    word instead of the greedy longest-match loop."""
     out: list[Token] = []
     for s, e in basic_tokenize(text):
         word = text[s:e]
         if do_lower_case:
             word = word.lower()
-        out.extend(wordpiece_word(word, vocab, s))
+        if cache is None:
+            out.extend(wordpiece_word(word, vocab, s))
+            continue
+        hit = cache.get(word)
+        if hit is None:
+            hit = tuple(
+                (t.piece, t.start, t.end, t.is_continuation)
+                for t in wordpiece_word(word, vocab, 0)
+            )
+            cache[word] = hit
+        out.extend(Token(p, s + rs, s + re, c) for p, rs, re, c in hit)
     return out
 
 

@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
 
+from ner_ray import schemas
 from ner_ray.fixtures.aliases import make_alias_table
 from ner_ray.utils import configure_context
 
@@ -73,37 +74,58 @@ def read_transcripts(path: str, num_blocks: int | None = None) -> Dataset:
 
     Block count IS the parallelism ceiling of every downstream map stage
     (``batch_size`` only slices within a task), so the read is split to
-    ~4 blocks per CPU; a small corpus would otherwise collapse to a handful
-    of blocks and idle most of the tagger actor pool.
+    ~16 blocks per CPU.  Finer matters twice: a small corpus would otherwise
+    collapse to a handful of blocks and idle the tagger actor pool, and ONE
+    task per block means the block holding the mega-conversation becomes the
+    stage's end tail — at 4 blocks/CPU that block was 4x the mean and its
+    straggler task left half the cluster idle for the last ~10s of the
+    flagship tagger stage.  (Shuffle stages coalesce back to ~1 block/CPU
+    before their exchange — see extract_triples — so fine map blocks don't
+    tax the sort.)
     """
     from ner_ray.utils import pool_size
 
     if num_blocks is None:
-        num_blocks = pool_size()[1] * 4
+        num_blocks = pool_size()[1] * 16
     return rd.read_parquet(
         path, columns=["conv_id", "turn_idx", "text"], override_num_blocks=num_blocks
     )
 
 
 def explode_mentions(batch: pa.Table) -> pa.Table:
-    """turn_mentions (nested) -> flat mentions table (schemas.MENTIONS)."""
-    rows: dict[str, list] = {
-        k: [] for k in ("conv_id", "turn_idx", "mention_id", "surface", "type", "start", "end")
-    }
-    for c, ti, ms in zip(
-        batch["conv_id"].to_pylist(),
-        batch["turn_idx"].to_pylist(),
-        batch["mentions"].to_pylist(),
-    ):
-        for m in ms:
-            rows["conv_id"].append(c)
-            rows["turn_idx"].append(ti)
-            rows["mention_id"].append(stable_mention_id(c, ti, m["start"]))
-            rows["surface"].append(m["surface"])
-            rows["type"].append(m["type"])
-            rows["start"].append(m["start"])
-            rows["end"].append(m["end"])
-    return _mentions_table(rows)
+    """turn_mentions (nested) -> flat mentions table (schemas.MENTIONS).
+
+    Vectorized: the nested struct list flattens with Arrow kernels and the
+    parent (conv_id, turn_idx) columns fan out via ``take`` over repeated
+    indices; only the blake2b mention ids remain a per-mention Python loop."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ments = batch["mentions"]
+    if isinstance(ments, pa.ChunkedArray):
+        ments = ments.combine_chunks()
+    flat = ments.values
+    lens = pc.list_value_length(ments).to_numpy(zero_copy_only=False).astype(np.int64)
+    parent = pa.array(np.repeat(np.arange(len(lens)), lens))
+    conv = pc.take(batch["conv_id"], parent)
+    turn = pc.take(batch["turn_idx"], parent)
+    starts = pc.struct_field(flat, "start")
+    mids = [
+        stable_mention_id(c, ti, s)
+        for c, ti, s in zip(conv.to_pylist(), turn.to_pylist(), starts.to_pylist())
+    ]
+    return pa.table(
+        {
+            "conv_id": pc.cast(conv, pa.string()),
+            "turn_idx": pc.cast(turn, pa.int32()),
+            "mention_id": pa.array(mids, pa.int64()),
+            "surface": pc.cast(pc.struct_field(flat, "surface"), pa.string()),
+            "type": pc.cast(pc.struct_field(flat, "type"), pa.string()),
+            "start": pc.cast(starts, pa.int32()),
+            "end": pc.cast(pc.struct_field(flat, "end"), pa.int32()),
+        },
+        schema=schemas.MENTIONS,
+    )
 
 
 def build_kg(

@@ -136,61 +136,35 @@ def connected_components(
 
 def _node_partials(batch: pa.Table) -> pa.Table:
     """Per-block combiner: distinct (node, surface, type, entity_id) with
-    partial mention counts."""
-    agg: dict[tuple, list] = {}
-    for s, t, e in zip(
-        batch["surface"].to_pylist(),
-        batch["type"].to_pylist(),
-        batch["entity_id"].to_pylist(),
-    ):
-        node = f"{t}:{normalize_surface(s)}"
-        key = (node, s, t, e)
-        if key in agg:
-            agg[key][0] += 1
-        else:
-            agg[key] = [1]
-    keys = list(agg.keys())
+    partial mention counts.  The distinct step is Arrow's vectorized hash
+    ``group_by`` over the raw mention stream; the Python
+    ``normalize_surface`` runs only on the DISTINCT rows (surface vocabulary,
+    not mentions — the Zipf pattern everywhere in this engine)."""
+    g = (
+        batch.select(["surface", "type", "entity_id"])
+        .group_by(["surface", "type", "entity_id"])
+        .aggregate([("surface", "count")])
+    )
+    surfaces = g["surface"].to_pylist()
+    types = g["type"].to_pylist()
+    node = [f"{t}:{normalize_surface(s)}" for s, t in zip(surfaces, types)]
     return pa.table(
         {
-            "node": pa.array([k[0] for k in keys], pa.string()),
-            "surface": pa.array([k[1] for k in keys], pa.string()),
-            "type": pa.array([k[2] for k in keys], pa.string()),
-            "entity_id": pa.array([k[3] for k in keys], pa.int64()),
-            "n_mentions": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "node": pa.array(node, pa.string()),
+            "surface": g["surface"],
+            "type": g["type"],
+            "entity_id": pc.cast(g["entity_id"], pa.int64()),
+            "n_mentions": pc.cast(g["surface_count"], pa.int64()),
         }
     )
 
 
 def mention_nodes(linked_mentions: Dataset) -> Dataset:
     """Distinct (node, surface, type, entity_id, n_mentions) — deduped inside
-    map_batches (combiner) before the distinct groupby shuffle."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        agg: dict[tuple, list] = {}
-        for s, t, e in zip(
-            batch["surface"].to_pylist(),
-            batch["type"].to_pylist(),
-            batch["entity_id"].to_pylist(),
-        ):
-            node = f"{t}:{normalize_surface(s)}"
-            key = (node, s, t, e)
-            if key in agg:
-                agg[key][0] += 1
-            else:
-                agg[key] = [1]
-        keys = list(agg.keys())
-        return pa.table(
-            {
-                "node": pa.array([k[0] for k in keys], pa.string()),
-                "surface": pa.array([k[1] for k in keys], pa.string()),
-                "type": pa.array([k[2] for k in keys], pa.string()),
-                "entity_id": pa.array([k[3] for k in keys], pa.int64()),
-                "n_mentions": pa.array([agg[k][0] for k in keys], pa.int64()),
-            }
-        )
-
+    map_batches (combiner, ``_node_partials``) before the distinct groupby
+    shuffle."""
     return (
-        linked_mentions.map_batches(partial, batch_format="pyarrow")
+        linked_mentions.map_batches(_node_partials, batch_format="pyarrow")
         .groupby(["node", "surface", "type", "entity_id"])
         .aggregate(Sum("n_mentions", alias_name="n_mentions"))
     )

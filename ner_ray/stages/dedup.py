@@ -49,46 +49,62 @@ def _partial(batch: pa.Table) -> pa.Table:
 
 
 def _merge_pdf(pdf: pd.DataFrame) -> pa.Table:
-    """Combine partials (pandas; used driver-side and per shuffle group)."""
-    rows: dict[tuple, list] = {}
-    for subj, pred, obj, conf, n, convs in zip(
-        pdf["subj"], pdf["pred"], pdf["obj"], pdf["confidence"], pdf["n_support"], pdf["conv_ids"]
-    ):
-        k = (subj, pred, obj)
-        cur = rows.get(k)
-        if cur is None:
-            rows[k] = [float(conf), int(n), set(convs)]
-        else:
-            cur[0] = max(cur[0], float(conf))
-            cur[1] += int(n)
-            cur[2].update(convs)
-    keys = sorted(rows)
+    """Combine partials (pandas groupby, vectorized max/sum; the Python list
+    union runs only once per DISTINCT triple — used driver-side and per
+    shuffle group)."""
+    if not len(pdf):
+        return schemas.DEDUP_TRIPLES.empty_table()
+    g = pdf.groupby(KEY, sort=True)
+    conf = g["confidence"].max()
+    ns = g["n_support"].sum()
+    convs = g["conv_ids"].agg(
+        lambda s: sorted({c for lst in s for c in lst})[:PROVENANCE_CAP]
+    )
+    keys = conf.index
     return pa.table(
         {
-            "subj": pa.array([k[0] for k in keys], pa.string()),
-            "pred": pa.array([k[1] for k in keys], pa.string()),
-            "obj": pa.array([k[2] for k in keys], pa.string()),
-            "confidence": pa.array([rows[k][0] for k in keys], pa.float32()),
-            "n_support": pa.array([rows[k][1] for k in keys], pa.int64()),
-            "conv_ids": pa.array(
-                [sorted(rows[k][2])[:PROVENANCE_CAP] for k in keys], pa.list_(pa.string())
-            ),
+            "subj": pa.array(keys.get_level_values(0), pa.string()),
+            "pred": pa.array(keys.get_level_values(1), pa.string()),
+            "obj": pa.array(keys.get_level_values(2), pa.string()),
+            "confidence": pa.array(conf.to_numpy(), pa.float32()),
+            "n_support": pa.array(ns.to_numpy(), pa.int64()),
+            "conv_ids": pa.array(convs.tolist(), pa.list_(pa.string())),
         },
         schema=schemas.DEDUP_TRIPLES,
     )
 
 
-def dedup_triples(triples: Dataset, driver_threshold: int = 200_000) -> Dataset:
-    """Exact dedup over (subj, pred, obj) with provenance (DEDUP_TRIPLES)."""
+def _merge_block(batch: pa.Table) -> pa.Table:
+    return _merge_pdf(batch.to_pandas())
+
+
+def dedup_triples(
+    triples: Dataset, driver_threshold: int = 1_000_000, tree_threshold: int = 300_000
+) -> Dataset:
+    """Exact dedup over (subj, pred, obj) with provenance (DEDUP_TRIPLES).
+
+    Three-level combine: per-block Arrow partials always; above
+    ``tree_threshold`` partial rows a TREE round first re-merges the partials
+    in a handful of parallel tasks (each block's output collapses to its
+    distinct keys), so the vectorized driver merge only ever sees
+    ``distinct x few-blocks`` rows; above ``driver_threshold`` the merge is a
+    distributed keyed shuffle instead."""
     partials = triples.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    if partials.count() <= driver_threshold:
-        return rd.from_arrow(_merge_pdf(partials.to_pandas()))
+    n = partials.count()
+    if n > driver_threshold:
 
-    def merge_group(g: pa.Table) -> pa.Table:
-        # stay in Arrow: list<string> provenance columns round-trip poorly
-        # through Ray's pandas tensor extension
-        return _merge_pdf(g.to_pandas())
+        def merge_group(g: pa.Table) -> pa.Table:
+            # stay in Arrow: list<string> provenance columns round-trip poorly
+            # through Ray's pandas tensor extension
+            return _merge_pdf(g.to_pandas())
 
-    return partials.groupby(KEY).map_groups(merge_group, batch_format="pyarrow")
+        return partials.groupby(KEY).map_groups(merge_group, batch_format="pyarrow")
+    if n > tree_threshold:
+        partials = (
+            partials.repartition(8)
+            .map_batches(_merge_block, batch_format="pyarrow")
+            .materialize()
+        )
+    return rd.from_arrow(_merge_pdf(partials.to_pandas()))

@@ -282,6 +282,8 @@ class BertTagger:
         self.strict = strict_reference_mode
         self.decode = decode
         self.transitions = bert_bio_transitions()
+        # actor-lifetime wordpiece memo (Zipfian word distribution)
+        self._wp_cache: dict = {}
 
     def _word_tags_and_spans(self, texts: list[str]) -> list[list[tuple[str, str, int, int]]]:
         from ner_ray.functions import wordpiece as wp
@@ -291,7 +293,7 @@ class BertTagger:
         seg_owner: list[int] = []
         toks_per_row = []
         for r, text in enumerate(texts):
-            toks = wp.tokenize(text, self.vocab)
+            toks = wp.tokenize(text, self.vocab, cache=self._wp_cache)
             toks_per_row.append(toks)
             if self.strict:
                 segs = [toks[:cap]] if toks else []

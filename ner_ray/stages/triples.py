@@ -120,8 +120,16 @@ def add_group_key(batch: pa.Table, n_buckets: int = 8192) -> pa.Table:
             h = zlib.crc32(c.encode())
             cache[c] = h
         keys[i] = (h << 24) ^ k
+    # Bucket = Fibonacci-mix of the full gkey, NOT ``gkey % n_buckets``: the
+    # raw key is ``(crc32 << 24) ^ chunk`` and ``crc32 << 24`` vanishes modulo
+    # any bucket count dividing 2^24, so a plain modulo sent every short
+    # conversation (chunk 0) to bucket 0 — measured as ONE reducer holding
+    # 91% of the shuffle and a 9.8s straggler in a stage whose mean task is
+    # 80ms.
+    mixed = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    bucket = ((mixed >> np.uint64(17)) % np.uint64(n_buckets)).astype(np.int64)
     batch = batch.append_column("gkey", pa.array(keys, pa.int64()))
-    return batch.append_column("bucket", pa.array(keys % n_buckets, pa.int64()))
+    return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
 
 def _ranges(counts):
@@ -231,12 +239,20 @@ def extract_triples(
     chunk_turns: int = 256,
 ) -> Dataset:
     """Full B4: pattern triples (map) ∪ window triples (salted group-shuffle)."""
+    from ner_ray.utils import pool_size
+
     pattern = turn_mentions.map_batches(extract_pattern_triples, batch_format="pyarrow")
     if window <= 1:
         return pattern
     narrow = turn_mentions.drop_columns(["text"])  # keep the shuffle payload narrow
     chunked = add_salted_chunks(narrow, chunk_turns=chunk_turns, window=window)
     keyed = chunked.map_batches(add_group_key, batch_format="pyarrow")
+    # Coalesce to ~one block per CPU before the all-to-all: the sort shuffle's
+    # fixed overhead grows with INPUT block count (measured 4.1s at 128 input
+    # blocks vs 0.8s at 32 for the same 590k rows at 32 CPUs) — the fine
+    # read/tagger blocking that keeps the actor pool busy is wrong for the
+    # exchange, and reducers re-split by bucket anyway.
+    keyed = keyed.repartition(pool_size()[1])
     cross = keyed.groupby("bucket").map_groups(
         make_window_extractor(window), batch_format="pyarrow"
     )

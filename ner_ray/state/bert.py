@@ -121,7 +121,21 @@ def _layernorm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _gelu(x: np.ndarray) -> np.ndarray:
-    return 0.5 * x * (1.0 + np.tanh(np.sqrt(2 / np.pi) * (x + 0.044715 * x**3)))
+    # tanh-GELU, computed IN PLACE on one scratch array: the naive expression
+    # materializes ~7 temporaries over the [B, L, 4H] FFN activation and was
+    # the single hottest line of the encoder (memory bandwidth, not FLOPs) —
+    # 5.8s of a 14s tagger profile.  x + 0.044715 x^3 is factored as
+    # x (1 + 0.044715 x^2); same math, two fewer passes.
+    y = np.square(x)
+    y *= 0.044715
+    y += 1.0
+    y *= x
+    y *= 0.7978845608028654  # sqrt(2/pi)
+    np.tanh(y, out=y)
+    y += 1.0
+    y *= x
+    y *= 0.5
+    return y
 
 
 @dataclass
