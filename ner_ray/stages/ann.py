@@ -184,6 +184,21 @@ def kmeans_lite(sample: np.ndarray, n_centroids: int, n_iter: int = 8, seed: int
     return cent
 
 
+def _train_sample(ds: Dataset, id_col: str, emb_col: str, train_size: int) -> np.ndarray:
+    """Deterministic quantizer-training sample: Ray Data's streaming executor
+    does not preserve row order by default (``preserve_order=False``), so a
+    bare ``limit().to_pandas()`` yields a run-dependent row ORDER, and
+    ``kmeans_lite``'s init/updates are order-sensitive — two builds would
+    disagree on centroids and therefore on probed cells.  Sorting the sample
+    by id pins the centroids, making ``ivf_topk`` and a persisted
+    ``ivf_build_index`` layout give identical answers."""
+    tbl = ds.limit(train_size).map_batches(
+        lambda t: t.select([id_col, emb_col]), batch_format="pyarrow"
+    ).to_pandas()
+    tbl = tbl.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    return np.asarray(list(tbl[emb_col]), dtype=np.float64)
+
+
 def ivf_topk(
     ds: Dataset,
     queries: np.ndarray,
@@ -210,10 +225,7 @@ def ivf_topk(
     import ray
 
     q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-    sample_tbl = ds.limit(train_size).map_batches(
-        lambda t: t.select([emb_col]), batch_format="pyarrow"
-    ).to_pandas()
-    sample = np.asarray(list(sample_tbl[emb_col]), dtype=np.float64)
+    sample = _train_sample(ds, id_col, emb_col, train_size)
     cent = kmeans_lite(sample, n_centroids, seed=seed)
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # [Q, n_probe]
     qref, cref, pref = ray.put(q), ray.put(cent), ray.put(probe)
@@ -272,10 +284,7 @@ def ivf_build_index(
 
     import ray
 
-    sample_tbl = ds.limit(train_size).map_batches(
-        lambda t: t.select([emb_col]), batch_format="pyarrow"
-    ).to_pandas()
-    sample = np.asarray(list(sample_tbl[emb_col]), dtype=np.float64)
+    sample = _train_sample(ds, id_col, emb_col, train_size)
     cent = kmeans_lite(sample, n_centroids, seed=seed)
     cref = ray.put(cent)
 
