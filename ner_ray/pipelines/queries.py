@@ -970,6 +970,34 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
 """
 
+# Twin of q40: word-3-gram shingle sets via list comprehension, Jaccard via
+# list_intersect/list_distinct.  Mirrors functions/hashing.py exactly:
+# tokens = text.split() (regex \s+, empties dropped), <3 tokens -> the single
+# joined shingle, empty-vs-empty -> 1.0, empty-vs-any -> 0.0.  Hashing the
+# shingles (the Ray side) preserves Jaccard because blake2b-64 is
+# collision-free at corpus scale.
+SQL_Q40 = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents WHERE doc_id % 17 = 0
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+         WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN range(1, len(w) - 1) ])
+    END AS g
+  FROM toks
+)
+SELECT a.doc_id::BIGINT AS a, b.doc_id::BIGINT AS b,
+  CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+       WHEN len(a.g) = 0 OR len(b.g) = 0 THEN 0.0
+       ELSE len(list_intersect(a.g, b.g))::DOUBLE
+            / len(list_distinct(list_concat(a.g, b.g)))
+  END AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
 
 def q37_doc_embedding_near_dup(sf_dir: str) -> Dataset:
     """Embedding-cosine near-dup over raw documents: feature-hash each doc to
@@ -1036,6 +1064,29 @@ def q39_doc_near_dup_lsh(sf_dir: str) -> Dataset:
 
     emb = ds.map_batches(embed, batch_format="pyarrow")
     return embedding_near_dup_pairs(emb, threshold=0.9, method="lsh")
+
+
+def q40_jaccard_all_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact word-3-gram Jaccard for ALL pairs of a deterministic doc subset
+    (doc_id % 17 == 0, ~N/17 docs): unlike q26 the pair list is
+    SQL-expressible, so the shingle/Jaccard semantics themselves get a DuckDB
+    twin (list comprehension shingling + list_intersect)."""
+    from ner_ray.stages.text_dedup import ngram_jaccard_pairs
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    # subset ids are driver-small by construction (all-pairs is O(|subset|^2)
+    # regardless of engine; a bigger corpus takes a bigger modulus)
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % 17 == 0)).select(["doc_id"])
+
+    ids_tbl = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    ids = sorted(ids_tbl["doc_id"].astype(int))
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    # no rounding: |A∩B|/|A∪B| is the same IEEE division on both engines
+    # (pandas .round is half-to-even, DuckDB round() half-away — rounding
+    # would introduce the only possible mismatch)
+    return ngram_jaccard_pairs(ds, pairs)
 
 
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
@@ -1277,6 +1328,7 @@ RAY_QUERIES = {
     "q35_heavy_hitters": q35_heavy_hitters,
     "q36_native_join": q36_native_join,
     "q37_doc_embedding_near_dup": q37_doc_embedding_near_dup,
+    "q40_jaccard_all_pairs": q40_jaccard_all_pairs,
     "q38_winnow_fingerprint": q38_winnow_fingerprint,
     "q39_doc_near_dup_lsh": q39_doc_near_dup_lsh,
     "kg_degree_stats": kg_degree_stats,
@@ -1329,6 +1381,7 @@ ORACLE_SQL = {
     "q34_deterministic_sample": SQL_Q34,
     "q35_heavy_hitters": SQL_Q35,
     "q36_native_join": SQL_Q36,
+    "q40_jaccard_all_pairs": SQL_Q40,
 }
 
 
@@ -1347,5 +1400,41 @@ def oracle_sql_catalog() -> dict[str, str]:
     sql["kg_order_restore"] = (
         "SELECT conv_id, turn_idx, role, text, tool, ts "
         f"FROM read_parquet('{path}/*.parquet')"
+    )
+    # Twin of kg_vocab (P2): char counts -> finalize_vocab id assignment.
+    # Mirrors state/vocab.py: digits -> <NUM>, ASCII letters -> <ENG>
+    # (normalize_char; '0'..'9' covers this fixture — it contains no
+    # non-ASCII digits), specials excluded from the ranked ids and appended
+    # as NUM=K+1, ENG=K+2, UNK=K+3 after the (count desc, char) ranking.
+    sql["kg_vocab"] = rf"""
+WITH ch AS (
+  SELECT unnest(string_split_regex(text, '')) AS c
+  FROM read_parquet('{path}/*.parquet') WHERE text IS NOT NULL
+), norm AS (
+  SELECT CASE WHEN c >= '0' AND c <= '9' THEN '<NUM>'
+              WHEN (c >= 'A' AND c <= 'Z') OR (c >= 'a' AND c <= 'z') THEN '<ENG>'
+              ELSE c END AS c
+  FROM ch WHERE c <> ''
+), cnt AS (
+  SELECT c, count(*) AS n FROM norm GROUP BY c
+), kept AS (
+  SELECT c, n FROM cnt WHERE n >= 2 AND c NOT IN ('<NUM>', '<ENG>')
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY n DESC, c) AS id FROM kept
+), k AS (SELECT count(*) AS k FROM kept)
+SELECT c AS "char", id::BIGINT AS id FROM ranked
+UNION ALL SELECT '<PAD>', 0
+UNION ALL SELECT '<NUM>', (SELECT k FROM k) + 1
+UNION ALL SELECT '<ENG>', (SELECT k FROM k) + 2
+UNION ALL SELECT '<UNK>', (SELECT k FROM k) + 3
+"""
+    # Twin of mm_media_stats: per-kind payload accounting straight off the
+    # cached synthetic media parquet (binary payload column, octet_length).
+    mpath = media_path_for("/root/testdata/sf0.01")
+    sql["mm_media_stats"] = (
+        "SELECT kind, count(*)::BIGINT AS n_media, "
+        "sum(octet_length(payload))::BIGINT AS total_bytes, "
+        "avg(octet_length(payload)) AS mean_bytes "
+        f"FROM read_parquet('{mpath}/*.parquet') GROUP BY kind"
     )
     return sql

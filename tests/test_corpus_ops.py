@@ -210,7 +210,8 @@ class TestOracleSubset:
 
     SF = "/root/testdata/sf0.001"
     NAMES = ["q01_pricing_summary", "q07_events_tumbling", "q13_dedup_exact",
-             "q15_token_stats", "q17_term_frequency", "q18_ann_topk"]
+             "q15_token_stats", "q17_term_frequency", "q18_ann_topk",
+             "q40_jaccard_all_pairs"]
 
     def test_subset_matches_oracle(self):
         import sys

@@ -199,3 +199,43 @@ class TestHeavyHittersExact:
         ).repartition(4)
         out = heavy_hitters(ds, "u", k=5, per_block_cap=10)
         assert len(out) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDynamicOracleTwins:
+    """Parity for the twins whose SQL embeds generated-fixture paths
+    (kg_vocab char-vocab, mm_media_stats) plus the q40 shingle/Jaccard twin
+    at sf0.01 — a local replica of the driver's comparison for the entries
+    oracle_sql_catalog() adds beyond the static ORACLE_SQL dict."""
+
+    SF = "/root/testdata/sf0.01"
+
+    def _check(self, name):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import TABLES, canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+        sql = oracle_sql_catalog()[name]
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{self.SF}/{t}.parquet')"
+            )
+        mine = canon(to_pandas(RAY_QUERIES[name](self.SF)))
+        oracle = canon(con.execute(sql).df())
+        ok, why = compare(mine, oracle)
+        assert ok, f"{name}: {why}"
+
+    def test_kg_vocab_twin(self):
+        self._check("kg_vocab")
+
+    def test_mm_media_stats_twin(self):
+        self._check("mm_media_stats")
+
+    def test_q40_jaccard_twin(self):
+        self._check("q40_jaccard_all_pairs")
