@@ -77,7 +77,7 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     res = build_kg(read_transcripts(tx_path), KGConfig())
     support = res.triples.map_batches(
-        lambda t: {"s": [sum(t["n_support"].to_pylist())]}, batch_format="pyarrow"
+        lambda t: {"s": [__import__("pyarrow").compute.sum(t["n_support"]).as_py() or 0]}, batch_format="pyarrow"
     ).sum("s")
     kg_secs = time.perf_counter() - t0
     queries["kg_build"] = round(kg_secs, 3)
@@ -159,7 +159,7 @@ def run_kg_only(tagger: str, n_convs: int) -> dict:
     t0 = time.perf_counter()
     res = build_kg(read_transcripts(path), KGConfig(tagger=tagger))
     support = res.triples.map_batches(
-        lambda t: {"s": [sum(t["n_support"].to_pylist())]}, batch_format="pyarrow"
+        lambda t: {"s": [__import__("pyarrow").compute.sum(t["n_support"]).as_py() or 0]}, batch_format="pyarrow"
     ).sum("s")
     secs = time.perf_counter() - t0
     out = {

@@ -45,19 +45,24 @@ def pool_size(min_actors: int = 1) -> tuple[int, int]:
     return (max(min_actors, cpus // 4), max(8, cpus))
 
 
-def heavy_pool_size() -> tuple[int, int]:
+def heavy_pool_size() -> int:
     """Pool sizing for the single heaviest stage of a pipeline (the flagship
-    tagger): min = half the cluster so the pool is already wide when work
-    arrives — the autoscaler's ramp otherwise eats most of the stage on
-    medium inputs.  Capped at 1/2 (not more) so a pipeline composing TWO
-    such pools (e.g. gold tagging -> re-tagging for evaluation) cannot
-    live-lock: pools claim their minimum actors eagerly, and minimums that
-    sum to the whole cluster starve the upstream read tasks (measured hang
-    at 3/4 + 1/4)."""
+    tagger): a FIXED pool of ``cpus - 2`` actors (2 CPUs reserved for the
+    upstream read tasks, whose total work is seconds).
+
+    Measured (216k-conv BERT flagship, pinned 32 cores): the previous
+    autoscaling pool ``(cpus//2, cpus)`` averaged ~21 busy actors out of 32
+    — the ramp decision lag dominated the stage and added ±20% run-to-run
+    variance (30-56s); a fixed ``cpus-2`` pool runs the same stage in
+    28.1-28.6s.  Fixed width is safe here BECAUSE every composition puts a
+    ``materialize()`` barrier between two heavy pools (build_kg pins
+    turn_mentions; kg_tagger_eval pins gold tags), so two fixed pools never
+    coexist and cannot re-create the measured 3/4 + 1/4 min-actor live-lock
+    that motivated the old autoscaling shape."""
     import ray
 
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
     else:
         cpus = 8
-    return (max(2, cpus // 2), max(8, cpus))
+    return max(2, cpus - 2)

@@ -116,3 +116,43 @@ class TestSaltedWindowExactness:
         # each (chunk, turn) appears at most twice (owned + one lookahead copy)
         dup = mega.groupby(["chunk", "turn_idx"]).size().max()
         assert dup == 1  # within a chunk each turn appears once
+
+
+class TestPatternVectorizedEquality:
+    """The vectorized extract_pattern_triples must match the row-loop
+    reference exactly (incl. tie ordering) on a real tagged corpus."""
+
+    def test_matches_row_reference_on_fixture(self, small_transcripts):
+        import pandas as pd
+
+        from ner_ray.stages.triples import _extract_pattern_triples_rows
+
+        tagged = RuleTagger(output="turn_mentions")(small_transcripts)
+        fast = extract_pattern_triples(tagged).to_pandas()
+        ref = _extract_pattern_triples_rows(tagged).to_pandas()
+        key = ["conv_id", "turn_idx", "subj", "obj"]
+        pd.testing.assert_frame_equal(
+            fast.sort_values(key).reset_index(drop=True),
+            ref.sort_values(key).reset_index(drop=True),
+        )
+
+    def test_unsorted_mentions_sorted_per_row(self):
+        # mentions given out of start order must pair in start order
+        tm = pa.table(
+            {
+                "conv_id": pa.array(["c1"], pa.string()),
+                "turn_idx": pa.array([0], pa.int32()),
+                "text": pa.array(["Oslo and Kyoto and Lima."], pa.string()),
+                "mentions": pa.array(
+                    [
+                        [
+                            {"surface": "Lima", "type": "LOC", "start": 19, "end": 23},
+                            {"surface": "Oslo", "type": "LOC", "start": 0, "end": 4},
+                            {"surface": "Kyoto", "type": "LOC", "start": 9, "end": 14},
+                        ]
+                    ]
+                ),
+            }
+        )
+        out = [(r["subj"], r["obj"]) for r in extract_pattern_triples(tm).to_pylist()]
+        assert out == [("Oslo", "Kyoto"), ("Kyoto", "Lima")]
