@@ -543,11 +543,19 @@ def _rewrite_join(triples: Dataset, mapping: Dataset, num_partitions: int) -> Da
         batch_format="pyarrow",
     ).groupby("skey").map_groups(pick, batch_format="pyarrow")
 
+    # One schema probe of the INPUT only; everything downstream is derived
+    # statically (probing the second join's lazy left side would re-execute
+    # the first join + upstream — see joins.hash_join).
+    s = triples.schema()
+    tschema = pa.schema(list(zip(s.names, s.types)))
+    str_ = pa.string()
     out = hash_join(
         triples.map_batches(keyed("subj"), batch_format="pyarrow"),
         skeys.rename_columns({"skey": "subj_key", "canon": "subj_canon"}),
         on="subj_key",
         how="left",
+        left_schema=pa.schema(list(tschema) + [pa.field("subj_key", str_)]),
+        right_schema=pa.schema([("subj_key", str_), ("subj_canon", str_)]),
     )
     out = out.map_batches(
         lambda t: t.set_column(
@@ -560,6 +568,8 @@ def _rewrite_join(triples: Dataset, mapping: Dataset, num_partitions: int) -> Da
         skeys.rename_columns({"skey": "obj_key", "canon": "obj_canon"}),
         on="obj_key",
         how="left",
+        left_schema=pa.schema(list(tschema) + [pa.field("obj_key", str_)]),
+        right_schema=pa.schema([("obj_key", str_), ("obj_canon", str_)]),
     )
     return out.map_batches(
         lambda t: t.set_column(

@@ -81,6 +81,10 @@ def pagerank_distributed(
 
     from ner_ray.stages.joins import hash_join
 
+    # Consumed three times below (nodes, out-weight agg, normalize join) and
+    # schema-probed once — pin it so a lazy upstream plan runs exactly once.
+    edges = edges.materialize()
+
     def ends(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -104,8 +108,20 @@ def pagerank_distributed(
             batch_format="pyarrow",
         )
 
+    # Explicit schemas on every lazy join side: Dataset.schema() on an
+    # un-executed chain runs the whole upstream plan (see joins.hash_join).
+    str_, f64 = pa.string(), pa.float64()
     out_w = edges.groupby("subj").aggregate(Sum("w", alias_name="out_w"))
-    nedges = hash_join(edges, out_w, on="subj", how="inner").map_batches(
+    edges_schema = pa.schema(list(zip(edges.schema().names, edges.schema().types)))
+    w_type = edges_schema.field("w").type
+    nedges = hash_join(
+        edges,
+        out_w,
+        on="subj",
+        how="inner",
+        left_schema=edges_schema,
+        right_schema=pa.schema([("subj", str_), ("out_w", w_type)]),
+    ).map_batches(
         lambda t: pa.table(
             {
                 "src": t["subj"],
@@ -144,7 +160,16 @@ def pagerank_distributed(
             batch_format="pyarrow",
         )
         contribs = (
-            hash_join(nedges, ranks_src, on="src", how="inner")
+            hash_join(
+                nedges,
+                ranks_src,
+                on="src",
+                how="inner",
+                left_schema=pa.schema(
+                    [("src", str_), ("dst", str_), ("norm_w", f64)]
+                ),
+                right_schema=pa.schema([("src", str_), ("rank", f64)]),
+            )
             .map_batches(contrib_partial, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Sum("c", alias_name="c"))
@@ -166,7 +191,14 @@ def pagerank_distributed(
             )
 
         ranks = (
-            hash_join(nodes, contribs, on="node", how="left")
+            hash_join(
+                nodes,
+                contribs,
+                on="node",
+                how="left",
+                left_schema=pa.schema([("node", str_)]),
+                right_schema=pa.schema([("node", str_), ("c", f64)]),
+            )
             .map_batches(update, batch_format="pyarrow")
             .materialize()
         )

@@ -33,14 +33,23 @@ def hash_join(
     right: Dataset,
     on: str | list[str],
     how: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Join two Datasets on key column(s) via union + groupby.
 
     ``how``: "inner" | "left" (left-outer).  Non-key column names must be
     disjoint between the two sides.
+
+    Pass ``left_schema`` / ``right_schema`` whenever the side is a LAZY
+    chain: ``Dataset.schema()`` on an un-executed plan EXECUTES the whole
+    upstream pipeline just to learn column types (measured: 2 nested
+    hash_joins re-ran a sort+aggregate chain 3x in q22), so schema probing
+    must never be the price of a join on a hot path.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    ls, rs = _arrow_schema(left), _arrow_schema(right)
+    ls = left_schema if left_schema is not None else _arrow_schema(left)
+    rs = right_schema if right_schema is not None else _arrow_schema(right)
     lcols = [n for n in ls.names if n not in keys]
     rcols = [n for n in rs.names if n not in keys]
     overlap = set(lcols) & set(rcols)

@@ -113,6 +113,66 @@ class _MinHashSketcher:
         )
 
 
+_N_CELLS = 8192
+
+
+def _add_cell(batch: pa.Table) -> pa.Table:
+    """Map (band, key) -> shuffle cell.  ~8k cells bound map_groups dispatch
+    (the per-group ~50us fixed cost) regardless of bucket cardinality."""
+    band = batch["band"].to_numpy().astype(np.uint64)
+    key = batch["key"].to_numpy().astype(np.uint64)
+    cell = ((key ^ (band * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(_N_CELLS)).astype(
+        np.int64
+    )
+    return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+
+def _cell_bucket_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
+    """All candidate pairs inside one shuffle cell, re-segmented by the true
+    (band, key) bucket identity and emitted vectorized (lexsort + boundary
+    scan + triu indices per >=2-doc segment; singleton segments — the vast
+    majority — cost one vector compare, no Python)."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if group.num_rows < 2:
+        return empty
+    band = group["band"].to_numpy()
+    key = group["key"].to_numpy()
+    doc = group["doc_id"].to_numpy()
+    order = np.lexsort((doc, key, band))
+    band, key, doc = band[order], key[order], doc[order]
+    brk = np.flatnonzero((band[1:] != band[:-1]) | (key[1:] != key[:-1]))
+    starts = np.concatenate(([0], brk + 1))
+    ends = np.concatenate((brk + 1, [len(doc)]))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        ids = np.unique(doc[s:e])
+        if len(ids) > max_bucket:  # cap degenerate buckets (deterministic + LOGGED)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_near_dup: bucket truncated %d -> %d docs (recall loss)",
+                len(ids),
+                max_bucket,
+            )
+            ids = ids[:max_bucket]
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ii])
+        out_b.append(ids[jj])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+
+
 def minhash_near_dup(
     ds: Dataset,
     text_col: str = "text",
@@ -163,33 +223,19 @@ def minhash_near_dup(
         explode, batch_format="pyarrow"
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        if n > max_bucket:  # cap degenerate buckets (deterministic + LOGGED)
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "minhash_near_dup: bucket truncated %d -> %d docs (recall loss)",
-                n,
-                max_bucket,
-            )
-            group = group.sort_by([("doc_id", "ascending")]).slice(0, max_bucket)
-            n = max_bucket
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
     # Distributed pair-dedup: the same candidate pair surfaces in up to
     # ``bands`` buckets; one groupby collapses it without driver collection.
+    # Buckets are shuffled by CELL (hash(band,key) % n_cells), not by raw
+    # (band, key): map_groups costs ~50us of dispatch PER GROUP, and band
+    # buckets are overwhelmingly singletons, so grouping by the raw key pays
+    # N*bands dispatches for almost no work.  ~8k cells keep dispatch O(cells)
+    # while the per-cell fn re-segments by (band, key) vectorized.
     cand = (
-        band_rows.groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        band_rows.map_batches(_add_cell, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(
+            lambda g: _cell_bucket_pairs(g, max_bucket), batch_format="pyarrow"
+        )
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])
@@ -198,7 +244,10 @@ def minhash_near_dup(
     # Distributed verify: join each side's signature onto the pair stream
     # (hash_join), compare signature agreement inside map_batches.  No
     # ``.to_pandas()`` between the band explode and the final group output —
-    # at 100 TB the candidate set is not driver-sized.
+    # at 100 TB the candidate set is not driver-sized.  Schemas are passed
+    # explicitly: every side is a lazy chain, and letting hash_join probe
+    # ``.schema()`` would re-execute the sort+aggregate candidate plan per
+    # probe (the 3x re-run this comment is the tombstone of).
     from ner_ray.stages.joins import hash_join
 
     sig_a = sketch.map_batches(
@@ -207,7 +256,17 @@ def minhash_near_dup(
     sig_b = sketch.map_batches(
         lambda t: pa.table({"b": t["doc_id"], "sig_b": t["sig"]}), batch_format="pyarrow"
     )
-    paired = hash_join(hash_join(cand, sig_a, on="a"), sig_b, on="b")
+    i64, bin_ = pa.int64(), pa.binary()
+    cand_schema = pa.schema([("a", i64), ("b", i64)])
+    sig_a_schema = pa.schema([("a", i64), ("sig_a", bin_)])
+    sig_b_schema = pa.schema([("b", i64), ("sig_b", bin_)])
+    join1 = hash_join(
+        cand, sig_a, on="a", left_schema=cand_schema, right_schema=sig_a_schema
+    )
+    join1_schema = pa.schema([("a", i64), ("b", i64), ("sig_a", bin_)])
+    paired = hash_join(
+        join1, sig_b, on="b", left_schema=join1_schema, right_schema=sig_b_schema
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         empty = pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
@@ -270,30 +329,63 @@ def simhash_near_dup(
     """Near-duplicate groups via SimHash (Hamming distance <= max_hamming;
     requires max_hamming < n_blocks for the pigeonhole blocking to be exact)."""
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
-        if n > max_bucket:
-            import logging
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        """Hamming-verified pairs inside one shuffle cell, re-segmented by the
+        true (block, val) bucket (same cell pattern as _cell_bucket_pairs:
+        dispatch is O(cells), not O(buckets)); per segment the XOR+popcount
+        runs over triu pair indices in numpy — no Python pair loop."""
+        empty = pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+        )
+        if group.num_rows < 2:
+            return empty
+        blk = group["block"].to_numpy()
+        val = group["val"].to_numpy()
+        doc = group["doc_id"].to_numpy()
+        sim = group["sim"].to_numpy().view(np.uint64)  # reinterpret two's-complement
+        order = np.lexsort((doc, val, blk))
+        blk, val, doc, sim = blk[order], val[order], doc[order], sim[order]
+        brk = np.flatnonzero((blk[1:] != blk[:-1]) | (val[1:] != val[:-1]))
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk + 1, [len(doc)]))
+        src: list[str] = []
+        dst: list[str] = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > max_bucket:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "simhash_near_dup: bucket truncated %d -> %d docs (recall loss)",
-                n,
-                max_bucket,
-            )
-            group = group.sort_by([("doc_id", "ascending")]).slice(0, max_bucket)
-            n = max_bucket
-        ids = group["doc_id"].to_pylist()
-        sims = [s & ((1 << 64) - 1) for s in group["sim"].to_pylist()]
-        src, dst = [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] != ids[j] and hamming64(sims[i], sims[j]) <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    src.append(f"d{a}")
-                    dst.append(f"d{b}")
-        return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+                logging.getLogger(__name__).warning(
+                    "simhash_near_dup: bucket truncated %d -> %d docs (recall loss)",
+                    n,
+                    max_bucket,
+                )
+                e = s + max_bucket
+                n = max_bucket
+            d, sm = doc[s:e], sim[s:e]
+            ii, jj = np.triu_indices(n, k=1)
+            x = np.bitwise_xor(sm[ii], sm[jj])
+            hd = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            m = (hd <= max_hamming) & (d[ii] != d[jj])
+            if not m.any():
+                continue
+            lo = np.minimum(d[ii][m], d[jj][m])
+            hi = np.maximum(d[ii][m], d[jj][m])
+            src.extend(f"d{v}" for v in lo)
+            dst.extend(f"d{v}" for v in hi)
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        b = batch["block"].to_numpy().astype(np.uint64)
+        v = batch["val"].to_numpy().view(np.uint64)
+        cell = ((v ^ (b * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(_N_CELLS)).astype(
+            np.int64
+        )
+        return batch.append_column("cell", pa.array(cell, pa.int64()))
 
     sketch = ds.map_batches(
         _SimHashSketcher,
@@ -301,7 +393,11 @@ def simhash_near_dup(
         batch_format="pyarrow",
         concurrency=pool_size(),
     )
-    edges = sketch.groupby(["block", "val"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    edges = (
+        sketch.map_batches(add_cell, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+    )
     return _groups_from_edges(ds, edges, id_col)
 
 
@@ -393,7 +489,14 @@ def _groups_from_edges(
         lambda t: pa.table({id_col: pa.compute.cast(t[id_col], pa.int64())}),
         batch_format="pyarrow",
     )
-    joined = hash_join(all_ids, dup_map, on=id_col, how="left")
+    joined = hash_join(
+        all_ids,
+        dup_map,
+        on=id_col,
+        how="left",
+        left_schema=pa.schema([(id_col, pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()), ("group_id", pa.int64())]),
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
