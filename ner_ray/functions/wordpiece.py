@@ -85,9 +85,8 @@ def basic_tokenize_scalar(text: str) -> list[tuple[int, int]]:
 _RARE_CLASS: dict[int, tuple[bool, bool]] = {}
 
 
-def basic_tokenize(text: str) -> list[tuple[int, int]]:
-    """Whitespace + punctuation + CJK-isolation split; returns (start, end)
-    spans over the original text.
+def _span_arrays(cps):
+    """Codepoint array -> sorted (starts, ends) basic-token span arrays.
 
     Vectorized: char classes come from numpy range tests over the codepoint
     array (ASCII space/punct ranges match ``str.isspace``/``_is_punct``
@@ -96,10 +95,6 @@ def basic_tokenize(text: str) -> list[tuple[int, int]]:
     Tested equal to ``basic_tokenize_scalar`` on ASCII+CJK+unicode inputs."""
     import numpy as np
 
-    n = len(text)
-    if n == 0:
-        return []
-    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
     space = ((cps >= 9) & (cps <= 13)) | (cps == 32) | ((cps >= 28) & (cps <= 31))
     punct = (
         ((cps >= 33) & (cps <= 47))
@@ -142,7 +137,19 @@ def basic_tokenize(text: str) -> list[tuple[int, int]]:
     starts = np.concatenate([rs, singles])
     ends = np.concatenate([re_, singles + 1])
     order = np.argsort(starts, kind="stable")
-    return list(zip(starts[order].tolist(), ends[order].tolist()))
+    return starts[order], ends[order]
+
+
+def basic_tokenize(text: str) -> list[tuple[int, int]]:
+    """Whitespace + punctuation + CJK-isolation split; returns (start, end)
+    spans over the original text (see ``_span_arrays``)."""
+    import numpy as np
+
+    if len(text) == 0:
+        return []
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    starts, ends = _span_arrays(cps)
+    return list(zip(starts.tolist(), ends.tolist()))
 
 
 def wordpiece_word(word: str, vocab: set[str], offset: int) -> list[Token]:
@@ -197,6 +204,55 @@ def tokenize(
             )
             cache[word] = hit
         out.extend(Token(p, s + rs, s + re, c) for p, rs, re, c in hit)
+    return out
+
+
+def tokenize_batch(
+    texts: list[str],
+    vocab: set[str],
+    do_lower_case: bool = True,
+    cache: dict | None = None,
+) -> list[list[Token]]:
+    """``[tokenize(t) for t in texts]``, with ONE numpy pass for the basic
+    split (tested equal).
+
+    Per-text ``basic_tokenize`` pays ~20 numpy-call fixed overheads on a
+    ~50-char array — ~100us/text, the single hottest line of the BERT tagger
+    profile (0.5s of a 1.6s batch).  Batch mode joins the whole batch with
+    ``"\\n"`` (whitespace, so no token run crosses a text boundary), runs the
+    char-class kernels once over the joined codepoints, and assigns spans
+    back to texts via one searchsorted.  The remaining per-WORD loop (memo
+    lookup + Token build) is shared with ``tokenize``."""
+    import numpy as np
+
+    if not texts:
+        return []
+    joined = "\n".join(texts)
+    out: list[list[Token]] = [[] for _ in texts]
+    if not joined:
+        return out
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    starts, ends = _span_arrays(cps)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    text_starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+    owner = np.searchsorted(text_starts, starts, side="right") - 1
+    local = starts - text_starts[owner]
+    if cache is None:
+        cache = {}
+    for o, gs, ge, ls in zip(
+        owner.tolist(), starts.tolist(), ends.tolist(), local.tolist()
+    ):
+        word = joined[gs:ge]
+        if do_lower_case:
+            word = word.lower()
+        hit = cache.get(word)
+        if hit is None:
+            hit = tuple(
+                (t.piece, t.start, t.end, t.is_continuation)
+                for t in wordpiece_word(word, vocab, 0)
+            )
+            cache[word] = hit
+        out[o].extend(Token(p, ls + rs, ls + re, c) for p, rs, re, c in hit)
     return out
 
 

