@@ -145,6 +145,24 @@ def run_kg_only(tagger: str, n_convs: int) -> dict:
         write_transcripts(path, TranscriptConfig(n_convs=n_convs, seed=42), shards=32)
         open(os.path.join(path, "_SUCCESS"), "w").write("ok")
     n_turns = read_transcripts(path).count()  # also warms the page cache
+
+    # Scaling legs run the BERT path with a MID-SIZE frozen encoder
+    # (SCALE_BERT_DIMS="hidden,layers,heads", default 128,2,4): the default
+    # micro substitute (H=32) has so little compute per byte that on ONE
+    # shared-DRAM box its skinny GEMMs are memory-bandwidth-bound — measured
+    # multiprocessing ceiling 0.775 at H=32 vs 0.886 at H=128 — which a real
+    # N-node vs 4N-node cluster (private DRAM per node) does not suffer.  The
+    # mid-size dims match the arithmetic intensity of the north star's
+    # BERT-base stage; correctness fixtures keep the tiny default.
+    tagger_kwargs = {}
+    dims = os.environ.get("SCALE_BERT_DIMS", "128,2,4")
+    if tagger == "bert" and dims:
+        h, nl, nh = (int(x) for x in dims.split(","))
+        from ner_ray.state.bert import FrozenTinyBert
+
+        tagger_kwargs["model_ref"] = ray.put(
+            FrozenTinyBert.create(hidden=h, n_layers=nl, n_heads=nh)
+        )
     # Warm the Ray worker pool: a small actor-pool pass pre-spawns worker
     # processes with ner_ray imported, so the measured window reflects
     # steady-state pipeline throughput (a standing cluster's workers exist
@@ -154,10 +172,15 @@ def run_kg_only(tagger: str, n_convs: int) -> dict:
     from ner_ray.stages.tagger import tag_transcripts
 
     tag_transcripts(
-        read_transcripts(path).limit(5000), tagger=tagger, output="turn_mentions"
+        read_transcripts(path).limit(5000),
+        tagger=tagger,
+        output="turn_mentions",
+        **tagger_kwargs,
     ).materialize()
     t0 = time.perf_counter()
-    res = build_kg(read_transcripts(path), KGConfig(tagger=tagger))
+    res = build_kg(
+        read_transcripts(path), KGConfig(tagger=tagger), tagger_kwargs=tagger_kwargs
+    )
     support = res.triples.map_batches(
         lambda t: {"s": [__import__("pyarrow").compute.sum(t["n_support"]).as_py() or 0]}, batch_format="pyarrow"
     ).sum("s")

@@ -22,6 +22,7 @@ import os
 import time
 from dataclasses import asdict, dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
@@ -128,34 +129,171 @@ def explode_mentions(batch: pa.Table) -> pa.Table:
     )
 
 
+# Unified fan-out row set: the tagger pass emits pattern triples (kind 0),
+# salted+keyed window rows (kind 1) and linked mentions (kind 2) in ONE
+# table, so ONE streaming pass over the corpus feeds all three downstream
+# branches and the wide ``text`` column never materializes.
+_FANOUT = pa.schema(
+    [
+        ("kind", pa.int8()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        # kind 0 — pattern triples (schemas.TRIPLES)
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("confidence", pa.float32()),
+        # kind 1 — window-shuffle rows (input of make_window_extractor)
+        ("mentions", pa.list_(schemas.MENTION_STRUCT)),
+        ("gkey", pa.int64()),
+        ("bucket", pa.int64()),
+        ("owned", pa.bool_()),
+        # kind 2 — linked mentions (schemas.LINKED_MENTIONS)
+        ("mention_id", pa.int64()),
+        ("surface", pa.string()),
+        ("type", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("entity_id", pa.int64()),
+        ("link_score", pa.float32()),
+    ]
+)
+
+
+def _align_fanout(t: pa.Table, kind: int) -> pa.Table:
+    n = t.num_rows
+    cols = [pa.array(np.full(n, kind, dtype=np.int8), pa.int8())]
+    for f in list(_FANOUT)[1:]:
+        if f.name in t.column_names:
+            col = t[f.name]
+            cols.append(col if col.type == f.type else pa.compute.cast(col, f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))
+    return pa.table(dict(zip(_FANOUT.names, cols)), schema=_FANOUT)
+
+
+def make_fanout(window: int, chunk_turns: int, alias_ref, tau: float):
+    """Per-batch fused fan-out: turn_mentions batch -> _FANOUT rows."""
+    from ner_ray.stages.linker import _get_linker
+    from ner_ray.stages.order_restore import salt_chunk_batch
+    from ner_ray.stages.triples import add_group_key, extract_pattern_triples
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        pat = extract_pattern_triples(batch)
+        narrow = batch.drop_columns(["text"])
+        keyed = add_group_key(salt_chunk_batch(narrow, chunk_turns, window))
+        linked = _get_linker(alias_ref, tau)(explode_mentions(narrow))
+        return pa.concat_tables(
+            [_align_fanout(pat, 0), _align_fanout(keyed, 1), _align_fanout(linked, 2)]
+        )
+
+    return fanout
+
+
+class TaggerFanout:
+    """Tagger + fan-out in ONE actor: Ray fuses task maps only INTO a
+    following actor operator, not out of one, so a ``map_batches(fanout)``
+    after the tagger stage would run as a second full-stream task stage
+    (measured: re-serializing every block).  Composing them in the actor's
+    ``__call__`` keeps the whole pass zero-intermediate."""
+
+    def __init__(self, tagger, tagger_kwargs, window, chunk_turns, alias_ref, tau):
+        from ner_ray.stages.tagger import TAGGERS
+
+        self.tagger = TAGGERS[tagger](output="turn_mentions", **(tagger_kwargs or {}))
+        self.fanout = make_fanout(window, chunk_turns, alias_ref, tau)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.fanout(self.tagger(batch))
+
+
+def _select_kind(fan: Dataset, kind: int, schema: pa.Schema) -> Dataset:
+    """One cheap zero-copy-read pass over the materialized fan-out blocks."""
+    import pyarrow.compute as pc
+
+    names = schema.names
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], kind)).select(names)
+        return t.cast(schema)
+
+    return fan.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_WINDOW_ROWS = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("mentions", pa.list_(schemas.MENTION_STRUCT)),
+        ("gkey", pa.int64()),
+        ("bucket", pa.int64()),
+        ("owned", pa.bool_()),
+    ]
+)
+
+
 def build_kg(
     transcripts: Dataset,
     cfg: KGConfig | None = None,
     alias_table: pa.Table | None = None,
+    tagger_kwargs: dict | None = None,
 ) -> KGResult:
-    """Assemble the lazy KG dataflow (no checkpoints; single execution graph)."""
+    """Assemble the KG dataflow: ONE fused streaming pass (tag -> pattern
+    extract + window salt/key + mention link, all inside the tagger actor
+    stage) materializes the compact ``_FANOUT`` row set; the window shuffle,
+    canonicalization and dedup then run over that narrow artifact.  Compared
+    to materializing ``turn_mentions`` and re-reading it per branch, this
+    drops two full passes AND keeps the wide ``text`` column out of the
+    object store — the difference between pinning the corpus and pinning only
+    its mention-bearing derivative at 100 TB.
+
+    ``tagger_kwargs`` forwards to the tagger constructor (e.g. a broadcast
+    ``model_ref`` for the neural paths); kept out of ``KGConfig`` because an
+    ObjectRef does not belong in the resumable-checkpoint signature."""
     import ray
+
+    from ner_ray.stages.triples import make_window_extractor
+    from ner_ray.utils import pool_size
 
     cfg = cfg or KGConfig()
     alias_table = alias_table if alias_table is not None else make_alias_table()
     alias_ref = ray.put(alias_table)
 
-    turn_mentions = tag_transcripts(
-        transcripts,
-        tagger=cfg.tagger,
-        output="turn_mentions",
+    from ner_ray.utils import heavy_pool_size
+
+    fan = transcripts.map_batches(
+        TaggerFanout,
+        fn_constructor_kwargs={
+            "tagger": cfg.tagger,
+            "tagger_kwargs": tagger_kwargs,
+            "window": cfg.window,
+            "chunk_turns": cfg.chunk_turns,
+            "alias_ref": alias_ref,
+            "tau": cfg.link_tau,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=cfg.tagger_batch_size,
-        concurrency=cfg.tagger_concurrency,
-    ).materialize()  # consumed by BOTH the triples and the linking branch —
-    # pin it once instead of re-running the tagger per branch.  (run_kg gets
-    # the same effect from its parquet stage checkpoint.)
-    raw_triples = extract_triples(
-        turn_mentions, window=cfg.window, chunk_turns=cfg.chunk_turns
-    )
-    mentions = turn_mentions.drop_columns(["text"]).map_batches(
-        explode_mentions, batch_format="pyarrow"
-    )
-    linked = link_mentions(mentions, alias_ref=alias_ref, tau=cfg.link_tau)
+        concurrency=(
+            cfg.tagger_concurrency
+            if cfg.tagger_concurrency is not None
+            else heavy_pool_size()
+        ),
+        num_cpus=1,
+    ).materialize()
+
+    pattern = _select_kind(fan, 0, schemas.TRIPLES)
+    if cfg.window > 1:
+        # coalesce to ~one block per CPU before the all-to-all (see
+        # extract_triples for the measured rationale)
+        win = _select_kind(fan, 1, _WINDOW_ROWS).repartition(pool_size()[1])
+        cross = win.groupby("bucket").map_groups(
+            make_window_extractor(cfg.window), batch_format="pyarrow"
+        )
+        raw_triples = pattern.union(cross)
+    else:
+        raw_triples = pattern
+    linked = _select_kind(fan, 2, schemas.LINKED_MENTIONS)
     mapping, entities = canonicalize(linked, alias_table, max_rounds=cfg.uf_rounds)
     canon_triples = rewrite_triples(raw_triples, mapping, how=cfg.rewrite)
     deduped = dedup_triples(canon_triples)

@@ -11,8 +11,8 @@ aggregates, not the raw extraction stream — at 100 TB the window extractor
 emits heavily repeated co-mention pairs, and this pre-aggregation is the
 difference between shuffling terabytes and gigabytes.  The final combine is
 hybrid (same rationale as canonicalize): below ``driver_threshold`` partial
-rows the merge happens driver-side with zero shuffle; above it, the keyed
-``groupby().map_groups`` shuffle distributes the merge.
+rows the merge happens driver-side with zero shuffle; above it, a bucketed
+keyed shuffle distributes the merge (see ``dedup_triples``).
 """
 
 from __future__ import annotations
@@ -49,17 +49,24 @@ def _partial(batch: pa.Table) -> pa.Table:
 
 
 def _merge_pdf(pdf: pd.DataFrame) -> pa.Table:
-    """Combine partials (pandas groupby, vectorized max/sum; the Python list
-    union runs only once per DISTINCT triple — used driver-side and per
-    shuffle group)."""
+    """Combine partials — fully vectorized.  The provenance union is an
+    explode -> drop_duplicates -> per-key cumcount cap (all C-speed); a
+    per-distinct-key Python ``set`` union here was the serial tail of the
+    whole dedup stage (1.8s driver-side on the bench corpus, and it GREW
+    with cluster width because more blocks -> more partial rows)."""
     if not len(pdf):
         return schemas.DEDUP_TRIPLES.empty_table()
     g = pdf.groupby(KEY, sort=True)
     conf = g["confidence"].max()
     ns = g["n_support"].sum()
-    convs = g["conv_ids"].agg(
-        lambda s: sorted({c for lst in s for c in lst})[:PROVENANCE_CAP]
-    )
+    ex = pdf[KEY + ["conv_ids"]].explode("conv_ids", ignore_index=True)
+    ex = ex.dropna(subset=["conv_ids"])  # empty provenance lists explode to NaN
+    ex = ex.drop_duplicates().sort_values(KEY + ["conv_ids"], kind="stable")
+    keep = ex.groupby(KEY, sort=False).cumcount() < PROVENANCE_CAP
+    ex = ex[keep]
+    convs = ex.groupby(KEY, sort=True)["conv_ids"].agg(list)
+    convs = convs.reindex(conf.index)
+    convs = convs.apply(lambda v: v if isinstance(v, list) else [])
     keys = conf.index
     return pa.table(
         {
@@ -74,37 +81,46 @@ def _merge_pdf(pdf: pd.DataFrame) -> pa.Table:
     )
 
 
-def _merge_block(batch: pa.Table) -> pa.Table:
-    return _merge_pdf(batch.to_pandas())
-
-
 def dedup_triples(
-    triples: Dataset, driver_threshold: int = 1_000_000, tree_threshold: int = 300_000
+    triples: Dataset, driver_threshold: int = 1_000_000, num_buckets: int | None = None
 ) -> Dataset:
     """Exact dedup over (subj, pred, obj) with provenance (DEDUP_TRIPLES).
 
-    Three-level combine: per-block Arrow partials always; above
-    ``tree_threshold`` partial rows a TREE round first re-merges the partials
-    in a handful of parallel tasks (each block's output collapses to its
-    distinct keys), so the vectorized driver merge only ever sees
-    ``distinct x few-blocks`` rows; above ``driver_threshold`` the merge is a
-    distributed keyed shuffle instead."""
+    Two-level combine: per-block Arrow partials always; at or below
+    ``driver_threshold`` partial rows the (vectorized) merge happens
+    driver-side with zero shuffle, above it the partials hash-bucket on the
+    triple key and each bucket merges in its own task.  Buckets — not
+    ``groupby(KEY)`` — because Ray's ``map_groups`` dispatch costs ~50us per
+    group and the triple key is high-cardinality at scale; ~4 buckets/CPU
+    keeps dispatch O(cluster) while the in-bucket merge stays vectorized."""
     partials = triples.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     n = partials.count()
-    if n > driver_threshold:
+    if n <= driver_threshold:
+        return rd.from_arrow(_merge_pdf(partials.to_pandas()))
 
-        def merge_group(g: pa.Table) -> pa.Table:
-            # stay in Arrow: list<string> provenance columns round-trip poorly
-            # through Ray's pandas tensor extension
-            return _merge_pdf(g.to_pandas())
+    from ner_ray.utils import pool_size
 
-        return partials.groupby(KEY).map_groups(merge_group, batch_format="pyarrow")
-    if n > tree_threshold:
-        partials = (
-            partials.repartition(8)
-            .map_batches(_merge_block, batch_format="pyarrow")
-            .materialize()
+    B = num_buckets or 4 * pool_size()[1]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        joined = pc.binary_join_element_wise(
+            batch["subj"], batch["pred"], batch["obj"], "\x00"
         )
-    return rd.from_arrow(_merge_pdf(partials.to_pandas()))
+        h = pd.util.hash_array(joined.to_numpy(zero_copy_only=False)) % B
+        return batch.append_column("bucket", pa.array(h.astype(np.int64)))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # stay in Arrow on the way in: list<string> provenance columns
+        # round-trip poorly through Ray's pandas tensor extension
+        return _merge_pdf(g.drop_columns(["bucket"]).to_pandas())
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )

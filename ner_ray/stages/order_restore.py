@@ -54,6 +54,19 @@ def add_salted_chunks(
     window context; stages must anchor emission on owned rows.
     ``window == 1`` means no cross-turn lookahead (no replication).
     """
+    salt_chunk_batch(pa.schema([("turn_idx", pa.int32())]).empty_table(),
+                     chunk_turns, window)  # validate args eagerly
+    return ds.map_batches(
+        lambda b: salt_chunk_batch(b, chunk_turns, window), batch_format="pyarrow"
+    )
+
+
+def salt_chunk_batch(
+    batch: pa.Table, chunk_turns: int = DEFAULT_CHUNK_TURNS, window: int = 1
+) -> pa.Table:
+    """Batch-level body of ``add_salted_chunks`` (pure per-row: chunk id from
+    turn_idx, lookahead replication by filter+concat) — exposed so the KG
+    pipeline can FUSE the salting into the tagger pass."""
     if chunk_turns < 1:
         raise ValueError("chunk_turns must be >= 1")
     if window < 1:
@@ -61,36 +74,32 @@ def add_salted_chunks(
     lookahead = window - 1
     if lookahead >= chunk_turns:
         raise ValueError("window - 1 must be < chunk_turns so lookahead spans at most one chunk")
-
-    def add(batch: pa.Table) -> pa.Table:
-        turn = batch["turn_idx"]
-        chunk = pc.cast(pc.floor(pc.divide(pc.cast(turn, pa.float64()), chunk_turns)), pa.int32())
-        owned = batch.append_column("chunk", chunk).append_column(
-            "owned", pa.array(np.ones(batch.num_rows, dtype=bool))
-        )
-        if lookahead == 0:
-            return owned
-        # Lookahead copies: turns in the first `lookahead` positions of a
-        # chunk > 0 are replicated into the previous chunk as context.
-        pos_in_chunk = pc.subtract(turn, pc.multiply(pc.cast(chunk, pa.int32()), chunk_turns))
-        mask = pc.and_(pc.less(pos_in_chunk, lookahead), pc.greater(chunk, 0))
-        ctx = batch.filter(mask)
-        ctx_chunk = pc.cast(
-            pc.subtract(
-                pc.cast(
-                    pc.floor(pc.divide(pc.cast(ctx["turn_idx"], pa.float64()), chunk_turns)),
-                    pa.int32(),
-                ),
-                1,
+    turn = batch["turn_idx"]
+    chunk = pc.cast(pc.floor(pc.divide(pc.cast(turn, pa.float64()), chunk_turns)), pa.int32())
+    owned = batch.append_column("chunk", chunk).append_column(
+        "owned", pa.array(np.ones(batch.num_rows, dtype=bool))
+    )
+    if lookahead == 0:
+        return owned
+    # Lookahead copies: turns in the first `lookahead` positions of a
+    # chunk > 0 are replicated into the previous chunk as context.
+    pos_in_chunk = pc.subtract(turn, pc.multiply(pc.cast(chunk, pa.int32()), chunk_turns))
+    mask = pc.and_(pc.less(pos_in_chunk, lookahead), pc.greater(chunk, 0))
+    ctx = batch.filter(mask)
+    ctx_chunk = pc.cast(
+        pc.subtract(
+            pc.cast(
+                pc.floor(pc.divide(pc.cast(ctx["turn_idx"], pa.float64()), chunk_turns)),
+                pa.int32(),
             ),
-            pa.int32(),
-        )
-        ctx = ctx.append_column("chunk", ctx_chunk).append_column(
-            "owned", pa.array(np.zeros(ctx.num_rows, dtype=bool))
-        )
-        return pa.concat_tables([owned, ctx])
-
-    return ds.map_batches(add, batch_format="pyarrow")
+            1,
+        ),
+        pa.int32(),
+    )
+    ctx = ctx.append_column("chunk", ctx_chunk).append_column(
+        "owned", pa.array(np.zeros(ctx.num_rows, dtype=bool))
+    )
+    return pa.concat_tables([owned, ctx])
 
 
 def sorted_group(table: pa.Table) -> pa.Table:
