@@ -1089,6 +1089,53 @@ def q40_jaccard_all_pairs(sf_dir: str) -> pd.DataFrame:
     return ngram_jaccard_pairs(ds, pairs)
 
 
+def q41_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Distributed EXACT per-group continuous quantiles (histogram-CDF +
+    targeted refinement — no global sort, no value collect; see
+    relational.grouped_quantiles).  DuckDB twin: quantile_cont."""
+    from ner_ray.stages.relational import grouped_quantiles
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"]
+    )
+    return grouped_quantiles(ds, "o_orderpriority", "o_totalprice")
+
+
+SQL_Q41 = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q42_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP over (l_returnflag, l_linestatus): one combiner pass
+    computes the finest level; coarser levels fold from those partials
+    driver-side (relational.rollup_agg)."""
+    from ner_ray.stages.relational import rollup_agg
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return rollup_agg(ds, ["l_returnflag", "l_linestatus"], "l_quantity")
+
+
+SQL_Q42 = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 4) AS sum_val,
+       count(*) AS n_rows,
+       CAST(2 - GROUPING(l_returnflag) - GROUPING(l_linestatus) AS BIGINT) AS _lvl
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -1331,6 +1378,8 @@ RAY_QUERIES = {
     "q40_jaccard_all_pairs": q40_jaccard_all_pairs,
     "q38_winnow_fingerprint": q38_winnow_fingerprint,
     "q39_doc_near_dup_lsh": q39_doc_near_dup_lsh,
+    "q41_grouped_quantiles": q41_grouped_quantiles,
+    "q42_rollup": q42_rollup,
     "kg_degree_stats": kg_degree_stats,
     "kg_pagerank": kg_pagerank,
     "kg_triples": kg_triples,
@@ -1382,6 +1431,8 @@ ORACLE_SQL = {
     "q35_heavy_hitters": SQL_Q35,
     "q36_native_join": SQL_Q36,
     "q40_jaccard_all_pairs": SQL_Q40,
+    "q41_grouped_quantiles": SQL_Q41,
+    "q42_rollup": SQL_Q42,
 }
 
 

@@ -382,3 +382,151 @@ def sessionize(
         return out
 
     return ds.groupby(key_col).map_groups(sess, batch_format="pandas")
+
+
+def grouped_quantiles(
+    ds: Dataset,
+    key_col: str,
+    val_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+    bins: int = 4096,
+) -> pd.DataFrame:
+    """Distributed EXACT per-group continuous quantiles (``quantile_cont``
+    semantics: linear interpolation at rank ``q * (n - 1)``), without ever
+    collecting or globally sorting the value column.
+
+    Three combiner-shaped passes, each shuffling only tiny partials:
+
+    1. per-block ``(group, count/min/max)`` partials -> per-group range;
+    2. per-block histograms over ``bins`` uniform buckets of each group's
+       range (sparse ``(group, bin, count)`` rows; at most ``G x bins``
+       after the driver combine) -> cumulative counts locate, for every
+       requested rank, the bucket holding it;
+    3. one filtered pass collects ONLY the values inside those target
+       buckets (expected ``n / bins`` rows per hit, independent of total
+       size) and interpolates exactly.
+
+    The refinement collect is bounded by value skew, not data size: a
+    degenerate distribution where half a group's mass lands in one bucket
+    would collect that bucket; raise ``bins`` for pathological skew.
+    """
+    from ner_ray.utils import pool_size
+
+    stats = grouped_agg_partial(
+        ds, [key_col], mins={"lo": val_col}, maxs={"hi": val_col}, count_col="n"
+    )
+    keys = stats[key_col].tolist()
+    key_ix = {k: i for i, k in enumerate(keys)}
+    lo = stats["lo"].to_numpy(dtype=np.float64)
+    hi = stats["hi"].to_numpy(dtype=np.float64)
+    n = stats["n"].to_numpy(dtype=np.int64)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    G = len(keys)
+
+    def _codes_bins(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        codes = (
+            pd.Series(batch[key_col].to_pandas()).map(key_ix).to_numpy(dtype=np.int64)
+        )
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo[codes]) / span[codes] * bins).astype(np.int64), 0, bins - 1)
+        return codes, b, v
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        codes, b, _ = _codes_bins(batch)
+        flat = np.bincount(codes * bins + b, minlength=G * bins)
+        nz = np.flatnonzero(flat)
+        return pa.table(
+            {
+                "cell": pa.array(nz, pa.int64()),
+                "cnt": pa.array(flat[nz], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("cell", sort=True)["cnt"]
+        .sum()
+    )
+    full = np.zeros(G * bins, dtype=np.int64)
+    full[hist.index.to_numpy()] = hist.to_numpy()
+    full = full.reshape(G, bins)
+    cum = np.cumsum(full, axis=1)  # cum[g, b] = rows with bin <= b
+    before = cum - full  # rows strictly before bin b
+
+    # ranks needed per group: floor and ceil of q * (n - 1)
+    need: dict[tuple[int, int], None] = {}
+    rank_info = []  # (g, q, pos, lo_rank, hi_rank)
+    for g in range(G):
+        for q in qs:
+            pos = q * (n[g] - 1)
+            r0, r1 = int(np.floor(pos)), int(np.ceil(pos))
+            b0 = int(np.searchsorted(cum[g], r0, side="right"))
+            b1 = int(np.searchsorted(cum[g], r1, side="right"))
+            need[(g, b0)] = None
+            need[(g, b1)] = None
+            rank_info.append((g, q, pos, r0, r1, b0, b1))
+    need_cells = np.array(sorted(g * bins + b for (g, b) in need), dtype=np.int64)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        codes, b, v = _codes_bins(batch)
+        cells = codes * bins + b
+        ix = np.searchsorted(need_cells, cells)
+        ix = np.clip(ix, 0, len(need_cells) - 1)
+        mask = need_cells[ix] == cells
+        return pa.table(
+            {
+                "cell": pa.array(cells[mask], pa.int64()),
+                "val": pa.array(v[mask], pa.float64()),
+            }
+        )
+
+    ref = (
+        ds.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["cell", "val"], kind="mergesort")
+    )
+    by_cell = {c: grp["val"].to_numpy() for c, grp in ref.groupby("cell", sort=False)}
+
+    def value_at(g: int, rank: int, b: int) -> float:
+        vals = by_cell[g * bins + b]
+        return float(vals[rank - before[g, b]])
+
+    rows: dict[tuple, dict] = {}
+    for g, q, pos, r0, r1, b0, b1 in rank_info:
+        v0 = value_at(g, r0, b0)
+        v1 = value_at(g, r1, b1) if r1 != r0 else v0
+        rows.setdefault(g, {})[q] = v0 + (pos - r0) * (v1 - v0)
+    out = pd.DataFrame({key_col: keys})
+    for q in qs:
+        out[f"p{int(q * 100)}"] = [round(rows[g][q], 4) for g in range(G)]
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+def rollup_agg(
+    ds: Dataset, keys: list[str], sum_col: str, all_label: str = "ALL"
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(k1, k2, ...)``: aggregates at every key prefix down
+    to the grand total.  One combiner pass computes the FINEST level (the
+    only one that touches the data); every coarser level folds from the
+    finest partials driver-side — |finest| rows, not data rows."""
+    finest = grouped_agg_partial(
+        ds, keys, sums={"sum_val": sum_col}, count_col="n_rows"
+    )
+    levels = [finest.assign(_lvl=len(keys))]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        if kept:
+            g = finest.groupby(kept, sort=False, as_index=False)[["sum_val", "n_rows"]].sum()
+        else:
+            g = pd.DataFrame(
+                {"sum_val": [finest["sum_val"].sum()], "n_rows": [finest["n_rows"].sum()]}
+            )
+        for k in keys[depth:]:
+            g[k] = all_label
+        levels.append(g.assign(_lvl=depth))
+    out = pd.concat(levels, ignore_index=True)[keys + ["sum_val", "n_rows", "_lvl"]]
+    out["sum_val"] = out["sum_val"].astype(float).round(4)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["_lvl"] = out["_lvl"].astype("int64")
+    return out.sort_values(keys + ["_lvl"]).reset_index(drop=True)

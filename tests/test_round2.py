@@ -239,3 +239,65 @@ class TestDynamicOracleTwins:
 
     def test_q40_jaccard_twin(self):
         self._check("q40_jaccard_all_pairs")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedQuantiles:
+    def _data(self, seed=7, n=5000, groups=4):
+        rng = np.random.default_rng(seed)
+        keys = rng.integers(0, groups, n)
+        vals = np.round(rng.normal(500, 200, n), 2)
+        return pd.DataFrame({"k": [f"g{i}" for i in keys], "v": vals})
+
+    def test_matches_numpy_linear(self):
+        from ner_ray.stages.relational import grouped_quantiles
+
+        pdf = self._data()
+        ds = rd.from_pandas(pdf).repartition(8)
+        out = grouped_quantiles(ds, "k", "v", qs=(0.25, 0.5, 0.75, 0.95))
+        for _, row in out.iterrows():
+            g = pdf[pdf["k"] == row["k"]]["v"].to_numpy()
+            for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
+                assert row[col] == pytest.approx(np.quantile(g, q), abs=1e-4), (
+                    row["k"], q,
+                )
+
+    def test_single_row_group_and_constant_group(self):
+        from ner_ray.stages.relational import grouped_quantiles
+
+        pdf = pd.DataFrame(
+            {"k": ["a", "b", "b", "b"], "v": [42.0, 7.0, 7.0, 7.0]}
+        )
+        out = grouped_quantiles(rd.from_pandas(pdf).repartition(2), "k", "v", qs=(0.5,))
+        got = dict(zip(out["k"], out["p50"]))
+        assert got == {"a": 42.0, "b": 7.0}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollup:
+    def test_matches_pandas_levels(self):
+        from ner_ray.stages.relational import rollup_agg
+
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y"], 200),
+                "b": rng.choice(["u", "v", "w"], 200),
+                "val": np.round(rng.uniform(0, 10, 200), 2),
+            }
+        )
+        out = rollup_agg(rd.from_pandas(pdf).repartition(4), ["a", "b"], "val")
+        # finest level
+        fin = out[out["_lvl"] == 2]
+        exp = pdf.groupby(["a", "b"], as_index=False)["val"].sum()
+        for _, r in exp.iterrows():
+            row = fin[(fin["a"] == r["a"]) & (fin["b"] == r["b"])]
+            assert row["sum_val"].iloc[0] == pytest.approx(round(r["val"], 4))
+        # grand total level: key columns show the ALL label
+        g0 = out[out["_lvl"] == 0]
+        assert len(g0) == 1 and g0["a"].iloc[0] == "ALL" and g0["b"].iloc[0] == "ALL"
+        assert g0["sum_val"].iloc[0] == pytest.approx(round(pdf["val"].sum(), 4))
+        assert int(g0["n_rows"].iloc[0]) == 200
+        # level-1 rows: one per distinct a
+        g1 = out[out["_lvl"] == 1]
+        assert set(g1["a"]) == {"x", "y"} and set(g1["b"]) == {"ALL"}
