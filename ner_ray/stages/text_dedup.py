@@ -173,6 +173,61 @@ def _cell_bucket_pairs(group: pa.Table, max_bucket: int) -> pa.Table:
     )
 
 
+def _minhash_verify_local(
+    ds: Dataset,
+    sk: "pd.DataFrame",
+    id_col: str,
+    num_perm: int,
+    threshold: float,
+    max_bucket: int,
+) -> Dataset:
+    """Driver fast path of ``minhash_near_dup``: bucket + pair + verify over
+    the collected sketch table.  Bucketing/pairing reuses the SAME
+    ``_cell_bucket_pairs`` kernel as the distributed plan (one call over all
+    band rows — segmentation is by true (band, key), so cell partitioning is
+    irrelevant to the result), keeping the two paths pair-identical."""
+    import pandas as pd  # noqa: F401  (type comment)
+
+    doc = sk["doc_id"].to_numpy(dtype=np.int64)
+    n = len(doc)
+    if n == 0:
+        return _groups_from_edges(
+            ds, __import__("ray").data.from_arrow(
+                pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+            ), id_col,
+        )
+    keys = np.asarray(sk["keys"].tolist(), dtype=np.int64)  # [N, bands]
+    bands_n = keys.shape[1]
+    band_rows = pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(bands_n, dtype=np.int64), n), pa.int64()),
+            "key": pa.array(keys.reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.repeat(doc, bands_n), pa.int64()),
+        }
+    )
+    pairs = _cell_bucket_pairs(band_rows, max_bucket)
+    a = pairs["a"].to_numpy(zero_copy_only=False)
+    b = pairs["b"].to_numpy(zero_copy_only=False)
+    if len(a):
+        uniq = np.unique(np.column_stack([a, b]), axis=0)
+        a, b = uniq[:, 0], uniq[:, 1]
+    sig = np.frombuffer(b"".join(sk["sig"]), dtype=np.uint32).reshape(n, num_perm)
+    ix = {int(d): i for i, d in enumerate(doc)}
+    ai = np.fromiter((ix[int(x)] for x in a), dtype=np.int64, count=len(a))
+    bi = np.fromiter((ix[int(y)] for y in b), dtype=np.int64, count=len(b))
+    agree = (sig[ai] == sig[bi]).mean(axis=1) if len(a) else np.empty(0)
+    keep = agree >= threshold
+    edges = pa.table(
+        {
+            "src": pa.array([f"d{int(x)}" for x in a[keep]], pa.string()),
+            "dst": pa.array([f"d{int(y)}" for y in b[keep]], pa.string()),
+        }
+    )
+    import ray.data as rd
+
+    return _groups_from_edges(ds, rd.from_arrow(edges), id_col)
+
+
 def minhash_near_dup(
     ds: Dataset,
     text_col: str = "text",
@@ -182,6 +237,7 @@ def minhash_near_dup(
     shingle_k: int = 3,
     threshold: float = 0.7,
     max_bucket: int = 200,
+    driver_threshold: int = 100_000,
 ) -> Dataset:
     """Near-duplicate groups via MinHash+LSH.
 
@@ -196,7 +252,13 @@ def minhash_near_dup(
     scalable standard — exact-Jaccard recheck is ``ngram_jaccard_pairs``)
     runs against a sig lookup bounded by the candidate set, which LSH keeps
     tiny relative to the corpus.
-    """
+
+    Hybrid (same rationale as dedup_triples / canonicalize): at or below
+    ``driver_threshold`` docs the SKETCH table is driver-small (sig
+    ``num_perm*4`` B + ``bands*8`` B per doc), so bucketing + pairing +
+    verify run locally on the collected sketch — tested pair-identical to
+    the distributed plan, which otherwise pays ~6 shuffle executions of
+    fixed overhead.  Above it, the fully distributed plan runs."""
     sketch = ds.map_batches(
         _MinHashSketcher,
         fn_constructor_kwargs=dict(
@@ -206,6 +268,11 @@ def minhash_near_dup(
         batch_format="pyarrow",
         concurrency=pool_size(),
     ).materialize()  # consumed twice: band explode + candidate verification
+
+    if sketch.count() <= driver_threshold:
+        return _minhash_verify_local(
+            ds, sketch.to_pandas(), id_col, num_perm, threshold, max_bucket
+        )
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -301,3 +301,22 @@ class TestRollup:
         # level-1 rows: one per distinct a
         g1 = out[out["_lvl"] == 1]
         assert set(g1["a"]) == {"x", "y"} and set(g1["b"]) == {"ALL"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashHybridPaths:
+    def test_driver_path_equals_distributed(self):
+        from ner_ray.stages.text_dedup import minhash_near_dup
+
+        rng = np.random.default_rng(11)
+        base = [
+            " ".join(rng.choice(list("abcdefgh"), 30)) + f" tail{i}" for i in range(40)
+        ]
+        texts = base + [t + " x" for t in base[:10]]  # 10 near-dups
+        pdf = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+        ds = rd.from_pandas(pdf).repartition(4)
+        lo = minhash_near_dup(ds, driver_threshold=10**9).to_pandas()
+        hi = minhash_near_dup(ds, driver_threshold=0).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["doc_id", "group_id", "keep"]].values))
+        assert key(lo) == key(hi)
+        assert (~lo["keep"]).sum() > 0  # it actually found duplicates
