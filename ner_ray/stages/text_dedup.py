@@ -392,9 +392,17 @@ def simhash_near_dup(
     max_hamming: int = 3,
     n_blocks: int = 4,
     max_bucket: int = 500,
+    driver_threshold: int = 100_000,
 ) -> Dataset:
     """Near-duplicate groups via SimHash (Hamming distance <= max_hamming;
-    requires max_hamming < n_blocks for the pigeonhole blocking to be exact)."""
+    requires max_hamming < n_blocks for the pigeonhole blocking to be exact).
+
+    Hybrid like ``minhash_near_dup``: at or below ``driver_threshold`` docs
+    the sketch (``n_blocks`` ~24-byte rows per doc) collects to the driver
+    and ``cell_pairs`` runs ONCE over the whole table (it re-segments by the
+    true (block, val) bucket internally, so the result is pair-identical to
+    the cell-sharded shuffle), skipping the groupby execution's fixed cost;
+    above it the distributed cell shuffle runs."""
 
     def cell_pairs(group: pa.Table) -> pa.Table:
         """Hamming-verified pairs inside one shuffle cell, re-segmented by the
@@ -454,12 +462,16 @@ def simhash_near_dup(
         )
         return batch.append_column("cell", pa.array(cell, pa.int64()))
 
-    sketch = ds.map_batches(
-        _SimHashSketcher,
-        fn_constructor_kwargs=dict(n_blocks=n_blocks, text_col=text_col, id_col=id_col),
-        batch_format="pyarrow",
-        concurrency=pool_size(),
-    )
+    # plain tasks, not an actor pool: the sketcher is stateless (no cache to
+    # pin), so tasks reuse warm workers and pay no pool spawn
+    _sketch_fn = _SimHashSketcher(n_blocks=n_blocks, text_col=text_col, id_col=id_col)
+    sketch = ds.map_batches(_sketch_fn, batch_format="pyarrow").materialize()
+    if sketch.count() <= driver_threshold * n_blocks:
+        import ray as _ray
+        import ray.data as rd
+
+        tbl = pa.concat_tables(_ray.get(sketch.to_arrow_refs()))
+        return _groups_from_edges(ds, rd.from_arrow(cell_pairs(tbl)), id_col)
     edges = (
         sketch.map_batches(add_cell, batch_format="pyarrow")
         .groupby("cell")

@@ -320,3 +320,16 @@ class TestMinhashHybridPaths:
         key = lambda df: sorted(map(tuple, df[["doc_id", "group_id", "keep"]].values))
         assert key(lo) == key(hi)
         assert (~lo["keep"]).sum() > 0  # it actually found duplicates
+
+    def test_simhash_driver_path_equals_distributed(self):
+        from ner_ray.stages.text_dedup import simhash_near_dup
+
+        rng = np.random.default_rng(5)
+        base = [" ".join(rng.choice(list("abcdefgh"), 25)) + f" t{i}" for i in range(30)]
+        texts = base + [t + " zz" for t in base[:8]]
+        pdf = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+        ds = rd.from_pandas(pdf).repartition(4)
+        lo = simhash_near_dup(ds, driver_threshold=10**9).to_pandas()
+        hi = simhash_near_dup(ds, driver_threshold=0).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["doc_id", "group_id", "keep"]].values))
+        assert key(lo) == key(hi)
