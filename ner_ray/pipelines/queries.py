@@ -1235,11 +1235,31 @@ def kg_triples(sf_dir: str) -> Dataset:
 
 
 def kg_mentions(sf_dir: str) -> Dataset:
+    """B3 rule-tagger mentions; ``mention_id`` (a blake2b hash, pytest-covered)
+    is projected off so the DuckDB twin can hash-check the semantic content."""
     from ner_ray.stages.tagger import tag_transcripts
     from ner_ray.pipelines.kg import read_transcripts
 
     tx = read_transcripts(transcripts_path_for(sf_dir))
-    return tag_transcripts(tx, tagger="rule")
+    return tag_transcripts(tx, tagger="rule").drop_columns(["mention_id"])
+
+
+def kg_raw_triples(sf_dir: str) -> Dataset:
+    """B4 extraction output (pre-link/canonicalize/dedup): same-turn lexicon
+    triples + windowed co-mentions over rule-tagger mentions.  Oracle-backed:
+    the DuckDB twin re-derives mentions AND both triple kinds in SQL, so the
+    whole hot extraction path is hash-gated (kg_triples adds linking +
+    canonicalization + dedup on top, pytest-covered)."""
+    from ner_ray.stages.tagger import tag_transcripts
+    from ner_ray.stages.triples import extract_triples
+    from ner_ray.pipelines.kg import read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    # materialize: extract_triples consumes turn_mentions in TWO branches
+    # (pattern + window); feeding it a live actor-pool stage would re-execute
+    # the tagger per branch and the two eager pools live-lock the cluster.
+    tm = tag_transcripts(tx, tagger="rule", output="turn_mentions").materialize()
+    return extract_triples(tm, window=3)
 
 
 def kg_entities(sf_dir: str) -> Dataset:
@@ -1382,11 +1402,12 @@ RAY_QUERIES = {
     "q42_rollup": q42_rollup,
     "kg_order_restore": kg_order_restore,
     "kg_vocab": kg_vocab,
+    "kg_mentions": kg_mentions,
+    "kg_raw_triples": kg_raw_triples,
     "mm_media_stats": mm_media_stats,
     # --- rows-only: flagship KG path + multimodal plumbing ---
     "kg_tagger_eval": kg_tagger_eval,
     "kg_triples": kg_triples,
-    "kg_mentions": kg_mentions,
     "kg_bert_mentions": kg_bert_mentions,
     "kg_neural_mentions": kg_neural_mentions,
     "kg_entities": kg_entities,
@@ -1498,4 +1519,126 @@ UNION ALL SELECT '<UNK>', (SELECT k FROM k) + 3
         "avg(octet_length(payload)) AS mean_bytes "
         f"FROM read_parquet('{mpath}/*.parquet') GROUP BY kind"
     )
+    sql["kg_mentions"] = _kg_mentions_sql(path)
+    sql["kg_raw_triples"] = _kg_raw_triples_sql(path)
     return sql
+
+
+def _rule_mentions_ctes(transcripts_path: str) -> str:
+    """Shared CTE block: DuckDB twin of the B3 rule tagger
+    (tagger.py:69 ``RuleTagger``), ending in a ``mentions`` relation.
+
+    Reimplements the tagger's exact semantics in SQL over the same cached
+    transcripts parquet: (1) a recursive CTE enumerates EVERY character
+    occurrence of every gazetteer surface (DuckDB ``position``/``substr`` are
+    character-indexed, matching Python string offsets incl. CJK); (2) the
+    ASCII word-boundary guard drops matches embedded in ASCII words ("Lima"
+    inside "climate"), mirroring ``RuleTagger._spans``; (3) an anti-join drops
+    any match strictly contained in a longer match, which equals the regex
+    scan's leftmost-longest consumption for this gazetteer — its only
+    overlapping pair is 南京 ⊂ 南京大学 (same start, CJK, so never
+    guard-rejected; tests/test_round2.py asserts the full equivalence).
+    """
+    from ner_ray.fixtures import gazetteer as gz
+
+    values = ", ".join(f"('{s}', '{t}')" for s, t in sorted(gz.SURFACE2TYPE.items()))
+    word = "^[A-Za-z0-9]$"
+    return f"""
+WITH RECURSIVE gaz(surface, type) AS (VALUES {values}),
+turns AS (
+  SELECT conv_id, turn_idx, text
+  FROM read_parquet('{transcripts_path}/*.parquet') WHERE text IS NOT NULL
+),
+occ(conv_id, turn_idx, text, surface, type, pos1) AS (
+  SELECT t.conv_id, t.turn_idx, t.text, g.surface, g.type,
+         position(g.surface IN t.text)
+  FROM turns t, gaz g
+  WHERE position(g.surface IN t.text) > 0
+  UNION ALL
+  SELECT conv_id, turn_idx, text, surface, type,
+         pos1 + position(surface IN substr(text, pos1 + 1))
+  FROM occ
+  WHERE position(surface IN substr(text, pos1 + 1)) > 0
+),
+m AS (
+  SELECT conv_id, turn_idx, text, surface, type,
+         pos1 - 1 AS s, pos1 - 1 + length(surface) AS e, length(surface) AS len
+  FROM occ
+),
+guarded AS (
+  SELECT * FROM m
+  WHERE NOT (s > 0
+             AND regexp_matches(substr(text, s, 1), '{word}')
+             AND regexp_matches(substr(text, s + 1, 1), '{word}'))
+    AND NOT (e < length(text)
+             AND regexp_matches(substr(text, e, 1), '{word}')
+             AND regexp_matches(substr(text, e + 1, 1), '{word}'))
+),
+mentions AS (
+  SELECT g.*, row_number() OVER (PARTITION BY g.conv_id, g.turn_idx ORDER BY g.s) AS rn
+  FROM guarded g
+  WHERE NOT EXISTS (
+    SELECT 1 FROM guarded o
+    WHERE o.conv_id = g.conv_id AND o.turn_idx = g.turn_idx
+      AND o.len > g.len AND o.s <= g.s AND g.e <= o.e
+  )
+)"""
+
+
+def _kg_mentions_sql(transcripts_path: str) -> str:
+    """DuckDB twin of kg_mentions.  ``mention_id`` (a blake2b hash of
+    (conv_id, turn_idx, start), pytest-covered) is not SQL-reproducible and is
+    projected off both sides."""
+    return (
+        _rule_mentions_ctes(transcripts_path)
+        + """
+SELECT conv_id, turn_idx::INTEGER AS turn_idx, surface, type,
+       s::INTEGER AS start, e::INTEGER AS "end"
+FROM mentions
+"""
+    )
+
+
+def _kg_raw_triples_sql(transcripts_path: str, window: int = 3) -> str:
+    """DuckDB twin of the full B4 extraction (triples.py:302
+    ``extract_triples``) on rule-tagger mentions.
+
+    Same-turn: adjacent mention pairs (by start) probe the normalized
+    between-text against PRED_LEXICON (hit -> pred/1.0, miss ->
+    co_occurs_with/0.8); the normalization mirrors ``_norm_between``
+    (strip " \\t.,;:!?", collapse whitespace, lower).  Cross-turn: every
+    mention pair (a in t, b in t') with 0 < t' - t < window emits
+    co_mentioned_with/0.5 anchored at a's turn."""
+    from ner_ray.stages.triples import PRED_LEXICON
+
+    lex = ", ".join(f"('{k}', '{v}')" for k, v in sorted(PRED_LEXICON.items()))
+    strip_set = r" \t.,;:!?"
+    return (
+        _rule_mentions_ctes(transcripts_path)
+        + f""",
+lex(btw, pred) AS (VALUES {lex}),
+same_turn AS (
+  SELECT a.conv_id, a.turn_idx, a.surface AS subj, b.surface AS obj,
+         lower(trim(regexp_replace(
+             trim(substr(a.text, a.e + 1, b.s - a.e), E'{strip_set}'),
+             '\\s+', ' ', 'g'), ' ')) AS btw
+  FROM mentions a JOIN mentions b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND b.rn = a.rn + 1
+),
+pattern AS (
+  SELECT s.subj, coalesce(l.pred, 'co_occurs_with') AS pred, s.obj,
+         s.conv_id, s.turn_idx,
+         (CASE WHEN l.pred IS NULL THEN 0.8 ELSE 1.0 END)::REAL AS confidence
+  FROM same_turn s LEFT JOIN lex l ON s.btw = l.btw
+),
+cross_turn AS (
+  SELECT a.surface AS subj, 'co_mentioned_with' AS pred, b.surface AS obj,
+         a.conv_id, a.turn_idx, 0.5::REAL AS confidence
+  FROM mentions a JOIN mentions b
+    ON a.conv_id = b.conv_id
+   AND b.turn_idx > a.turn_idx AND b.turn_idx < a.turn_idx + {window}
+)
+SELECT subj, pred, obj, conv_id, turn_idx::INTEGER AS turn_idx, confidence
+FROM (SELECT * FROM pattern UNION ALL SELECT * FROM cross_turn)
+"""
+    )
