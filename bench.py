@@ -177,9 +177,19 @@ def run_kg_only(tagger: str, n_convs: int) -> dict:
         output="turn_mentions",
         **tagger_kwargs,
     ).materialize()
+    # Tagger batch size is overridable for granularity experiments; default
+    # stays the library's 4096.  (Probed during round 2: the PLAIN tagger
+    # stage prefers small batches on a wide cluster — 51.6s at bs=512 vs
+    # 60.0s at bs=4096, 32 CPUs, pool ramp/tail waves — and big batches on a
+    # narrow one — 158s at bs=4096 vs 221s at bs=1024, 8 pinned cores — but
+    # the FUSED fan-out e2e showed no robust gain (72.2s vs 74.0s at
+    # 4096/1024, same box window), so the default is left alone.)
+    batch_size = int(os.environ.get("SCALE_BATCH", "4096"))
     t0 = time.perf_counter()
     res = build_kg(
-        read_transcripts(path), KGConfig(tagger=tagger), tagger_kwargs=tagger_kwargs
+        read_transcripts(path),
+        KGConfig(tagger=tagger, tagger_batch_size=batch_size),
+        tagger_kwargs=tagger_kwargs,
     )
     support = res.triples.map_batches(
         lambda t: {"s": [__import__("pyarrow").compute.sum(t["n_support"]).as_py() or 0]}, batch_format="pyarrow"

@@ -214,8 +214,11 @@ def _select_kind(fan: Dataset, kind: int, schema: pa.Schema) -> Dataset:
     names = schema.names
 
     def pick(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["kind"], kind)).select(names)
-        return t.cast(schema)
+        # select BEFORE filter: filter copies every column it sees, and the
+        # fan-out union schema is ~3x wider than any one kind's projection
+        mask = pc.equal(batch["kind"], kind)
+        t = batch.select(names).filter(mask)
+        return t if t.schema.equals(schema) else t.cast(schema)
 
     return fan.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -240,6 +240,12 @@ class TestDynamicOracleTwins:
     def test_q40_jaccard_twin(self):
         self._check("q40_jaccard_all_pairs")
 
+    def test_kg_mentions_twin(self):
+        self._check("kg_mentions")
+
+    def test_kg_raw_triples_twin(self):
+        self._check("kg_raw_triples")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGroupedQuantiles:
