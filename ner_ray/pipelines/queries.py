@@ -1262,6 +1262,31 @@ def kg_raw_triples(sf_dir: str) -> Dataset:
     return extract_triples(tm, window=3)
 
 
+def kg_dedup_triples(sf_dir: str) -> Dataset:
+    """B7 exact dedup (combiner + hybrid merge) over the full B4 extraction.
+    Oracle-backed: max-confidence and support count are plain aggregates, and
+    the provenance cap is DISTRIBUTIVE (the 5 smallest distinct conv_ids per
+    key — min-5 of a union equals min-5 of per-block min-5s), so the DuckDB
+    twin reproduces it exactly.  ``conv_ids`` is string-joined on both sides
+    so the value hash compares scalars, not list representations."""
+    import pyarrow.compute as pc
+
+    from ner_ray.stages.dedup import dedup_triples
+    from ner_ray.stages.tagger import tag_transcripts
+    from ner_ray.stages.triples import extract_triples
+    from ner_ray.pipelines.kg import read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    tm = tag_transcripts(tx, tagger="rule", output="turn_mentions").materialize()
+    deduped = dedup_triples(extract_triples(tm, window=3))
+
+    def join_convs(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join(pc.cast(batch["conv_ids"], pa.list_(pa.string())), ",")
+        return batch.drop_columns(["conv_ids"]).append_column("conv_ids", joined)
+
+    return deduped.map_batches(join_convs, batch_format="pyarrow")
+
+
 def kg_entities(sf_dir: str) -> Dataset:
     from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
 
@@ -1404,6 +1429,7 @@ RAY_QUERIES = {
     "kg_vocab": kg_vocab,
     "kg_mentions": kg_mentions,
     "kg_raw_triples": kg_raw_triples,
+    "kg_dedup_triples": kg_dedup_triples,
     "mm_media_stats": mm_media_stats,
     # --- rows-only: flagship KG path + multimodal plumbing ---
     # The correctness driver records the FIRST 50 catalog entries (round-1
@@ -1527,6 +1553,13 @@ UNION ALL SELECT '<UNK>', (SELECT k FROM k) + 3
     )
     sql["kg_mentions"] = _kg_mentions_sql(path)
     sql["kg_raw_triples"] = _kg_raw_triples_sql(path)
+    sql["kg_dedup_triples"] = (
+        f"WITH raw AS ({_kg_raw_triples_sql(path)})\n"
+        "SELECT subj, pred, obj, max(confidence)::REAL AS confidence,\n"
+        "       count(*)::BIGINT AS n_support,\n"
+        "       array_to_string(list_sort(list(DISTINCT conv_id))[1:5], ',') AS conv_ids\n"
+        "FROM raw GROUP BY subj, pred, obj"
+    )
     return sql
 
 

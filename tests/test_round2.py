@@ -246,6 +246,9 @@ class TestDynamicOracleTwins:
     def test_kg_raw_triples_twin(self):
         self._check("kg_raw_triples")
 
+    def test_kg_dedup_triples_twin(self):
+        self._check("kg_dedup_triples")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGroupedQuantiles:
