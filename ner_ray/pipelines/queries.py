@@ -1262,6 +1262,31 @@ def kg_raw_triples(sf_dir: str) -> Dataset:
     return extract_triples(tm, window=3)
 
 
+def _join_conv_ids(ds: Dataset) -> Dataset:
+    """String-join the ``conv_ids`` provenance list so oracle value hashes
+    compare scalars, not list representations."""
+    import pyarrow.compute as pc
+
+    def join_convs(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join(pc.cast(batch["conv_ids"], pa.list_(pa.string())), ",")
+        return batch.drop_columns(["conv_ids"]).append_column("conv_ids", joined)
+
+    return ds.map_batches(join_convs, batch_format="pyarrow")
+
+
+def kg_canon_triples(sf_dir: str) -> Dataset:
+    """The FULL flagship build (B4 extraction -> B5 linking -> B6
+    canonicalize -> rewrite -> B7 dedup), oracle-backed: identical to
+    kg_triples except the provenance list is string-joined for the value
+    hash.  The DuckDB twin recomputes linking (independent numpy enumeration
+    over the finite gazetteer vocabulary), connected components (recursive
+    CTE), the rewrite winner per surface key, and the dedup aggregates."""
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return _join_conv_ids(build_kg(tx, KGConfig()).triples)
+
+
 def kg_dedup_triples(sf_dir: str) -> Dataset:
     """B7 exact dedup (combiner + hybrid merge) over the full B4 extraction.
     Oracle-backed: max-confidence and support count are plain aggregates, and
@@ -1269,8 +1294,6 @@ def kg_dedup_triples(sf_dir: str) -> Dataset:
     key — min-5 of a union equals min-5 of per-block min-5s), so the DuckDB
     twin reproduces it exactly.  ``conv_ids`` is string-joined on both sides
     so the value hash compares scalars, not list representations."""
-    import pyarrow.compute as pc
-
     from ner_ray.stages.dedup import dedup_triples
     from ner_ray.stages.tagger import tag_transcripts
     from ner_ray.stages.triples import extract_triples
@@ -1278,13 +1301,7 @@ def kg_dedup_triples(sf_dir: str) -> Dataset:
 
     tx = read_transcripts(transcripts_path_for(sf_dir))
     tm = tag_transcripts(tx, tagger="rule", output="turn_mentions").materialize()
-    deduped = dedup_triples(extract_triples(tm, window=3))
-
-    def join_convs(batch: pa.Table) -> pa.Table:
-        joined = pc.binary_join(pc.cast(batch["conv_ids"], pa.list_(pa.string())), ",")
-        return batch.drop_columns(["conv_ids"]).append_column("conv_ids", joined)
-
-    return deduped.map_batches(join_convs, batch_format="pyarrow")
+    return _join_conv_ids(dedup_triples(extract_triples(tm, window=3)))
 
 
 def kg_entities(sf_dir: str) -> Dataset:
@@ -1430,6 +1447,7 @@ RAY_QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_raw_triples": kg_raw_triples,
     "kg_dedup_triples": kg_dedup_triples,
+    "kg_canon_triples": kg_canon_triples,
     "mm_media_stats": mm_media_stats,
     # --- rows-only: flagship KG path + multimodal plumbing ---
     # The correctness driver records the FIRST 50 catalog entries (round-1
@@ -1445,11 +1463,11 @@ RAY_QUERIES = {
     "mm_video_frames": mm_video_frames,
     "mm_resize_pipeline": mm_resize_pipeline,
     "q22_minhash_near_dup": q22_minhash_near_dup,
-    "q23_simhash_near_dup": q23_simhash_near_dup,
     "q37_doc_embedding_near_dup": q37_doc_embedding_near_dup,
-    "q32_ann_ivf": q32_ann_ivf,
     # --- beyond the 50-row cap: hash-proven via oracle-backed siblings and
     # pytest (recall vs brute force, driver-vs-distributed equality) ---
+    "q23_simhash_near_dup": q23_simhash_near_dup,
+    "q32_ann_ivf": q32_ann_ivf,
     "q25_ann_lsh": q25_ann_lsh,
     "q26_ngram_jaccard": q26_ngram_jaccard,
     "kg_degree_stats": kg_degree_stats,
@@ -1560,6 +1578,7 @@ UNION ALL SELECT '<UNK>', (SELECT k FROM k) + 3
         "       array_to_string(list_sort(list(DISTINCT conv_id))[1:5], ',') AS conv_ids\n"
         "FROM raw GROUP BY subj, pred, obj"
     )
+    sql["kg_canon_triples"] = _kg_canon_triples_sql(path)
     return sql
 
 
@@ -1638,9 +1657,9 @@ FROM mentions
     )
 
 
-def _kg_raw_triples_sql(transcripts_path: str, window: int = 3) -> str:
-    """DuckDB twin of the full B4 extraction (triples.py:302
-    ``extract_triples``) on rule-tagger mentions.
+def _raw_triples_ctes(transcripts_path: str, window: int = 3) -> str:
+    """Mentions CTEs + B4 extraction CTEs (triples.py:302
+    ``extract_triples``), ending in a ``raw_triples`` relation.
 
     Same-turn: adjacent mention pairs (by start) probe the normalized
     between-text against PRED_LEXICON (hit -> pred/1.0, miss ->
@@ -1676,8 +1695,156 @@ cross_turn AS (
   FROM mentions a JOIN mentions b
     ON a.conv_id = b.conv_id
    AND b.turn_idx > a.turn_idx AND b.turn_idx < a.turn_idx + {window}
-)
+),
+raw_triples AS (
+  SELECT * FROM pattern UNION ALL SELECT * FROM cross_turn
+)"""
+    )
+
+
+def _kg_raw_triples_sql(transcripts_path: str, window: int = 3) -> str:
+    """DuckDB twin of kg_raw_triples (see ``_raw_triples_ctes``)."""
+    return (
+        _raw_triples_ctes(transcripts_path, window)
+        + """
 SELECT subj, pred, obj, conv_id, turn_idx::INTEGER AS turn_idx, confidence
-FROM (SELECT * FROM pattern UNION ALL SELECT * FROM cross_turn)
+FROM raw_triples
+"""
+    )
+
+
+def _kg_canon_triples_sql(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
+    """DuckDB twin of the FULL flagship KG build (kg.py:235 ``build_kg``):
+    B4 extraction -> B5 linking -> B6 canonicalization -> rewrite -> B7 dedup.
+
+    The linker resolves a finite, deterministic function over the gazetteer
+    vocabulary (candidates = exact normalized-surface matches; cosine only
+    disambiguates within a candidate set — linker.py:14), so the twin
+    ENUMERATES link(type, surface) for every gazetteer surface with an
+    independent numpy reimplementation (pseudo_embedding + candidate argmax
+    + tau), and embeds it as a VALUES list.  Canonicalization (typed
+    surface-key union-find, canonicalize.py:1) runs as a recursive-CTE
+    transitive closure with min-label components; the rewrite reproduces the
+    per-surface-key (max n_mentions, min canonical) winner and dedup the
+    distributive provenance cap.  entity_id (blake2b of the component label)
+    is not SQL-reproducible and is not part of the triple output anyway."""
+    import numpy as np
+
+    from ner_ray.fixtures.aliases import pseudo_embedding
+    from ner_ray.fixtures.gazetteer import ALIASES, SURFACE2TYPE
+    from ner_ray.functions.normalize import normalize_surface
+
+    # -- independent link-function enumeration (NOT the engine's LinkerActor)
+    emb = np.stack([pseudo_embedding(t, c) for (_e, c, _a, t) in ALIASES])
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    emb = emb / norms
+    cand_rows: dict[str, list[int]] = {}
+    for i, (_e, _c, a, _t) in enumerate(ALIASES):
+        cand_rows.setdefault(normalize_surface(a), []).append(i)
+
+    def resolve(typ: str, surface: str) -> int:
+        cs = cand_rows.get(normalize_surface(surface))
+        if not cs:
+            return -1
+        sims = emb[cs] @ pseudo_embedding(typ, surface)
+        j = int(np.argmax(sims))
+        return int(ALIASES[cs[j]][0]) if float(sims[j]) >= tau else -1
+
+    lnk = ", ".join(
+        f"('{s}', '{t}', {resolve(t, s)})" for s, t in sorted(SURFACE2TYPE.items())
+    )
+    # -- dictionary edges for UNambiguous (type, alias) nodes (fixture data)
+    seen: dict[str, set[int]] = {}
+    for eid, _c, alias, typ in ALIASES:
+        seen.setdefault(f"{typ}:{normalize_surface(alias)}", set()).add(eid)
+    dict_edges = ", ".join(
+        f"('{n}', 'ent:{next(iter(eids))}')"
+        for n, eids in sorted(seen.items())
+        if len(eids) == 1
+    )
+    ent_meta = ", ".join(
+        f"({eid}, '{c}', '{t}')"
+        for eid, (c, t) in sorted(
+            {e: (c, t) for e, c, _a, t in ALIASES}.items()
+        )
+    )
+    # normalize_surface in SQL: trim, collapse ws, strip trailing punct,
+    # casefold (lower() — the gazetteer vocabulary has no non-ASCII case)
+    def norm(col: str) -> str:
+        return (
+            "lower(regexp_replace(regexp_replace(trim("
+            + col
+            + r"), '\s+', ' ', 'g'), '[.,;:!?]+$', ''))"
+        )
+
+    return (
+        _raw_triples_ctes(transcripts_path, window)
+        + f""",
+lnk(surface, type, eid) AS (VALUES {lnk}),
+nodes AS (
+  SELECT m.type || ':' || {norm('m.surface')} AS node, m.surface, m.type,
+         l.eid, count(*) AS n_mentions
+  FROM mentions m JOIN lnk l ON l.surface = m.surface AND l.type = m.type
+  GROUP BY 1, 2, 3, 4
+),
+dict_edges(a, b) AS (VALUES {dict_edges}),
+all_edges AS (
+  SELECT DISTINCT node AS a, 'ent:' || eid AS b FROM nodes WHERE eid >= 0
+  UNION SELECT a, b FROM dict_edges
+),
+verts AS (
+  SELECT a AS v FROM all_edges UNION SELECT b FROM all_edges
+  UNION SELECT node FROM nodes
+),
+sym AS (SELECT a, b FROM all_edges UNION SELECT b AS a, a AS b FROM all_edges),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS v, min(b) AS label FROM reach GROUP BY a),
+grp AS (
+  SELECT c.label, n.node, n.surface, n.type, n.eid, n.n_mentions
+  FROM nodes n JOIN comp c ON c.v = n.node
+),
+linkedmin AS (SELECT label, min(eid) AS min_eid FROM grp WHERE eid >= 0 GROUP BY label),
+ent_meta(entity_id, canonical, type) AS (VALUES {ent_meta}),
+best_surface AS (
+  SELECT label, surface AS canonical FROM (
+    SELECT label, surface,
+           row_number() OVER (PARTITION BY label
+             ORDER BY n_mentions DESC, length(surface) ASC, surface DESC) AS rn
+    FROM grp) WHERE rn = 1
+),
+canon_label AS (
+  SELECT g.label, coalesce(em.canonical, bs.canonical) AS canonical
+  FROM (SELECT DISTINCT label FROM grp) g
+  LEFT JOIN linkedmin lm ON lm.label = g.label
+  LEFT JOIN ent_meta em ON em.entity_id = lm.min_eid
+  LEFT JOIN best_surface bs ON bs.label = g.label
+),
+mapping AS (
+  SELECT g.node, g.n_mentions, cl.canonical FROM grp g
+  JOIN canon_label cl ON cl.label = g.label
+),
+skey_map AS (
+  SELECT skey, canonical FROM (
+    SELECT substr(node, position(':' IN node) + 1) AS skey, canonical,
+           row_number() OVER (PARTITION BY substr(node, position(':' IN node) + 1)
+                              ORDER BY n_mentions DESC, canonical ASC) AS rn
+    FROM mapping) WHERE rn = 1
+),
+rewritten AS (
+  SELECT coalesce(s1.canonical, t.subj) AS subj, t.pred,
+         coalesce(s2.canonical, t.obj) AS obj, t.conv_id, t.confidence
+  FROM raw_triples t
+  LEFT JOIN skey_map s1 ON s1.skey = {norm('t.subj')}
+  LEFT JOIN skey_map s2 ON s2.skey = {norm('t.obj')}
+)
+SELECT subj, pred, obj, max(confidence)::REAL AS confidence,
+       count(*)::BIGINT AS n_support,
+       array_to_string(list_sort(list(DISTINCT conv_id))[1:5], ',') AS conv_ids
+FROM rewritten GROUP BY subj, pred, obj
 """
     )

@@ -478,7 +478,10 @@ def rewrite_triples(
     for node, canonical, n_m in zip(pdf["node"], pdf["canonical"], pdf["n_mentions"]):
         key = node.split(":", 1)[1]
         cur = best.get(key)
-        if cur is None or n_m > cur[0]:
+        # tie-break on the canonical string so equal-support cross-type
+        # homographs rewrite deterministically regardless of mapping row
+        # order (Ray block order varies run to run)
+        if cur is None or n_m > cur[0] or (n_m == cur[0] and canonical < cur[1]):
             best[key] = (n_m, canonical)
     table = {k: v[1] for k, v in best.items()}
     ref = ray.put(table)
@@ -522,7 +525,8 @@ def _rewrite_join(triples: Dataset, mapping: Dataset, num_partitions: int) -> Da
 
     # Reduce mapping to one winner per surface key first (small groupby).
     def pick(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("n_mentions", "descending")])
+        # same deterministic tie-break as the broadcast path
+        g = group.sort_by([("n_mentions", "descending"), ("canonical", "ascending")])
         return pa.table(
             {
                 "skey": [g["skey"][0].as_py()],

@@ -249,6 +249,9 @@ class TestDynamicOracleTwins:
     def test_kg_dedup_triples_twin(self):
         self._check("kg_dedup_triples")
 
+    def test_kg_canon_triples_twin(self):
+        self._check("kg_canon_triples")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGroupedQuantiles:
