@@ -1287,6 +1287,31 @@ def kg_canon_triples(sf_dir: str) -> Dataset:
     return _join_conv_ids(build_kg(tx, KGConfig()).triples)
 
 
+def kg_canon_entities(sf_dir: str) -> Dataset:
+    """B6 entities output (one row per merged component), oracle-backed:
+    ``entity_id`` (blake2b of the component label) is projected off and the
+    alias list string-joined; the DuckDB twin recomputes components and the
+    canonical-name rule independently (see ``_kg_canon_entities_sql``)."""
+    import pyarrow.compute as pc
+
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    ents = build_kg(tx, KGConfig()).entities
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join(pc.cast(batch["aliases"], pa.list_(pa.string())), ",")
+        return pa.table(
+            {
+                "canonical": batch["canonical"],
+                "type": batch["type"],
+                "aliases": joined,
+            }
+        )
+
+    return ents.map_batches(fmt, batch_format="pyarrow")
+
+
 def kg_dedup_triples(sf_dir: str) -> Dataset:
     """B7 exact dedup (combiner + hybrid merge) over the full B4 extraction.
     Oracle-backed: max-confidence and support count are plain aggregates, and
@@ -1448,6 +1473,7 @@ RAY_QUERIES = {
     "kg_raw_triples": kg_raw_triples,
     "kg_dedup_triples": kg_dedup_triples,
     "kg_canon_triples": kg_canon_triples,
+    "kg_canon_entities": kg_canon_entities,
     "mm_media_stats": mm_media_stats,
     # --- rows-only: flagship KG path + multimodal plumbing ---
     # The correctness driver records the FIRST 50 catalog entries (round-1
@@ -1456,17 +1482,19 @@ RAY_QUERIES = {
     # the multimodal entries that missed round 1's cut, and the near-dup
     # paths whose distributed plans were rebuilt this round come first.
     "kg_tagger_eval": kg_tagger_eval,
-    "kg_triples": kg_triples,
     "kg_bert_mentions": kg_bert_mentions,
     "kg_neural_mentions": kg_neural_mentions,
-    "kg_entities": kg_entities,
     "mm_video_frames": mm_video_frames,
     "mm_resize_pipeline": mm_resize_pipeline,
     "q22_minhash_near_dup": q22_minhash_near_dup,
     "q37_doc_embedding_near_dup": q37_doc_embedding_near_dup,
-    # --- beyond the 50-row cap: hash-proven via oracle-backed siblings and
-    # pytest (recall vs brute force, driver-vs-distributed equality) ---
     "q23_simhash_near_dup": q23_simhash_near_dup,
+    # --- beyond the 50-row cap: hash-proven via oracle-backed siblings and
+    # pytest (recall vs brute force, driver-vs-distributed equality).
+    # kg_triples/kg_entities duplicate the hash-gated kg_canon_* entries
+    # (same pipeline; list-typed provenance vs the joined-string twin). ---
+    "kg_triples": kg_triples,
+    "kg_entities": kg_entities,
     "q32_ann_ivf": q32_ann_ivf,
     "q25_ann_lsh": q25_ann_lsh,
     "q26_ngram_jaccard": q26_ngram_jaccard,
@@ -1579,6 +1607,7 @@ UNION ALL SELECT '<UNK>', (SELECT k FROM k) + 3
         "FROM raw GROUP BY subj, pred, obj"
     )
     sql["kg_canon_triples"] = _kg_canon_triples_sql(path)
+    sql["kg_canon_entities"] = _kg_canon_entities_sql(path)
     return sql
 
 
@@ -1713,9 +1742,11 @@ FROM raw_triples
     )
 
 
-def _kg_canon_triples_sql(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
-    """DuckDB twin of the FULL flagship KG build (kg.py:235 ``build_kg``):
-    B4 extraction -> B5 linking -> B6 canonicalization -> rewrite -> B7 dedup.
+def _kg_canon_ctes(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
+    """Shared CTE chain for the flagship-build twins (kg.py:235 ``build_kg``):
+    B4 extraction -> B5 linking -> B6 canonicalization, ending in ``grp``
+    (component membership) and ``canon_label`` (canonical name + type per
+    component).
 
     The linker resolves a finite, deterministic function over the gazetteer
     vocabulary (candidates = exact normalized-surface matches; cosine only
@@ -1724,10 +1755,9 @@ def _kg_canon_triples_sql(transcripts_path: str, window: int = 3, tau: float = 0
     independent numpy reimplementation (pseudo_embedding + candidate argmax
     + tau), and embeds it as a VALUES list.  Canonicalization (typed
     surface-key union-find, canonicalize.py:1) runs as a recursive-CTE
-    transitive closure with min-label components; the rewrite reproduces the
-    per-surface-key (max n_mentions, min canonical) winner and dedup the
-    distributive provenance cap.  entity_id (blake2b of the component label)
-    is not SQL-reproducible and is not part of the triple output anyway."""
+    transitive closure with min-label components.  entity_id (blake2b of
+    the component label) is not SQL-reproducible and is projected off the
+    compared outputs."""
     import numpy as np
 
     from ner_ray.fixtures.aliases import pseudo_embedding
@@ -1811,19 +1841,41 @@ grp AS (
 linkedmin AS (SELECT label, min(eid) AS min_eid FROM grp WHERE eid >= 0 GROUP BY label),
 ent_meta(entity_id, canonical, type) AS (VALUES {ent_meta}),
 best_surface AS (
-  SELECT label, surface AS canonical FROM (
-    SELECT label, surface,
+  SELECT label, surface AS canonical, type FROM (
+    SELECT label, surface, type,
            row_number() OVER (PARTITION BY label
              ORDER BY n_mentions DESC, length(surface) ASC, surface DESC) AS rn
     FROM grp) WHERE rn = 1
 ),
 canon_label AS (
-  SELECT g.label, coalesce(em.canonical, bs.canonical) AS canonical
+  SELECT g.label, coalesce(em.canonical, bs.canonical) AS canonical,
+         coalesce(em.type, bs.type) AS type
   FROM (SELECT DISTINCT label FROM grp) g
   LEFT JOIN linkedmin lm ON lm.label = g.label
   LEFT JOIN ent_meta em ON em.entity_id = lm.min_eid
   LEFT JOIN best_surface bs ON bs.label = g.label
-),
+)"""
+    )
+
+
+def _canon_norm_sql(col: str) -> str:
+    """normalize_surface in SQL: trim, collapse ws, strip trailing punct,
+    casefold (lower() — the gazetteer vocabulary has no non-ASCII case)."""
+    return (
+        "lower(regexp_replace(regexp_replace(trim("
+        + col
+        + r"), '\s+', ' ', 'g'), '[.,;:!?]+$', ''))"
+    )
+
+
+def _kg_canon_triples_sql(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
+    """DuckDB twin of the FULL flagship KG build output (``build_kg().triples``):
+    the canonicalized CTEs plus the per-surface-key rewrite winner
+    (max n_mentions, min canonical — the engine's deterministic tie-break)
+    and B7 dedup with its distributive provenance cap."""
+    return (
+        _kg_canon_ctes(transcripts_path, window, tau)
+        + f""",
 mapping AS (
   SELECT g.node, g.n_mentions, cl.canonical FROM grp g
   JOIN canon_label cl ON cl.label = g.label
@@ -1839,12 +1891,27 @@ rewritten AS (
   SELECT coalesce(s1.canonical, t.subj) AS subj, t.pred,
          coalesce(s2.canonical, t.obj) AS obj, t.conv_id, t.confidence
   FROM raw_triples t
-  LEFT JOIN skey_map s1 ON s1.skey = {norm('t.subj')}
-  LEFT JOIN skey_map s2 ON s2.skey = {norm('t.obj')}
+  LEFT JOIN skey_map s1 ON s1.skey = {_canon_norm_sql('t.subj')}
+  LEFT JOIN skey_map s2 ON s2.skey = {_canon_norm_sql('t.obj')}
 )
 SELECT subj, pred, obj, max(confidence)::REAL AS confidence,
        count(*)::BIGINT AS n_support,
        array_to_string(list_sort(list(DISTINCT conv_id))[1:5], ',') AS conv_ids
 FROM rewritten GROUP BY subj, pred, obj
+"""
+    )
+
+
+def _kg_canon_entities_sql(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
+    """DuckDB twin of ``build_kg().entities`` (minus the blake2b entity_id):
+    one row per merged component with its canonical name, type, and the
+    sorted distinct member surfaces."""
+    return (
+        _kg_canon_ctes(transcripts_path, window, tau)
+        + """
+SELECT cl.canonical, cl.type,
+       array_to_string(list_sort(list(DISTINCT g.surface)), ',') AS aliases
+FROM grp g JOIN canon_label cl ON cl.label = g.label
+GROUP BY cl.label, cl.canonical, cl.type
 """
     )

@@ -252,6 +252,9 @@ class TestDynamicOracleTwins:
     def test_kg_canon_triples_twin(self):
         self._check("kg_canon_triples")
 
+    def test_kg_canon_entities_twin(self):
+        self._check("kg_canon_entities")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGroupedQuantiles:
