@@ -184,6 +184,38 @@ class TestDedup:
         assert a.drop(columns=["conv_ids"]).equals(b.drop(columns=["conv_ids"]))
         assert all(list(x) == list(y) for x, y in zip(a.conv_ids, b.conv_ids))
 
+    def test_rewrite_tie_breaks_on_canonical(self):
+        """Equal-support cross-type homographs rewrite to the lexicographically
+        smaller canonical, independent of mapping row order (both rewrite
+        paths)."""
+        from ner_ray.stages.canonicalize import rewrite_triples
+
+        triples = rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array(["Lima"], pa.string()),
+                    "pred": pa.array(["r"], pa.string()),
+                    "obj": pa.array(["Oslo"], pa.string()),
+                    "conv_id": pa.array(["c1"], pa.string()),
+                    "turn_idx": pa.array([0], pa.int32()),
+                    "confidence": pa.array([1.0], pa.float32()),
+                }
+            )
+        )
+        rows = [
+            {"node": "LOC:lima", "surface": "Lima", "type": "LOC",
+             "entity_id": 1, "canonical": "Lima", "n_mentions": 5},
+            {"node": "ORG:lima", "surface": "Lima", "type": "ORG",
+             "entity_id": 2, "canonical": "Alpha Lima Systems", "n_mentions": 5},
+            {"node": "LOC:oslo", "surface": "Oslo", "type": "LOC",
+             "entity_id": 3, "canonical": "Oslo", "n_mentions": 1},
+        ]
+        for order in (rows, rows[::-1]):
+            mapping = rd.from_arrow(pa.Table.from_pylist(order))
+            for how in ("broadcast", "join"):
+                out = rewrite_triples(triples, mapping, how=how).to_pandas()
+                assert out.subj.iloc[0] == "Alpha Lima Systems", (order[0], how)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGoldenGate:
