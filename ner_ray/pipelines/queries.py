@@ -1136,6 +1136,105 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+_TFIDF_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+def q43_tfidf_top_terms(sf_dir: str, k: int = 5) -> Dataset:
+    """Corpus TF-IDF, top-k terms per document — the classic training-data
+    relevance primitive, in the canonical distributed shape: per-block
+    partial document frequencies (one small (term, df) row set per block, NOT
+    the token stream) -> one narrow groupby over the vocabulary -> the IDF
+    table broadcasts via ``ray.put`` -> a second stateless pass scores and
+    top-ks inside each batch.  Nothing document-sized ever shuffles.
+
+    Scores are rounded to 6 decimals BEFORE ranking on both the Ray and SQL
+    sides so near-equal doubles cannot rank differently across libm
+    implementations."""
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(set(_TFIDF_TOKEN.findall(x.lower())))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_map = dict(zip(df_tbl["term"], df_tbl["df"].astype(int)))
+    ref = _ray.put(df_map)
+
+    def topk(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dfm = _ray.get(ref)
+        rows = {"doc_id": [], "term": [], "tf": [], "df": [], "tfidf": []}
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tf = Counter(_TFIDF_TOKEN.findall(text.lower()))
+            scored = sorted(
+                (
+                    (round(c * math.log(n_docs / dfm[w]), 6), w, c)
+                    for w, c in tf.items()
+                ),
+                key=lambda x: (-x[0], x[1]),
+            )[:k]
+            for s, w, c in scored:
+                rows["doc_id"].append(doc_id)
+                rows["term"].append(w)
+                rows["tf"].append(c)
+                rows["df"].append(dfm[w])
+                rows["tfidf"].append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "term": pa.array(rows["term"], pa.string()),
+                "tf": pa.array(rows["tf"], pa.int64()),
+                "df": pa.array(rows["df"], pa.int64()),
+                "tfidf": pa.array(rows["tfidf"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
+SQL_Q43 = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 5
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -1467,6 +1566,7 @@ RAY_QUERIES = {
     "q40_jaccard_all_pairs": q40_jaccard_all_pairs,
     "q41_grouped_quantiles": q41_grouped_quantiles,
     "q42_rollup": q42_rollup,
+    "q43_tfidf_top_terms": q43_tfidf_top_terms,
     "kg_order_restore": kg_order_restore,
     "kg_vocab": kg_vocab,
     "kg_mentions": kg_mentions,
@@ -1488,11 +1588,11 @@ RAY_QUERIES = {
     "mm_resize_pipeline": mm_resize_pipeline,
     "q22_minhash_near_dup": q22_minhash_near_dup,
     "q37_doc_embedding_near_dup": q37_doc_embedding_near_dup,
-    "q23_simhash_near_dup": q23_simhash_near_dup,
     # --- beyond the 50-row cap: hash-proven via oracle-backed siblings and
     # pytest (recall vs brute force, driver-vs-distributed equality).
     # kg_triples/kg_entities duplicate the hash-gated kg_canon_* entries
     # (same pipeline; list-typed provenance vs the joined-string twin). ---
+    "q23_simhash_near_dup": q23_simhash_near_dup,
     "kg_triples": kg_triples,
     "kg_entities": kg_entities,
     "q32_ann_ivf": q32_ann_ivf,
@@ -1542,6 +1642,7 @@ ORACLE_SQL = {
     "q40_jaccard_all_pairs": SQL_Q40,
     "q41_grouped_quantiles": SQL_Q41,
     "q42_rollup": SQL_Q42,
+    "q43_tfidf_top_terms": SQL_Q43,
 }
 
 
