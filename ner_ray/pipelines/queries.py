@@ -1139,7 +1139,10 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 _TFIDF_TOKEN = re.compile(r"[a-z0-9]+")
 
 
-def q43_tfidf_top_terms(sf_dir: str, k: int = 5) -> Dataset:
+_TFIDF_TOP_K = 5  # mirrored by SQL_Q43's "rn <= 5"
+
+
+def q43_tfidf_top_terms(sf_dir: str) -> Dataset:
     """Corpus TF-IDF, top-k terms per document — the classic training-data
     relevance primitive, in the canonical distributed shape: per-block
     partial document frequencies (one small (term, df) row set per block, NOT
@@ -1147,9 +1150,12 @@ def q43_tfidf_top_terms(sf_dir: str, k: int = 5) -> Dataset:
     table broadcasts via ``ray.put`` -> a second stateless pass scores and
     top-ks inside each batch.  Nothing document-sized ever shuffles.
 
-    Scores are rounded to 6 decimals BEFORE ranking on both the Ray and SQL
-    sides so near-equal doubles cannot rank differently across libm
-    implementations."""
+    Scores are quantized BEFORE ranking with the same floor-form expression
+    on both sides — ``floor(x * 1e6 + 0.5) / 1e6`` — which is bit-identical
+    double arithmetic in Python and DuckDB (probed; Python's banker's
+    ``round()`` vs DuckDB's half-away ``round()`` disagree at half
+    boundaries), so near-equal scores cannot rank differently across the
+    two sides."""
     import math
 
     import ray as _ray
@@ -1163,7 +1169,8 @@ def q43_tfidf_top_terms(sf_dir: str, k: int = 5) -> Dataset:
 
         c: Counter = Counter()
         for x in t["text"].to_pylist():
-            c.update(set(_TFIDF_TOKEN.findall(x.lower())))
+            if x is not None:  # SQL's lower(NULL) chain yields no token rows
+                c.update(set(_TFIDF_TOKEN.findall(x.lower())))
         return pa.table(
             {
                 "term": pa.array(list(c.keys()), pa.string()),
@@ -1186,14 +1193,20 @@ def q43_tfidf_top_terms(sf_dir: str, k: int = 5) -> Dataset:
         dfm = _ray.get(ref)
         rows = {"doc_id": [], "term": [], "tf": [], "df": [], "tfidf": []}
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if text is None:
+                continue
             tf = Counter(_TFIDF_TOKEN.findall(text.lower()))
             scored = sorted(
                 (
-                    (round(c * math.log(n_docs / dfm[w]), 6), w, c)
+                    (
+                        math.floor(c * math.log(n_docs / dfm[w]) * 1e6 + 0.5) / 1e6,
+                        w,
+                        c,
+                    )
                     for w, c in tf.items()
                 ),
                 key=lambda x: (-x[0], x[1]),
-            )[:k]
+            )[:_TFIDF_TOP_K]
             for s, w, c in scored:
                 rows["doc_id"].append(doc_id)
                 rows["term"].append(w)
@@ -1223,7 +1236,8 @@ df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, df.df,
-         round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS tfidf
+         floor(tf.tf * ln((SELECT n FROM n) / df.df) * 1000000 + 0.5)
+           / 1000000.0 AS tfidf
   FROM tf JOIN df USING (term)
 ),
 ranked AS (
@@ -1712,6 +1726,12 @@ UNION ALL SELECT '<UNK>', (SELECT k FROM k) + 3
     return sql
 
 
+def _sq(s: str) -> str:
+    """SQL string-literal escape for fixture values interpolated into VALUES
+    lists (a gazetteer surface like "O'Brien" must not break the twin)."""
+    return str(s).replace("'", "''")
+
+
 def _rule_mentions_ctes(transcripts_path: str) -> str:
     """Shared CTE block: DuckDB twin of the B3 rule tagger
     (tagger.py:69 ``RuleTagger``), ending in a ``mentions`` relation.
@@ -1729,7 +1749,9 @@ def _rule_mentions_ctes(transcripts_path: str) -> str:
     """
     from ner_ray.fixtures import gazetteer as gz
 
-    values = ", ".join(f"('{s}', '{t}')" for s, t in sorted(gz.SURFACE2TYPE.items()))
+    values = ", ".join(
+        f"('{_sq(s)}', '{_sq(t)}')" for s, t in sorted(gz.SURFACE2TYPE.items())
+    )
     word = "^[A-Za-z0-9]$"
     return f"""
 WITH RECURSIVE gaz(surface, type) AS (VALUES {values}),
@@ -1799,7 +1821,9 @@ def _raw_triples_ctes(transcripts_path: str, window: int = 3) -> str:
     co_mentioned_with/0.5 anchored at a's turn."""
     from ner_ray.stages.triples import PRED_LEXICON
 
-    lex = ", ".join(f"('{k}', '{v}')" for k, v in sorted(PRED_LEXICON.items()))
+    lex = ", ".join(
+        f"('{_sq(k)}', '{_sq(v)}')" for k, v in sorted(PRED_LEXICON.items())
+    )
     strip_set = r" \t.,;:!?"
     return (
         _rule_mentions_ctes(transcripts_path)
@@ -1883,31 +1907,25 @@ def _kg_canon_ctes(transcripts_path: str, window: int = 3, tau: float = 0.6) -> 
         return int(ALIASES[cs[j]][0]) if float(sims[j]) >= tau else -1
 
     lnk = ", ".join(
-        f"('{s}', '{t}', {resolve(t, s)})" for s, t in sorted(SURFACE2TYPE.items())
+        f"('{_sq(s)}', '{_sq(t)}', {resolve(t, s)})"
+        for s, t in sorted(SURFACE2TYPE.items())
     )
     # -- dictionary edges for UNambiguous (type, alias) nodes (fixture data)
     seen: dict[str, set[int]] = {}
     for eid, _c, alias, typ in ALIASES:
         seen.setdefault(f"{typ}:{normalize_surface(alias)}", set()).add(eid)
     dict_edges = ", ".join(
-        f"('{n}', 'ent:{next(iter(eids))}')"
+        f"('{_sq(n)}', 'ent:{next(iter(eids))}')"
         for n, eids in sorted(seen.items())
         if len(eids) == 1
     )
     ent_meta = ", ".join(
-        f"({eid}, '{c}', '{t}')"
+        f"({eid}, '{_sq(c)}', '{_sq(t)}')"
         for eid, (c, t) in sorted(
             {e: (c, t) for e, c, _a, t in ALIASES}.items()
         )
     )
-    # normalize_surface in SQL: trim, collapse ws, strip trailing punct,
-    # casefold (lower() — the gazetteer vocabulary has no non-ASCII case)
-    def norm(col: str) -> str:
-        return (
-            "lower(regexp_replace(regexp_replace(trim("
-            + col
-            + r"), '\s+', ' ', 'g'), '[.,;:!?]+$', ''))"
-        )
+    norm = _canon_norm_sql
 
     return (
         _raw_triples_ctes(transcripts_path, window)

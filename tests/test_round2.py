@@ -256,24 +256,7 @@ class TestDynamicOracleTwins:
         self._check("kg_canon_entities")
 
     def test_q43_tfidf_twin(self):
-        import duckdb
-
-        import sys
-
-        sys.path.insert(0, "tools")
-        from oracle_check import TABLES, canon, compare, to_pandas
-
-        from ner_ray.pipelines.queries import ORACLE_SQL, RAY_QUERIES
-
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{self.SF}/{t}.parquet')"
-            )
-        mine = canon(to_pandas(RAY_QUERIES["q43_tfidf_top_terms"](self.SF)))
-        oracle = canon(con.execute(ORACLE_SQL["q43_tfidf_top_terms"]).df())
-        ok, why = compare(mine, oracle)
-        assert ok, why
+        self._check("q43_tfidf_top_terms")
 
 
 @pytest.mark.usefixtures("ray_session")
