@@ -17,7 +17,14 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="ner_ray", description="Ray-Data-native KG construction")
-    ap.add_argument("--input", required=True, help="transcripts Parquet dir/file")
+    ap.add_argument(
+        "--input",
+        required=True,
+        action="append",
+        help="transcripts Parquet dir/file; repeat for an INCREMENTAL build "
+        "(each dir is a checkpointed increment — pipelines.kg.update_kg; "
+        "re-runs with more --input dirs only pay for the new ones)",
+    )
     ap.add_argument("--out", required=True, help="output root (stage checkpoints + graph)")
     ap.add_argument("--tagger", default="rule", choices=["rule", "bilstm", "bert"])
     ap.add_argument("--window", type=int, default=3)
@@ -37,19 +44,19 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(**init_kwargs)
 
     try:
-        from ner_ray.pipelines.kg import KGConfig, run_kg
+        from ner_ray.pipelines.kg import KGConfig, run_kg, update_kg
 
-        metrics = run_kg(
-            args.input,
-            args.out,
-            KGConfig(
-                tagger=args.tagger,
-                window=args.window,
-                chunk_turns=args.chunk_turns,
-                link_tau=args.link_tau,
-                graph_partitions=args.graph_partitions,
-            ),
+        cfg = KGConfig(
+            tagger=args.tagger,
+            window=args.window,
+            chunk_turns=args.chunk_turns,
+            link_tau=args.link_tau,
+            graph_partitions=args.graph_partitions,
         )
+        if len(args.input) == 1:
+            metrics = run_kg(args.input[0], args.out, cfg)
+        else:
+            metrics = update_kg(args.out, args.input, cfg)
         print(json.dumps(metrics))
         return 0
     finally:

@@ -390,3 +390,129 @@ def run_kg(
     metrics["total_seconds"] = round(time.perf_counter() - t0, 3)
     metrics["output"] = os.path.join(out_root, "graph", "data")
     return metrics
+
+
+def update_kg(
+    out_root: str,
+    input_paths: list[str],
+    cfg: KGConfig | None = None,
+    alias_table: pa.Table | None = None,
+) -> dict:
+    """Incremental KG build (B10+): each transcript directory is an INCREMENT
+    whose expensive stages (tagging, linking, extraction, per-increment
+    dedup) run once and checkpoint under ``out_root/inc_*``; re-running with
+    an extended ``input_paths`` list pays tagging cost ONLY for the new
+    increments, then re-derives the global graph from the increments' compact
+    artifacts.
+
+    Output is provably identical to a from-scratch ``run_kg`` over the
+    concatenated corpus, PROVIDED increments split on conversation
+    boundaries (windows never cross increments — the fixture writer shards
+    whole conversations):
+
+    - canonicalization consumes the UNION of the increments' linked-mention
+      sets — the same mention multiset the full build sees;
+    - rewrite is a stateless surface map given that mapping, and rewriting
+      per-increment DEDUPED triples commutes with aggregation because every
+      dedup aggregate is distributive (sum n_support / max confidence /
+      min-5 provenance — ``dedup.merge_dedup_partials``);
+    - the final merge is exactly dedup's combine over the union.
+    """
+    import ray
+
+    from ner_ray.stages.dedup import merge_dedup_partials
+
+    cfg = cfg or KGConfig()
+    alias_table = alias_table if alias_table is not None else make_alias_table()
+    alias_ref = ray.put(alias_table)
+    metrics: dict = {"increments": {}, "stages": {}}
+    t0 = time.perf_counter()
+
+    linked_sets, raw_sets = [], []
+    for path in input_paths:
+        inc_sig_src = {
+            "input": parquet_files_signature([path]),
+            "config": cfg.sig(),
+            "engine": "ner_ray-0.1",
+        }
+        inc = f"inc_{input_signature(inc_sig_src)[:16]}"
+
+        # tag once per increment; the checkpoint feeds both the linking and
+        # extraction consumers from parquet (no live dual-consumer pool)
+        tm, m0 = run_stage(
+            os.path.join(inc, "turn_mentions"),
+            out_root,
+            input_signature({**inc_sig_src, "stage": "turn_mentions"}),
+            lambda path=path: tag_transcripts(
+                read_transcripts(path),
+                tagger=cfg.tagger,
+                output="turn_mentions",
+                batch_size=cfg.tagger_batch_size,
+                concurrency=cfg.tagger_concurrency,
+            ),
+        )
+        linked, m1 = run_stage(
+            os.path.join(inc, "linked_mentions"),
+            out_root,
+            input_signature({**inc_sig_src, "stage": "linked"}),
+            lambda tm=tm: link_mentions(
+                tm.drop_columns(["text"]).map_batches(
+                    explode_mentions, batch_format="pyarrow"
+                ),
+                alias_ref=alias_ref,
+                tau=cfg.link_tau,
+            ),
+        )
+        raw, m2 = run_stage(
+            os.path.join(inc, "raw_triples"),
+            out_root,
+            input_signature({**inc_sig_src, "stage": "raw"}),
+            lambda tm=tm: dedup_triples(
+                extract_triples(tm, window=cfg.window, chunk_turns=cfg.chunk_turns)
+            ),
+        )
+        metrics["increments"][inc] = {
+            "input": path,
+            "turn_rows": m0["row_count"],
+            "linked_rows": m1["row_count"],
+            "raw_rows": m2["row_count"],
+            "skipped": m0["skipped"] and m1["skipped"] and m2["skipped"],
+        }
+        linked_sets.append(linked)
+        raw_sets.append(raw)
+
+    all_linked = linked_sets[0]
+    for d in linked_sets[1:]:
+        all_linked = all_linked.union(d)
+    all_raw = raw_sets[0]
+    for d in raw_sets[1:]:
+        all_raw = all_raw.union(d)
+
+    def build_graph():
+        mapping, _entities = canonicalize(
+            all_linked, alias_table, max_rounds=cfg.uf_rounds
+        )
+        merged = merge_dedup_partials(
+            rewrite_triples(all_raw, mapping, how=cfg.rewrite)
+        )
+        return add_subject_partition(merged, cfg.graph_partitions)
+
+    graph_sig = input_signature(
+        {
+            "inputs": [parquet_files_signature([p]) for p in input_paths],
+            "config": cfg.sig(),
+            "engine": "ner_ray-0.1",
+            "stage": "graph",
+        }
+    )
+    graph, gm = run_stage(
+        "graph",
+        out_root,
+        graph_sig,
+        build_graph,
+        partition_cols=["part"],
+    )
+    metrics["stages"]["graph"] = {"rows": gm["row_count"], "skipped": gm["skipped"]}
+    metrics["total_seconds"] = round(time.perf_counter() - t0, 3)
+    metrics["output"] = os.path.join(out_root, "graph", "data")
+    return metrics

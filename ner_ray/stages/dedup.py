@@ -95,7 +95,20 @@ def dedup_triples(
     keeps dispatch O(cluster) while the in-bucket merge stays vectorized."""
     partials = triples.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    )
+    return merge_dedup_partials(partials, driver_threshold, num_buckets)
+
+
+def merge_dedup_partials(
+    partials: Dataset, driver_threshold: int = 1_000_000, num_buckets: int | None = None
+) -> Dataset:
+    """Final combine over DEDUP_TRIPLES-shaped partial aggregates — the merge
+    half of ``dedup_triples``, public because every dedup aggregate is
+    DISTRIBUTIVE (sum n_support, max confidence, min-5 provenance union), so
+    independently deduped row sets (e.g. per-increment graphs in an
+    incremental build, or a rewritten already-deduped graph whose keys
+    collided) merge into exactly the from-scratch result."""
+    partials = partials.materialize()
     n = partials.count()
     if n <= driver_threshold:
         return rd.from_arrow(_merge_pdf(partials.to_pandas()))

@@ -263,3 +263,62 @@ class TestCheckpointResume:
         # config change invalidates the signature -> recompute
         m3 = run_kg(inp, ckpt, KGConfig(window=3, chunk_turns=8))
         assert not m3["stages"]["graph"]["skipped"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalUpdate:
+    """update_kg: per-increment checkpoints + distributive merge must equal
+    the from-scratch build over the concatenated corpus (increments split on
+    conversation boundaries — the fixture writer shards whole convs)."""
+
+    def _load(self, path):
+        import ray.data as rd
+
+        df = rd.read_parquet(path).to_pandas()
+        df["conv_ids"] = df["conv_ids"].apply(lambda v: ",".join(list(v)))
+        cols = ["subj", "pred", "obj", "confidence", "n_support", "conv_ids"]
+        return df[cols].sort_values(cols[:3]).reset_index(drop=True)
+
+    def test_update_equals_full_build_and_resumes(self, tmp_path):
+        import glob
+        import shutil
+
+        import pandas as pd
+
+        from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts
+        from ner_ray.pipelines.kg import run_kg, update_kg
+
+        full = str(tmp_path / "full")
+        write_transcripts(full, TranscriptConfig(n_convs=60, seed=7), shards=4)
+        files = sorted(glob.glob(full + "/*.parquet"))
+        inc1, inc2 = tmp_path / "inc1", tmp_path / "inc2"
+        inc1.mkdir(), inc2.mkdir()
+        for f in files[:2]:
+            shutil.copy(f, inc1)
+        for f in files[2:]:
+            shutil.copy(f, inc2)
+
+        cfg = KGConfig(window=2, chunk_turns=16)
+        m_full = run_kg(full, str(tmp_path / "out_full"), cfg)
+        m_inc = update_kg(str(tmp_path / "out_inc"), [str(inc1), str(inc2)], cfg)
+        pd.testing.assert_frame_equal(
+            self._load(m_full["output"]), self._load(m_inc["output"])
+        )
+
+        # resume: unchanged inputs skip every increment and the final graph
+        m2 = update_kg(str(tmp_path / "out_inc"), [str(inc1), str(inc2)], cfg)
+        assert all(v["skipped"] for v in m2["increments"].values())
+        assert m2["stages"]["graph"]["skipped"]
+
+        # extending the input list pays only the NEW increment's tagging:
+        # old increments stay skipped, the graph recomputes over 3 increments
+        inc3 = tmp_path / "inc3"
+        inc3.mkdir()
+        write_transcripts(str(inc3), TranscriptConfig(n_convs=10, seed=99), shards=1)
+        m3 = update_kg(
+            str(tmp_path / "out_inc"), [str(inc1), str(inc2), str(inc3)], cfg
+        )
+        skips = [v["skipped"] for v in m3["increments"].values()]
+        assert sorted(skips) == [False, True, True]
+        assert not m3["stages"]["graph"]["skipped"]
+        assert m3["stages"]["graph"]["rows"] >= m2["stages"]["graph"]["rows"]
