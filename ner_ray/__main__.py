@@ -22,8 +22,12 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         action="append",
         help="transcripts Parquet dir/file; repeat for an INCREMENTAL build "
-        "(each dir is a checkpointed increment — pipelines.kg.update_kg; "
-        "re-runs with more --input dirs only pay for the new ones)",
+        "(each dir is a checkpointed increment — pipelines.kg.update_kg; a "
+        "re-run with the same multi-dir list plus new dirs only pays for the "
+        "new ones; increments must split on conversation boundaries — "
+        "enforced). NOTE: single-input runs use run_kg's stage layout; the "
+        "first multi-input run under the same --out re-tags that input once "
+        "into increment form.",
     )
     ap.add_argument("--out", required=True, help="output root (stage checkpoints + graph)")
     ap.add_argument("--tagger", default="rule", choices=["rule", "bilstm", "bert"])

@@ -397,45 +397,76 @@ def update_kg(
     input_paths: list[str],
     cfg: KGConfig | None = None,
     alias_table: pa.Table | None = None,
+    check_boundaries: bool = True,
+    prune: bool = False,
 ) -> dict:
     """Incremental KG build (B10+): each transcript directory is an INCREMENT
     whose expensive stages (tagging, linking, extraction, per-increment
     dedup) run once and checkpoint under ``out_root/inc_*``; re-running with
     an extended ``input_paths`` list pays tagging cost ONLY for the new
-    increments, then re-derives the global graph from the increments' compact
-    artifacts.
+    increments, then re-derives the global graph (plus the ``mapping`` and
+    ``entities`` artifacts run_kg also writes) from the increments' compact
+    artifacts.  Increment signatures hash only the config fields that feed
+    tagging/linking/extraction, so graph-layout knobs (partitions, rewrite
+    strategy, uf_rounds) never invalidate tagged increments.
 
     Output is provably identical to a from-scratch ``run_kg`` over the
     concatenated corpus, PROVIDED increments split on conversation
-    boundaries (windows never cross increments — the fixture writer shards
-    whole conversations):
+    boundaries (windows never cross increments).  ``check_boundaries=True``
+    enforces this with a narrow distinct-conv_id groupby over the increments'
+    linked checkpoints (rows = distinct conversations, not mentions) and
+    raises on any conversation that appears in two increments.
 
-    - canonicalization consumes the UNION of the increments' linked-mention
-      sets — the same mention multiset the full build sees;
-    - rewrite is a stateless surface map given that mapping, and rewriting
-      per-increment DEDUPED triples commutes with aggregation because every
-      dedup aggregate is distributive (sum n_support / max confidence /
-      min-5 provenance — ``dedup.merge_dedup_partials``);
-    - the final merge is exactly dedup's combine over the union.
+    Why it is exact: canonicalization consumes the UNION of the increments'
+    linked-mention sets — the same mention multiset the full build sees;
+    rewrite is a stateless surface map given that mapping; and rewriting
+    per-increment DEDUPED triples commutes with aggregation because every
+    dedup aggregate is distributive (sum n_support / max confidence / min-5
+    provenance — ``dedup.merge_dedup_partials``).
+
+    ``prune=True`` deletes ``inc_*`` checkpoint trees not referenced by the
+    current ``input_paths``+config (stale increments from earlier configs
+    otherwise accumulate; never enabled implicitly).
     """
     import ray
 
     from ner_ray.stages.dedup import merge_dedup_partials
 
+    if not input_paths:
+        raise ValueError("update_kg: input_paths is empty")
     cfg = cfg or KGConfig()
     alias_table = alias_table if alias_table is not None else make_alias_table()
     alias_ref = ray.put(alias_table)
     metrics: dict = {"increments": {}, "stages": {}}
     t0 = time.perf_counter()
 
-    linked_sets, raw_sets = [], []
+    # only the fields that feed tagging/linking/extraction key an increment
+    inc_cfg = {
+        "tagger": cfg.tagger,
+        "window": cfg.window,
+        "chunk_turns": cfg.chunk_turns,
+        "link_tau": cfg.link_tau,
+    }
+
+    linked_sets, raw_sets, input_sigs, inc_names = [], [], [], []
     for path in input_paths:
+        # snapshot each input's file list ONCE; the graph signature below
+        # reuses it so a dir mutated mid-run cannot sign the graph manifest
+        # with files the increment checkpoints never saw
+        files_sig = parquet_files_signature([path])
         inc_sig_src = {
-            "input": parquet_files_signature([path]),
-            "config": cfg.sig(),
+            "input": files_sig,
+            "config": inc_cfg,
             "engine": "ner_ray-0.1",
         }
         inc = f"inc_{input_signature(inc_sig_src)[:16]}"
+        if inc in inc_names:
+            raise ValueError(
+                f"update_kg: duplicate increment {path!r} (same files + config "
+                f"as an earlier --input)"
+            )
+        inc_names.append(inc)
+        input_sigs.append(files_sig)
 
         # tag once per increment; the checkpoint feeds both the linking and
         # extraction consumers from parquet (no live dual-consumer pool)
@@ -481,6 +512,16 @@ def update_kg(
         linked_sets.append(linked)
         raw_sets.append(raw)
 
+    if prune:
+        import shutil as _shutil
+
+        for d in os.listdir(out_root):
+            if d.startswith("inc_") and d not in inc_names:
+                _shutil.rmtree(os.path.join(out_root, d))
+
+    if check_boundaries and len(linked_sets) > 1:
+        _check_conv_boundaries(linked_sets, input_paths)
+
     all_linked = linked_sets[0]
     for d in linked_sets[1:]:
         all_linked = all_linked.union(d)
@@ -488,31 +529,84 @@ def update_kg(
     for d in raw_sets[1:]:
         all_raw = all_raw.union(d)
 
-    def build_graph():
-        mapping, _entities = canonicalize(
-            all_linked, alias_table, max_rounds=cfg.uf_rounds
-        )
-        merged = merge_dedup_partials(
-            rewrite_triples(all_raw, mapping, how=cfg.rewrite)
-        )
-        return add_subject_partition(merged, cfg.graph_partitions)
+    base_sig = {
+        "inputs": input_sigs,
+        "config": cfg.sig(),
+        "engine": "ner_ray-0.1",
+    }
+    canon_cache: dict = {}
 
-    graph_sig = input_signature(
-        {
-            "inputs": [parquet_files_signature([p]) for p in input_paths],
-            "config": cfg.sig(),
-            "engine": "ner_ray-0.1",
-            "stage": "graph",
+    def get_canon() -> dict:
+        if "mapping" not in canon_cache:
+            m, e = canonicalize(all_linked, alias_table, max_rounds=cfg.uf_rounds)
+            canon_cache["mapping"], canon_cache["entities"] = m, e
+        return canon_cache
+
+    def stage(name: str, build, partition_cols=None):
+        sig = input_signature({**base_sig, "stage": name})
+        ds, manifest = run_stage(name, out_root, sig, build, partition_cols=partition_cols)
+        metrics["stages"][name] = {
+            "rows": manifest["row_count"],
+            "skipped": manifest["skipped"],
         }
-    )
-    graph, gm = run_stage(
+        return ds
+
+    mapping = stage("mapping", lambda: get_canon()["mapping"])
+    stage("entities", lambda: get_canon()["entities"])
+    stage(
         "graph",
-        out_root,
-        graph_sig,
-        build_graph,
+        lambda: add_subject_partition(
+            merge_dedup_partials(rewrite_triples(all_raw, mapping, how=cfg.rewrite)),
+            cfg.graph_partitions,
+        ),
         partition_cols=["part"],
     )
-    metrics["stages"]["graph"] = {"rows": gm["row_count"], "skipped": gm["skipped"]}
     metrics["total_seconds"] = round(time.perf_counter() - t0, 3)
     metrics["output"] = os.path.join(out_root, "graph", "data")
     return metrics
+
+
+def _check_conv_boundaries(linked_sets: list[Dataset], input_paths: list[str]) -> None:
+    """Raise if any conv_id appears in more than one increment (windows would
+    silently be lost at the split).  Narrow by construction: each increment
+    contributes its per-block DISTINCT conv_ids tagged with the increment
+    index, and the groupby moves one row per (conv, increment)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    def distinct_convs(i: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = pc.unique(batch["conv_id"])
+            return pa.table(
+                {
+                    "conv_id": u,
+                    "inc": pa.array([i] * len(u), pa.int64()),
+                }
+            )
+
+        return fn
+
+    tagged = None
+    for i, d in enumerate(linked_sets):
+        t = d.map_batches(distinct_convs(i), batch_format="pyarrow")
+        tagged = t if tagged is None else tagged.union(t)
+    spans = (
+        tagged.groupby("conv_id")
+        .aggregate(Min("inc", alias_name="lo"), Max("inc", alias_name="hi"))
+        .map_batches(
+            lambda b: b.filter(pc.not_equal(b["lo"], b["hi"])),
+            batch_format="pyarrow",
+        )
+        .limit(5)
+        .to_pandas()
+    )
+    if len(spans):
+        pairs = [
+            f"{r.conv_id} (in {input_paths[int(r.lo)]} and {input_paths[int(r.hi)]})"
+            for r in spans.itertuples()
+        ]
+        raise ValueError(
+            "update_kg: conversations span increment boundaries — windowed "
+            "triples would silently be lost at the split. Re-shard increments "
+            "on whole conversations. Examples: " + "; ".join(pairs)
+        )

@@ -96,6 +96,20 @@ def write_checkpoint(
         ds.write_parquet(data_tmp)
     elapsed = time.perf_counter() - t0
     files = _scan_outputs(data_tmp)
+    if not files:
+        # a 0-row dataset may write no files at all; persist one empty
+        # schema-bearing parquet so rd.read_parquet(data_dir) stays valid
+        # (an all-empty increment in an incremental build hits this)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = ds.schema().names
+        types = ds.schema().types
+        empty = pa.table(
+            {n: pa.array([], t) for n, t in zip(names, types)}
+        )
+        pq.write_table(empty, os.path.join(data_tmp, "empty-0.parquet"))
+        files = _scan_outputs(data_tmp)
     manifest = {
         "signature": signature,
         "files": files,

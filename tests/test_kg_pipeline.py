@@ -315,6 +315,15 @@ class TestIncrementalUpdate:
         inc3 = tmp_path / "inc3"
         inc3.mkdir()
         write_transcripts(str(inc3), TranscriptConfig(n_convs=10, seed=99), shards=1)
+        # the generator reuses conv-00000x ids; disambiguate so increment 3
+        # holds genuinely NEW conversations (the boundary guard correctly
+        # rejects id reuse across increments)
+        for f in glob.glob(str(inc3) + "/*.parquet"):
+            t = pq.read_table(f)
+            cid = pa.compute.binary_join_element_wise(
+                t["conv_id"], pa.array(["x3"] * t.num_rows), "-"
+            )
+            pq.write_table(t.set_column(t.column_names.index("conv_id"), "conv_id", cid), f)
         m3 = update_kg(
             str(tmp_path / "out_inc"), [str(inc1), str(inc2), str(inc3)], cfg
         )
@@ -322,3 +331,21 @@ class TestIncrementalUpdate:
         assert sorted(skips) == [False, True, True]
         assert not m3["stages"]["graph"]["skipped"]
         assert m3["stages"]["graph"]["rows"] >= m2["stages"]["graph"]["rows"]
+
+    def test_boundary_guard_rejects_split_conversations(self, tmp_path):
+        from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts
+        from ner_ray.pipelines.kg import update_kg
+
+        # two increments that BOTH contain conv-000000..: a conversation
+        # split across increments must be rejected, not silently mis-built
+        a, b = tmp_path / "a", tmp_path / "b"
+        write_transcripts(str(a), TranscriptConfig(n_convs=6, seed=1), shards=1)
+        write_transcripts(str(b), TranscriptConfig(n_convs=6, seed=2), shards=1)
+        with pytest.raises(ValueError, match="span increment boundaries"):
+            update_kg(str(tmp_path / "out"), [str(a), str(b)], KGConfig(window=2))
+
+    def test_empty_input_list_rejected(self, tmp_path):
+        from ner_ray.pipelines.kg import update_kg
+
+        with pytest.raises(ValueError, match="input_paths is empty"):
+            update_kg(str(tmp_path / "out"), [])
