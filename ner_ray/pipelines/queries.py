@@ -1400,6 +1400,37 @@ def kg_canon_triples(sf_dir: str) -> Dataset:
     return _join_conv_ids(build_kg(tx, KGConfig()).triples)
 
 
+def kg_incremental_triples(sf_dir: str) -> Dataset:
+    """B10+ incremental build, oracle-backed END TO END: the cached corpus
+    splits into two conversation-disjoint increments (shard files are whole
+    conversations), ``update_kg`` builds the graph through per-increment
+    checkpoints + the distributive merge, and the result must hash-match the
+    SAME DuckDB twin as the from-scratch flagship build (kg_canon_triples) —
+    the driver therefore verifies the exactness theorem every round, not
+    just pytest."""
+    import glob
+    import os
+    import shutil
+
+    from ner_ray.pipelines.kg import KGConfig, update_kg
+
+    src = transcripts_path_for(sf_dir)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    root = src + "_incsplit"
+    a, b = os.path.join(root, "a"), os.path.join(root, "b")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        os.makedirs(a, exist_ok=True)
+        os.makedirs(b, exist_ok=True)
+        for i, f in enumerate(files):
+            shutil.copy(f, a if i % 2 == 0 else b)
+        open(os.path.join(root, "_SUCCESS"), "w").write("ok")
+    m = update_kg(os.path.join(root, "out"), [a, b], KGConfig())
+    import ray.data as rd
+
+    graph = rd.read_parquet(m["output"]).drop_columns(["part"])
+    return _join_conv_ids(graph)
+
+
 def kg_canon_entities(sf_dir: str) -> Dataset:
     """B6 entities output (one row per merged component), oracle-backed:
     ``entity_id`` (blake2b of the component label) is projected off and the
@@ -1588,6 +1619,7 @@ RAY_QUERIES = {
     "kg_dedup_triples": kg_dedup_triples,
     "kg_canon_triples": kg_canon_triples,
     "kg_canon_entities": kg_canon_entities,
+    "kg_incremental_triples": kg_incremental_triples,
     "mm_media_stats": mm_media_stats,
     # --- rows-only: flagship KG path + multimodal plumbing ---
     # The correctness driver records the FIRST 50 catalog entries (round-1
@@ -1597,7 +1629,6 @@ RAY_QUERIES = {
     # paths whose distributed plans were rebuilt this round come first.
     "kg_tagger_eval": kg_tagger_eval,
     "kg_bert_mentions": kg_bert_mentions,
-    "kg_neural_mentions": kg_neural_mentions,
     "mm_video_frames": mm_video_frames,
     "mm_resize_pipeline": mm_resize_pipeline,
     "q22_minhash_near_dup": q22_minhash_near_dup,
@@ -1605,7 +1636,10 @@ RAY_QUERIES = {
     # --- beyond the 50-row cap: hash-proven via oracle-backed siblings and
     # pytest (recall vs brute force, driver-vs-distributed equality).
     # kg_triples/kg_entities duplicate the hash-gated kg_canon_* entries
-    # (same pipeline; list-typed provenance vs the joined-string twin). ---
+    # (same pipeline; list-typed provenance vs the joined-string twin);
+    # kg_neural_mentions (BiLSTM) is pytest-gated vs golden like the BERT
+    # path whose eval row stays in cap. ---
+    "kg_neural_mentions": kg_neural_mentions,
     "q23_simhash_near_dup": q23_simhash_near_dup,
     "kg_triples": kg_triples,
     "kg_entities": kg_entities,
@@ -1723,6 +1757,8 @@ UNION ALL SELECT '<UNK>', (SELECT k FROM k) + 3
     )
     sql["kg_canon_triples"] = _kg_canon_triples_sql(path)
     sql["kg_canon_entities"] = _kg_canon_entities_sql(path)
+    # incremental build must equal the from-scratch build: SAME twin
+    sql["kg_incremental_triples"] = _kg_canon_triples_sql(path)
     return sql
 
 

@@ -258,6 +258,9 @@ class TestDynamicOracleTwins:
     def test_q43_tfidf_twin(self):
         self._check("q43_tfidf_top_terms")
 
+    def test_kg_incremental_triples_twin(self):
+        self._check("kg_incremental_triples")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGroupedQuantiles:
