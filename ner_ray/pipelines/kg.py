@@ -45,6 +45,14 @@ from ner_ray.stages.tagger import _mentions_table, stable_mention_id, tag_transc
 from ner_ray.stages.triples import extract_triples
 
 
+# Stamped into every checkpoint signature. BUMP whenever tagging, linking,
+# extraction, canonicalization, rewrite or dedup SEMANTICS change: signatures
+# hash only inputs + config, so a stale /tmp checkpoint from an older engine
+# would otherwise be served as current (and diverge from the SQL twins,
+# which always recompute).
+ENGINE_SIG = "ner_ray-0.2"
+
+
 @dataclass
 class KGConfig:
     tagger: str = "rule"  # "rule" (reference stand-in) | "bilstm" (neural path)
@@ -327,7 +335,7 @@ def run_kg(
     base_sig = {
         "input": parquet_files_signature([input_path]),
         "config": cfg.sig(),
-        "engine": "ner_ray-0.1",
+        "engine": ENGINE_SIG,
     }
     metrics: dict = {"stages": {}}
     t0 = time.perf_counter()
@@ -457,7 +465,7 @@ def update_kg(
         inc_sig_src = {
             "input": files_sig,
             "config": inc_cfg,
-            "engine": "ner_ray-0.1",
+            "engine": ENGINE_SIG,
         }
         inc = f"inc_{input_signature(inc_sig_src)[:16]}"
         if inc in inc_names:
@@ -532,7 +540,7 @@ def update_kg(
     base_sig = {
         "inputs": input_sigs,
         "config": cfg.sig(),
-        "engine": "ner_ray-0.1",
+        "engine": ENGINE_SIG,
     }
     canon_cache: dict = {}
 
