@@ -189,12 +189,35 @@ def _train_sample(ds: Dataset, id_col: str, emb_col: str, train_size: int) -> np
     does not preserve row order by default (``preserve_order=False``), so a
     bare ``limit().to_pandas()`` yields a run-dependent row ORDER, and
     ``kmeans_lite``'s init/updates are order-sensitive — two builds would
-    disagree on centroids and therefore on probed cells.  Sorting the sample
-    by id pins the centroids, making ``ivf_topk`` and a persisted
-    ``ivf_build_index`` layout give identical answers."""
-    tbl = ds.limit(train_size).map_batches(
-        lambda t: t.select([id_col, emb_col]), batch_format="pyarrow"
-    ).to_pandas()
+    disagree on centroids and therefore on probed cells.  Fixing order alone
+    is not enough: ``limit()`` also truncates a run-dependent STREAM, so the
+    sample's MEMBERSHIP varies between runs.  Membership is pinned by taking
+    the ``train_size`` rows with the smallest deterministic id hash (a
+    content-addressed sample, independent of block arrival order), then
+    sorting by id to pin the order."""
+    import zlib
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = pa.array([zlib.crc32(str(i).encode()) for i in ids], pa.int64())
+        return t.select([id_col, emb_col]).append_column("_h", h)
+
+    # per-block top-train_size by hash, then a driver top-train_size of the
+    # partials: exact global min-k without collecting the corpus
+    def block_topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows <= train_size:
+            return t
+        idx = pc.select_k_unstable(t, train_size, [("_h", "ascending")])
+        return t.take(idx)
+
+    tbl = (
+        ds.map_batches(hashed, batch_format="pyarrow")
+        .map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    tbl = tbl.sort_values(["_h", id_col], kind="mergesort").head(train_size)
     tbl = tbl.sort_values(id_col, kind="mergesort").reset_index(drop=True)
     return np.asarray(list(tbl[emb_col]), dtype=np.float64)
 
@@ -302,9 +325,17 @@ def ivf_build_index(
                 "cell_id", pa.array(cells, pa.int32())
             )
 
+    # rebuilds must not append next to a previous generation's files (a
+    # crashed build + retry would otherwise serve duplicate/stale rows from
+    # every probed cell)
+    data_dir = os.path.join(index_dir, "data")
+    if os.path.exists(data_dir):
+        import shutil
+
+        shutil.rmtree(data_dir)
     os.makedirs(index_dir, exist_ok=True)
     ds.map_batches(Assign, batch_format="pyarrow", concurrency=pool_size()).write_parquet(
-        os.path.join(index_dir, "data"), partition_cols=["cell"]
+        data_dir, partition_cols=["cell"]
     )
     with open(os.path.join(index_dir, "centroids.json"), "w") as f:
         json.dump(cent.tolist(), f)
@@ -334,12 +365,24 @@ def ivf_search_index(
     q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # [Q, n_probe]
     cells = sorted({int(c) for row in probe for c in row})
+    # pyarrow.fs discovery so the cell-partitioned layout works on object
+    # stores (s3://...) as well as local paths — os.listdir silently finds
+    # nothing for URI paths, which would return empty results, not an error
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem, base = pafs.FileSystem.from_uri(os.path.join(index_dir, "data"))
+    except (ValueError, pa.ArrowInvalid):
+        filesystem, base = pafs.LocalFileSystem(), os.path.join(index_dir, "data")
+    # FileSystem paths come back scheme-less; restore it for read_parquet
+    scheme = index_dir.split("://", 1)[0] + "://" if "://" in index_dir else ""
     paths = []
     for c in cells:
-        d = os.path.join(index_dir, "data", f"cell={c}")
-        if os.path.isdir(d):
+        d = f"{base}/cell={c}"
+        if filesystem.get_file_info(d).type == pafs.FileType.Directory:
+            infos = filesystem.get_file_info(pafs.FileSelector(d))
             paths.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+                sorted(scheme + i.path for i in infos if i.path.endswith(".parquet"))
             )
     if not paths:
         return pd.DataFrame({"query_idx": [], id_col: [], "score": [], "rank": []})
@@ -380,9 +423,21 @@ def ivf_search_index(
     return _topk_merge(cand, k, id_col)
 
 
-# Per-worker cache of normalized chunk matrices for the block-pair scorer
-# (keyed by chunk index; lives for the worker process lifetime).
-_CHUNK_CACHE: dict = {}
+# Per-worker cache of normalized chunk matrices for the block-pair scorer.
+# BOUNDED (FIFO): every invocation materializes fresh object refs, so old
+# keys can never hit again — an unbounded dict grows worker RSS by O(corpus)
+# per invocation until the node OOMs.
+from collections import OrderedDict
+
+_CHUNK_CACHE: OrderedDict = OrderedDict()
+_CHUNK_CACHE_MAX = 16
+
+
+def _cache_put(key, value):
+    _CHUNK_CACHE[key] = value
+    while len(_CHUNK_CACHE) > _CHUNK_CACHE_MAX:
+        _CHUNK_CACHE.popitem(last=False)
+    return value
 
 
 def embedding_near_dup_pairs(
@@ -429,9 +484,18 @@ def embedding_near_dup_pairs(
     if mat.num_blocks() != n_chunks:
         mat = mat.repartition(n_chunks).materialize()
     refs = mat.to_arrow_refs()
-    pair_rows = [
-        {"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))
-    ]
+    T = len(refs)
+    # upper-triangle tile (i, j), i <= j, decoded from a LINEAR index so the
+    # driver never builds the O(T^2) tile list (T^2 Python dicts at 100M
+    # rows would OOM the driver before any task ran)
+    tri_offsets = np.cumsum(np.concatenate(([0], np.arange(T, 0, -1))))  # len T+1
+    n_tiles = int(tri_offsets[-1])
+
+    def decode_tiles(batch: dict) -> pa.Table:
+        t = batch["id"].astype(np.int64)
+        i = np.searchsorted(tri_offsets, t, side="right") - 1
+        j = i + (t - tri_offsets[i])
+        return pa.table({"i": pa.array(i, pa.int64()), "j": pa.array(j, pa.int64())})
 
     def fetch(idx: int) -> tuple[np.ndarray, np.ndarray]:
         key = ("nd", refs[idx].hex(), id_col)
@@ -440,8 +504,7 @@ def embedding_near_dup_pairs(
             t = ray.get(refs[idx])
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             m = _normalize(_batch_matrix(t, emb_col))
-            hit = (ids, m)
-            _CHUNK_CACHE[key] = hit
+            hit = _cache_put(key, (ids, m))
         return hit
 
     def score_tile(batch: pa.Table) -> pa.Table:
@@ -472,7 +535,7 @@ def embedding_near_dup_pairs(
             }
         )
 
-    tiles = rd.from_items(pair_rows)
+    tiles = rd.range(n_tiles).map_batches(decode_tiles, batch_format="numpy")
     return tiles.map_batches(score_tile, batch_format="pyarrow", batch_size=1)
 
 
@@ -498,7 +561,7 @@ def _near_dup_pairs_lsh(
         planes = _CHUNK_CACHE.get(("planes", seed, n_planes, m.shape[1]))
         if planes is None:
             planes = np.random.default_rng(seed).standard_normal((m.shape[1], n_planes))
-            _CHUNK_CACHE[("planes", seed, n_planes, m.shape[1])] = planes
+            _cache_put(("planes", seed, n_planes, m.shape[1]), planes)
         bits = (m @ planes > 0).astype(np.uint64)  # [N, P]
         out_id, out_band, out_key, out_emb = [], [], [], []
         emb = batch[emb_col]

@@ -412,6 +412,19 @@ def grouped_quantiles(
     """
     from ner_ray.utils import pool_size
 
+    def drop_null_vals(batch: pa.Table) -> pa.Table:
+        # quantile_cont ignores NULLs; without this a NaN would be counted
+        # in n AND binned (NaN casts to bin 0) while the refine sort pushes
+        # it last — silently desynchronizing rank arithmetic
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_valid(batch[val_col]))
+
+    # one execution of the upstream plan: the three passes below would
+    # otherwise re-run it (and could even see different rows if the plan is
+    # nondeterministic, breaking the histogram/refine rank agreement)
+    ds = ds.map_batches(drop_null_vals, batch_format="pyarrow").materialize()
+
     stats = grouped_agg_partial(
         ds, [key_col], mins={"lo": val_col}, maxs={"hi": val_col}, count_col="n"
     )
@@ -422,6 +435,11 @@ def grouped_quantiles(
     n = stats["n"].to_numpy(dtype=np.int64)
     span = np.where(hi > lo, hi - lo, 1.0)
     G = len(keys)
+    # bound the DENSE driver array (and the cell-id space) to ~8M cells so
+    # memory scales with groups actually present, not G x default-bins;
+    # exactness is bin-width-independent — narrower bins only shrink the
+    # refine collect
+    bins = max(64, min(bins, (1 << 23) // max(G, 1)))
 
     def _codes_bins(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         codes = (
@@ -433,12 +451,13 @@ def grouped_quantiles(
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         codes, b, _ = _codes_bins(batch)
-        flat = np.bincount(codes * bins + b, minlength=G * bins)
-        nz = np.flatnonzero(flat)
+        # sparse by construction: a dense bincount(minlength=G*bins) would
+        # allocate G x bins x 8B in EVERY task regardless of block content
+        cells, counts = np.unique(codes * bins + b, return_counts=True)
         return pa.table(
             {
-                "cell": pa.array(nz, pa.int64()),
-                "cnt": pa.array(flat[nz], pa.int64()),
+                "cell": pa.array(cells, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
@@ -526,6 +545,11 @@ def rollup_agg(
             g[k] = all_label
         levels.append(g.assign(_lvl=depth))
     out = pd.concat(levels, ignore_index=True)[keys + ["sum_val", "n_rows", "_lvl"]]
+    # key columns become strings: coarser levels hold the all_label sentinel,
+    # and a numeric key mixed with 'ALL' would make sort_values raise
+    # (matches the SQL twin, where COALESCE(key, 'ALL') is VARCHAR)
+    for k in keys:
+        out[k] = out[k].astype(str)
     out["sum_val"] = out["sum_val"].astype(float).round(4)
     out["n_rows"] = out["n_rows"].astype("int64")
     out["_lvl"] = out["_lvl"].astype("int64")

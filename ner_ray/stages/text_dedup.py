@@ -113,6 +113,12 @@ class _MinHashSketcher:
         )
 
 
+# Shuffle-cell count for the band-bucket groupbys.  8192 bounds map_groups
+# dispatch (~50us/group) at bench scale, but one CELL's rows must fit a
+# single map_groups task: at B bands over N docs a cell holds ~N*B/_N_CELLS
+# band rows, so for corpora beyond ~10^9 band rows scale this up to keep
+# cells under ~10^6 rows (it only re-partitions work — cell assignment is a
+# hash, so ANY value yields identical output; set before building the plan).
 _N_CELLS = 8192
 
 
