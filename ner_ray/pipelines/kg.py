@@ -189,11 +189,16 @@ def make_fanout(window: int, chunk_turns: int, alias_ref, tau: float):
     def fanout(batch: pa.Table) -> pa.Table:
         pat = extract_pattern_triples(batch)
         narrow = batch.drop_columns(["text"])
-        keyed = add_group_key(salt_chunk_batch(narrow, chunk_turns, window))
+        parts = [_align_fanout(pat, 0)]
+        if window > 1:
+            # window <= 1 emits pattern triples only (matching the unfused
+            # extract_triples guard): salting would raise for window < 1 and
+            # materialize never-consumed kind-1 rows for window == 1
+            keyed = add_group_key(salt_chunk_batch(narrow, chunk_turns, window))
+            parts.append(_align_fanout(keyed, 1))
         linked = _get_linker(alias_ref, tau)(explode_mentions(narrow))
-        return pa.concat_tables(
-            [_align_fanout(pat, 0), _align_fanout(keyed, 1), _align_fanout(linked, 2)]
-        )
+        parts.append(_align_fanout(linked, 2))
+        return pa.concat_tables(parts)
 
     return fanout
 
