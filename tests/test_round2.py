@@ -106,6 +106,31 @@ class TestIVFIndex:
         again = ivf_search_index(idx, q, k=5, n_probe=3)
         assert list(again["vec_id"]) == list(want["vec_id"])
 
+    def test_rebuild_into_same_dir_serves_one_generation(self, tmp_path):
+        """A crashed-build retry (or plain rebuild) must not append a second
+        file generation next to the old one — duplicate rows would surface
+        in every probed cell."""
+        ds, _ = _emb_ds(n=200, dim=8, seed=4)
+        idx = str(tmp_path / "ivf")
+        ivf_build_index(ds, idx, n_centroids=4, seed=42)
+        q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)[None, :]
+        first = ivf_search_index(idx, q, k=5, n_probe=4)
+        ivf_build_index(ds, idx, n_centroids=4, seed=42)  # rebuild in place
+        second = ivf_search_index(idx, q, k=5, n_probe=4)
+        assert list(second["vec_id"]) == list(first["vec_id"])
+        assert len(set(second["vec_id"])) == len(second["vec_id"])
+
+    def test_train_sample_membership_is_layout_independent(self):
+        """The quantizer training sample is content-addressed: the same
+        corpus repartitioned differently (different block arrival order under
+        the streaming executor) must yield the same sample rows."""
+        from ner_ray.stages.ann import _train_sample
+
+        ds, _ = _emb_ds(n=500, dim=8, seed=9)
+        a = _train_sample(ds.repartition(3), "vec_id", "embedding", 64)
+        b = _train_sample(ds.repartition(17), "vec_id", "embedding", 64)
+        assert np.array_equal(a, b)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestDistributedPageRank:
