@@ -83,7 +83,7 @@ def read_bio_corpus(paths: str | list[str]) -> Dataset:
                 >> 25  # keep 39 bits so (h << 24) stays within positive int64
             )
             t = parse_bio_text(data.decode("utf-8"), start_id=h << 24)
-            if t.num_rows >= 1 << 24:
+            if t.num_rows > 1 << 24:
                 raise ValueError(
                     f"{path}: {t.num_rows} sentences overflows the 24-bit "
                     "per-file id range; shard the file"

@@ -103,26 +103,46 @@ def write_transcripts_jsonl(ds: Dataset, out_dir: str) -> list[str]:
     epoch micros — tz-independent (calling ``datetime.timestamp()`` on the
     naive Python values would re-interpret them in the host's local zone and
     shift every value on a non-UTC machine).
+
+    Idempotent: shard names are content-addressed (blake2b of the payload),
+    each shard writes to a temp name and ``os.replace``s into place (atomic;
+    a retried task rewrites the same bytes to the same name), and the driver
+    clears stale ``part-*.jsonl`` from ``out_dir`` before launching so a
+    rerun with different batching leaves no orphans.  Assumes ``out_dir`` is
+    on a filesystem shared by the workers (tasks create it themselves).
     """
+    import glob
+    import hashlib
     import json
     import os
     import uuid
 
     os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "part-*.jsonl")):
+        os.remove(stale)
 
     def write_shard(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         ts_us = pc.cast(batch["ts"], pa.int64()).to_pylist()
         rows = batch.drop_columns(["ts"]).to_pylist()
-        p = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
-        with open(p, "w", encoding="utf-8") as f:
-            for r, t in zip(rows, ts_us):
-                r["ts"] = int(t) if t is not None else 0
-                f.write(json.dumps(r, ensure_ascii=False) + "\n")
+        lines = []
+        for r, t in zip(rows, ts_us):
+            r["ts"] = int(t) if t is not None else 0
+            lines.append(json.dumps(r, ensure_ascii=False) + "\n")
+        payload = "".join(lines).encode("utf-8")
+        digest = hashlib.blake2b(payload, digest_size=16).hexdigest()
+        os.makedirs(out_dir, exist_ok=True)  # workers may see it first
+        p = os.path.join(out_dir, f"part-{digest}.jsonl")
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, p)
         return pa.table(
             {"path": pa.array([p], pa.string()), "n_rows": pa.array([batch.num_rows], pa.int64())}
         )
 
     manifest = ds.map_batches(write_shard, batch_format="pyarrow", batch_size=None).to_pandas()
+    if "path" not in manifest.columns:  # empty dataset: Ray never ran the fn
+        return []
     return sorted(manifest["path"])

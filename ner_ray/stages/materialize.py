@@ -103,11 +103,15 @@ def write_checkpoint(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        names = ds.schema().names
-        types = ds.schema().types
-        empty = pa.table(
-            {n: pa.array([], t) for n, t in zip(names, types)}
-        )
+        sch = ds.schema()
+        if sch is not None:
+            empty = pa.table(
+                {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+            )
+        else:
+            # schema unknowable (e.g. a row-UDF filtered everything): a
+            # zero-column parquet still keeps rd.read_parquet(data_dir) valid
+            empty = pa.table({})
         pq.write_table(empty, os.path.join(data_tmp, "empty-0.parquet"))
         files = _scan_outputs(data_tmp)
     manifest = {
