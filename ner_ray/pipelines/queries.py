@@ -1249,6 +1249,115 @@ SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 5
 """
 
 
+def q44_term_pmi(sf_dir: str, min_support: int = 5) -> Dataset:
+    """Pointwise mutual information over document-level term co-occurrence —
+    the phrase-mining / collocation primitive.  Distributed shape: per-block
+    pair counting (each doc's DISTINCT terms -> unordered pairs, counted in
+    one Counter per block), a narrow groupby over pair keys, document
+    frequencies broadcast via ``ray.put``, then a stateless scoring pass.
+    PMI = ln(n_ab * N / (df_a * df_b)); scores floor-quantized to 6 decimals
+    identically on both sides (see q43).  Exact all-pairs per document is
+    quadratic in the doc's distinct-term count — fine for typical documents;
+    cap the vocabulary upstream for pathological ones."""
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        from itertools import combinations
+
+        pc_: Counter = Counter()
+        dfc: Counter = Counter()
+        for x in t["text"].to_pylist():
+            if x is None:
+                continue
+            terms = sorted(set(_TFIDF_TOKEN.findall(x.lower())))
+            dfc.update(terms)
+            pc_.update(combinations(terms, 2))
+        keys = ["\x00".join(k) for k in pc_.keys()] + list(dfc.keys())
+        cnts = list(pc_.values()) + list(dfc.values())
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(block_pairs, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    # document frequencies are vocabulary-sized: broadcast once
+    def split_df(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(pc.count_substring(t["key"], "\x00"), 0)
+        return t.filter(mask)
+
+    df_pdf = agg.map_batches(split_df, batch_format="pyarrow").to_pandas()
+    df_map = dict(zip(df_pdf["key"], df_pdf["cnt"].astype(int)))
+    ref = _ray.put(df_map)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dfm = _ray.get(ref)
+        pairs = t.filter(pc.greater(pc.count_substring(t["key"], "\x00"), 0))
+        rows = {"term_a": [], "term_b": [], "n_ab": [], "pmi": []}
+        for key, n_ab in zip(pairs["key"].to_pylist(), pairs["cnt"].to_pylist()):
+            if n_ab < min_support:
+                continue
+            a, b = key.split("\x00", 1)
+            pmi = math.floor(
+                math.log(n_ab * float(n_docs) / (dfm[a] * dfm[b])) * 1e6 + 0.5
+            ) / 1e6
+            rows["term_a"].append(a)
+            rows["term_b"].append(b)
+            rows["n_ab"].append(n_ab)
+            rows["pmi"].append(pmi)
+        return pa.table(
+            {
+                "term_a": pa.array(rows["term_a"], pa.string()),
+                "term_b": pa.array(rows["term_b"], pa.string()),
+                "n_ab": pa.array(rows["n_ab"], pa.int64()),
+                "pmi": pa.array(rows["pmi"], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(score, batch_format="pyarrow")
+
+
+SQL_Q44 = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT p.term_a, p.term_b, p.n_ab,
+       floor(ln(p.n_ab * (SELECT n FROM n) / (da.df * db.df)) * 1000000 + 0.5)
+         / 1000000.0 AS pmi
+FROM pairs p
+JOIN df da ON da.term = p.term_a
+JOIN df db ON db.term = p.term_b
+WHERE p.n_ab >= 5
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -1612,6 +1721,7 @@ RAY_QUERIES = {
     "q41_grouped_quantiles": q41_grouped_quantiles,
     "q42_rollup": q42_rollup,
     "q43_tfidf_top_terms": q43_tfidf_top_terms,
+    "q44_term_pmi": q44_term_pmi,
     "kg_order_restore": kg_order_restore,
     "kg_vocab": kg_vocab,
     "kg_mentions": kg_mentions,
@@ -1628,7 +1738,6 @@ RAY_QUERIES = {
     # the multimodal entries that missed round 1's cut, and the near-dup
     # paths whose distributed plans were rebuilt this round come first.
     "kg_tagger_eval": kg_tagger_eval,
-    "kg_bert_mentions": kg_bert_mentions,
     "mm_video_frames": mm_video_frames,
     "mm_resize_pipeline": mm_resize_pipeline,
     "q22_minhash_near_dup": q22_minhash_near_dup,
@@ -1637,8 +1746,9 @@ RAY_QUERIES = {
     # pytest (recall vs brute force, driver-vs-distributed equality).
     # kg_triples/kg_entities duplicate the hash-gated kg_canon_* entries
     # (same pipeline; list-typed provenance vs the joined-string twin);
-    # kg_neural_mentions (BiLSTM) is pytest-gated vs golden like the BERT
-    # path whose eval row stays in cap. ---
+    # kg_bert_mentions / kg_neural_mentions are pytest-gated vs golden and
+    # the BERT path's P/R row (kg_tagger_eval) stays in cap. ---
+    "kg_bert_mentions": kg_bert_mentions,
     "kg_neural_mentions": kg_neural_mentions,
     "q23_simhash_near_dup": q23_simhash_near_dup,
     "kg_triples": kg_triples,
@@ -1691,6 +1801,7 @@ ORACLE_SQL = {
     "q41_grouped_quantiles": SQL_Q41,
     "q42_rollup": SQL_Q42,
     "q43_tfidf_top_terms": SQL_Q43,
+    "q44_term_pmi": SQL_Q44,
 }
 
 

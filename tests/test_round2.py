@@ -286,6 +286,9 @@ class TestDynamicOracleTwins:
     def test_kg_incremental_triples_twin(self):
         self._check("kg_incremental_triples")
 
+    def test_q44_pmi_twin(self):
+        self._check("q44_term_pmi")
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestGroupedQuantiles:
