@@ -156,3 +156,87 @@ class TestPatternVectorizedEquality:
         )
         out = [(r["subj"], r["obj"]) for r in extract_pattern_triples(tm).to_pylist()]
         assert out == [("Oslo", "Kyoto"), ("Kyoto", "Lima")]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindowBruteForceProperty:
+    """Randomized corpora (sparse turn gaps, multi-conv, arbitrary block
+    splits, random chunk sizes) against a pure-Python brute-force window
+    reference — the regression guard for the salted-chunk + bucketed
+    groupby machinery."""
+
+    def _random_tm(self, rng, n_convs=6, max_turns=30):
+        rows = {"conv_id": [], "turn_idx": [], "text": [], "mentions": []}
+        for c in range(n_convs):
+            turns = sorted(rng.sample(range(max_turns * 3), rng.randint(1, max_turns)))
+            for t in turns:
+                n_m = rng.choice([0, 0, 1, 1, 2, 3])
+                ms = [
+                    {
+                        "surface": f"E{rng.randint(0, 9)}",
+                        "type": "ORG",
+                        "start": 5 * i,
+                        "end": 5 * i + 2,
+                    }
+                    for i in range(n_m)
+                ]
+                rows["conv_id"].append(f"c{c}")
+                rows["turn_idx"].append(t)
+                rows["text"].append(" " * (5 * max(n_m, 1)))
+                rows["mentions"].append(ms)
+        import pyarrow as pa
+
+        from ner_ray import schemas
+
+        return pa.table(
+            {
+                "conv_id": pa.array(rows["conv_id"], pa.string()),
+                "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+                "text": pa.array(rows["text"], pa.string()),
+                "mentions": pa.array(rows["mentions"], pa.list_(schemas.MENTION_STRUCT)),
+            }
+        )
+
+    def _brute_windows(self, tbl, window):
+        rows = tbl.to_pylist()
+        by_conv: dict = {}
+        for r in rows:
+            by_conv.setdefault(r["conv_id"], []).append(r)
+        out = []
+        for conv, rs in by_conv.items():
+            rs = sorted(rs, key=lambda r: r["turn_idx"])
+            for i, a in enumerate(rs):
+                for b in rs[i + 1 :]:
+                    if not (0 < b["turn_idx"] - a["turn_idx"] < window):
+                        continue
+                    for ma in a["mentions"]:
+                        for mb in b["mentions"]:
+                            out.append(
+                                (
+                                    ma["surface"],
+                                    "co_mentioned_with",
+                                    mb["surface"],
+                                    conv,
+                                    a["turn_idx"],
+                                    0.5,
+                                )
+                            )
+        return sorted(out)
+
+    def test_random_corpora_match_brute_force(self):
+        import random
+
+        for seed in (1, 7, 23):
+            rng = random.Random(seed)
+            tbl = self._random_tm(rng)
+            window = rng.choice([2, 3, 5])
+            chunk_turns = rng.choice([2, 5, 16])
+            ds = rd.from_arrow(tbl).repartition(rng.choice([1, 3, 9]))
+            got = extract_triples(ds, window=window, chunk_turns=chunk_turns)
+            gp = got.to_pandas()
+            gp = gp[gp.pred == "co_mentioned_with"]
+            got_rows = sorted(
+                map(tuple, gp[["subj", "pred", "obj", "conv_id", "turn_idx", "confidence"]]
+                    .astype({"confidence": float}).values.tolist())
+            )
+            assert got_rows == self._brute_windows(tbl, window), (seed, window, chunk_turns)
