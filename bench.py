@@ -158,11 +158,9 @@ def run_kg_only(tagger: str, n_convs: int) -> dict:
     dims = os.environ.get("SCALE_BERT_DIMS", "128,2,4")
     if tagger == "bert" and dims:
         h, nl, nh = (int(x) for x in dims.split(","))
-        from ner_ray.state.bert import FrozenTinyBert
-
-        tagger_kwargs["model_ref"] = ray.put(
-            FrozenTinyBert.create(hidden=h, n_layers=nl, n_heads=nh)
-        )
+        # model_spec (rebuilt deterministically per actor) rather than a
+        # ray.put ref: keeps the flagship actors restartable (ray#53727)
+        tagger_kwargs["model_spec"] = {"hidden": h, "n_layers": nl, "n_heads": nh}
     # Warm the Ray worker pool: a small actor-pool pass pre-spawns worker
     # processes with ner_ray imported, so the measured window reflects
     # steady-state pipeline throughput (a standing cluster's workers exist
@@ -256,19 +254,24 @@ def run_scaling() -> dict:
                 "kg_turns": r_hi.get("kg_turns"),
             }
         )
-    best = max(pairs, key=lambda p: p["efficiency"])
+    # headline "value" is the MEDIAN pair: the best pair is upward selection
+    # bias under the documented ±20% box drift (it survives as value_best)
+    ranked = sorted(pairs, key=lambda p: p["efficiency"])
+    median = ranked[len(ranked) // 2] if len(ranked) % 2 else ranked[len(ranked) // 2 - 1]
+    best = ranked[-1]
     return {
         "metric": "scaling_efficiency",
-        "value": best["efficiency"],
+        "value": median["efficiency"],
+        "value_best": best["efficiency"],
         "unit": "ratio",
         "cpus_low": lo,
         "cpus_high": hi,
         "tagger": tagger,
-        "kg_seconds_low": best["kg_seconds_low"],
-        "kg_seconds_high": best["kg_seconds_high"],
-        "kg_triples_per_sec_low": best["kg_triples_per_sec_low"],
-        "kg_triples_per_sec_high": best["kg_triples_per_sec_high"],
-        "kg_turns": best["kg_turns"],
+        "kg_seconds_low": median["kg_seconds_low"],
+        "kg_seconds_high": median["kg_seconds_high"],
+        "kg_triples_per_sec_low": median["kg_triples_per_sec_low"],
+        "kg_triples_per_sec_high": median["kg_triples_per_sec_high"],
+        "kg_turns": median["kg_turns"],
         "pairs": [p["efficiency"] for p in pairs],
     }
 

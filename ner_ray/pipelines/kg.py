@@ -61,6 +61,9 @@ class KGConfig:
     link_tau: float = 0.6  # cosine threshold for entity linking
     tagger_batch_size: int = 4096
     tagger_concurrency: tuple | None = None  # None -> pool_size() (cluster-wide)
+    # GPUs per tagger actor (north-star deployment: BERT encoding on GPU
+    # actor pools; e.g. 0.25 packs 4 actors/device).  None = CPU-only.
+    tagger_num_gpus: float | None = None
     graph_partitions: int = 16  # hash(subj) partitions of the final graph
     rewrite: str = "broadcast"  # or "join" for non-broadcastable mappings
     uf_rounds: int = 8
@@ -180,9 +183,8 @@ def _align_fanout(t: pa.Table, kind: int) -> pa.Table:
     return pa.table(dict(zip(_FANOUT.names, cols)), schema=_FANOUT)
 
 
-def make_fanout(window: int, chunk_turns: int, alias_ref, tau: float):
+def make_fanout(window: int, chunk_turns: int, linker):
     """Per-batch fused fan-out: turn_mentions batch -> _FANOUT rows."""
-    from ner_ray.stages.linker import _get_linker
     from ner_ray.stages.order_restore import salt_chunk_batch
     from ner_ray.stages.triples import add_group_key, extract_pattern_triples
 
@@ -196,11 +198,33 @@ def make_fanout(window: int, chunk_turns: int, alias_ref, tau: float):
             # materialize never-consumed kind-1 rows for window == 1
             keyed = add_group_key(salt_chunk_batch(narrow, chunk_turns, window))
             parts.append(_align_fanout(keyed, 1))
-        linked = _get_linker(alias_ref, tau)(explode_mentions(narrow))
+        linked = linker(explode_mentions(narrow))
         parts.append(_align_fanout(linked, 2))
         return pa.concat_tables(parts)
 
     return fanout
+
+
+def _alias_ipc(table: pa.Table) -> bytes:
+    """Serialize the (small) alias table to Arrow IPC bytes so it rides into
+    actor constructors BY VALUE.  An ``ObjectRef`` in ``fn_constructor_kwargs``
+    makes the actor unrestartable if the ref's owner dies (ray#53727: actor
+    'has constructor arguments in the object store and max_restarts > 0 ...
+    restart will fail'); alias dictionaries are dwarfed by the corpus, so the
+    by-value copy is cheap insurance for multi-node fault tolerance."""
+    import pyarrow.ipc as ipc
+
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def _alias_from_ipc(buf: bytes) -> pa.Table:
+    import pyarrow.ipc as ipc
+
+    with ipc.open_stream(pa.py_buffer(buf)) as r:
+        return r.read_all()
 
 
 class TaggerFanout:
@@ -208,13 +232,19 @@ class TaggerFanout:
     following actor operator, not out of one, so a ``map_batches(fanout)``
     after the tagger stage would run as a second full-stream task stage
     (measured: re-serializing every block).  Composing them in the actor's
-    ``__call__`` keeps the whole pass zero-intermediate."""
+    ``__call__`` keeps the whole pass zero-intermediate.
 
-    def __init__(self, tagger, tagger_kwargs, window, chunk_turns, alias_ref, tau):
+    Constructor args are plain values (the alias dict arrives as IPC bytes,
+    see ``_alias_ipc``) so Ray can restart a lost actor from the task spec
+    alone — no object-store dependency."""
+
+    def __init__(self, tagger, tagger_kwargs, window, chunk_turns, alias_ipc, tau):
+        from ner_ray.stages.linker import LinkerActor
         from ner_ray.stages.tagger import TAGGERS
 
         self.tagger = TAGGERS[tagger](output="turn_mentions", **(tagger_kwargs or {}))
-        self.fanout = make_fanout(window, chunk_turns, alias_ref, tau)
+        linker = LinkerActor(alias_table=_alias_from_ipc(alias_ipc), tau=tau)
+        self.fanout = make_fanout(window, chunk_turns, linker)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.fanout(self.tagger(batch))
@@ -273,20 +303,10 @@ def build_kg(
 
     cfg = cfg or KGConfig()
     alias_table = alias_table if alias_table is not None else make_alias_table()
-    alias_ref = ray.put(alias_table)
 
     from ner_ray.utils import heavy_pool_size
 
-    fan = transcripts.map_batches(
-        TaggerFanout,
-        fn_constructor_kwargs={
-            "tagger": cfg.tagger,
-            "tagger_kwargs": tagger_kwargs,
-            "window": cfg.window,
-            "chunk_turns": cfg.chunk_turns,
-            "alias_ref": alias_ref,
-            "tau": cfg.link_tau,
-        },
+    pool_kwargs: dict = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.tagger_batch_size,
@@ -296,6 +316,20 @@ def build_kg(
             else heavy_pool_size()
         ),
         num_cpus=1,
+    )
+    if cfg.tagger_num_gpus is not None:
+        pool_kwargs["num_gpus"] = cfg.tagger_num_gpus
+    fan = transcripts.map_batches(
+        TaggerFanout,
+        fn_constructor_kwargs={
+            "tagger": cfg.tagger,
+            "tagger_kwargs": tagger_kwargs,
+            "window": cfg.window,
+            "chunk_turns": cfg.chunk_turns,
+            "alias_ipc": _alias_ipc(alias_table),
+            "tau": cfg.link_tau,
+        },
+        **pool_kwargs,
     ).materialize()
 
     pattern = _select_kind(fan, 0, schemas.TRIPLES)
@@ -363,6 +397,7 @@ def run_kg(
             output="turn_mentions",
             batch_size=cfg.tagger_batch_size,
             concurrency=cfg.tagger_concurrency,
+            num_gpus=cfg.tagger_num_gpus,
         ),
     )
     linked = stage(
@@ -493,6 +528,7 @@ def update_kg(
                 output="turn_mentions",
                 batch_size=cfg.tagger_batch_size,
                 concurrency=cfg.tagger_concurrency,
+                num_gpus=cfg.tagger_num_gpus,
             ),
         )
         linked, m1 = run_stage(

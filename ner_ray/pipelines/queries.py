@@ -749,9 +749,13 @@ def q32_ann_ivf(sf_dir: str) -> pd.DataFrame:
 
     emb = pq.read_table(_t(sf_dir, "embeddings"))
     q0 = np.asarray(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
-    import zlib
+    from ner_ray.stages.materialize import input_signature, parquet_files_signature
 
-    idx = f"/tmp/ner_ray_cache/ivf_{zlib.crc32(os.path.abspath(sf_dir).encode())}_c16"
+    # cache keyed on the embeddings input identity (file list + sizes), not
+    # the directory path alone: a regenerated fixture at the same path, or
+    # two paths colliding in a weak hash, must not be served a stale index
+    sig = input_signature(parquet_files_signature([_t(sf_dir, "embeddings")]))[:16]
+    idx = f"/tmp/ner_ray_cache/ivf_{sig}_c16"
     marker = os.path.join(idx, "_SUCCESS")
     if not os.path.exists(marker):
         ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -1249,7 +1253,9 @@ SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rn <= 5
 """
 
 
-def q44_term_pmi(sf_dir: str, min_support: int = 5) -> Dataset:
+def q44_term_pmi(
+    sf_dir: str, min_support: int = 5, max_terms_per_doc: int = 4096
+) -> Dataset:
     """Pointwise mutual information over document-level term co-occurrence —
     the phrase-mining / collocation primitive.  Distributed shape: per-block
     pair counting (each doc's DISTINCT terms -> unordered pairs, counted in
@@ -1257,8 +1263,14 @@ def q44_term_pmi(sf_dir: str, min_support: int = 5) -> Dataset:
     frequencies broadcast via ``ray.put``, then a stateless scoring pass.
     PMI = ln(n_ab * N / (df_a * df_b)); scores floor-quantized to 6 decimals
     identically on both sides (see q43).  Exact all-pairs per document is
-    quadratic in the doc's distinct-term count — fine for typical documents;
-    cap the vocabulary upstream for pathological ones."""
+    quadratic in the doc's distinct-term count, so a pathological document is
+    CAPPED at ``max_terms_per_doc`` distinct terms (most frequent in-doc,
+    ties by term; capped docs are logged) — one 10^5-distinct-term document
+    would otherwise emit 5·10^9 pairs from a single block.  The default cap
+    is far above the fixture corpus's per-doc maximum, so the SQL twin
+    (which never caps) stays hash-identical; DF counts are NOT capped, so a
+    capped doc only loses rare co-occurrence pairs, never distorts pair
+    scores that survive."""
     import math
 
     import ray as _ray
@@ -1273,12 +1285,30 @@ def q44_term_pmi(sf_dir: str, min_support: int = 5) -> Dataset:
 
         pc_: Counter = Counter()
         dfc: Counter = Counter()
+        n_capped = 0
         for x in t["text"].to_pylist():
             if x is None:
                 continue
-            terms = sorted(set(_TFIDF_TOKEN.findall(x.lower())))
+            toks = _TFIDF_TOKEN.findall(x.lower())
+            terms = sorted(set(toks))
             dfc.update(terms)
+            if len(terms) > max_terms_per_doc:
+                n_capped += 1
+                tf: Counter = Counter(toks)
+                # keep the doc's most frequent terms (deterministic ties)
+                terms = sorted(
+                    sorted(terms, key=lambda w: (-tf[w], w))[:max_terms_per_doc]
+                )
             pc_.update(combinations(terms, 2))
+        if n_capped:
+            import logging
+
+            logging.getLogger("ner_ray").warning(
+                "q44_term_pmi: capped %d doc(s) to %d distinct terms for "
+                "pair emission (DF counts remain exact)",
+                n_capped,
+                max_terms_per_doc,
+            )
         keys = ["\x00".join(k) for k in pc_.keys()] + list(dfc.keys())
         cnts = list(pc_.values()) + list(dfc.values())
         return pa.table(

@@ -104,12 +104,15 @@ def write_transcripts_jsonl(ds: Dataset, out_dir: str) -> list[str]:
     naive Python values would re-interpret them in the host's local zone and
     shift every value on a non-UTC machine).
 
-    Idempotent: shard names are content-addressed (blake2b of the payload),
-    each shard writes to a temp name and ``os.replace``s into place (atomic;
-    a retried task rewrites the same bytes to the same name), and the driver
-    clears stale ``part-*.jsonl`` from ``out_dir`` before launching so a
-    rerun with different batching leaves no orphans.  Assumes ``out_dir`` is
-    on a filesystem shared by the workers (tasks create it themselves).
+    Idempotent at the DIRECTORY level: shard names carry a content digest
+    plus a per-attempt nonce (a digest alone would coalesce byte-identical
+    blocks into one file and silently drop the duplicate rows), each shard
+    writes to a temp name and ``os.replace``s into place (atomic), the driver
+    clears stale ``part-*.jsonl`` from ``out_dir`` before launching, and
+    after the run prunes any part file NOT in the returned manifest — so a
+    retried task's orphaned first attempt never survives.  Assumes
+    ``out_dir`` is on a filesystem shared by the workers (tasks create it
+    themselves).
     """
     import glob
     import hashlib
@@ -131,10 +134,11 @@ def write_transcripts_jsonl(ds: Dataset, out_dir: str) -> list[str]:
             r["ts"] = int(t) if t is not None else 0
             lines.append(json.dumps(r, ensure_ascii=False) + "\n")
         payload = "".join(lines).encode("utf-8")
-        digest = hashlib.blake2b(payload, digest_size=16).hexdigest()
+        digest = hashlib.blake2b(payload, digest_size=12).hexdigest()
         os.makedirs(out_dir, exist_ok=True)  # workers may see it first
-        p = os.path.join(out_dir, f"part-{digest}.jsonl")
-        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        # digest + attempt nonce: two byte-identical blocks get two files
+        p = os.path.join(out_dir, f"part-{digest}-{uuid.uuid4().hex[:8]}.jsonl")
+        tmp = f"{p}.tmp"
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, p)
@@ -145,4 +149,11 @@ def write_transcripts_jsonl(ds: Dataset, out_dir: str) -> list[str]:
     manifest = ds.map_batches(write_shard, batch_format="pyarrow", batch_size=None).to_pandas()
     if "path" not in manifest.columns:  # empty dataset: Ray never ran the fn
         return []
-    return sorted(manifest["path"])
+    paths = sorted(manifest["path"])
+    # prune orphans from retried tasks: only the successful attempt's path is
+    # in the manifest Ray returned
+    keep = set(paths)
+    for f in glob.glob(os.path.join(out_dir, "part-*.jsonl")):
+        if f not in keep:
+            os.remove(f)
+    return paths

@@ -456,6 +456,7 @@ def rewrite_triples(
     mapping: Dataset,
     how: str = "broadcast",
     num_partitions: int = 16,
+    broadcast_threshold: int = 2_000_000,
 ) -> Dataset:
     """Rewrite triple subj/obj surfaces to canonical entity names.
 
@@ -465,14 +466,23 @@ def rewrite_triples(
     key the canonical with the largest mention support wins (triples carry no
     type, so the majority type resolves rare cross-type homographs).
 
-    ``join``: two hash joins (subj key, then obj key) for the case where the
-    mapping itself is too large to broadcast.
+    The broadcast path is GATED: the mapping is open-vocabulary (one row per
+    distinct surface form), so a 100 TB corpus can grow it past driver
+    memory.  Above ``broadcast_threshold`` mapping rows the call auto-falls
+    back to the join plan — same hybrid shape as canonicalize's
+    ``node_threshold`` / dedup's ``driver_threshold`` (equality of the two
+    plans is pytest-gated).
+
+    ``join``: two hash joins (subj key, then obj key) — forced, for callers
+    that know the mapping is non-broadcastable.
     """
     if how == "join":
         return _rewrite_join(triples, mapping, num_partitions)
 
     import ray
 
+    if mapping.count() > broadcast_threshold:
+        return _rewrite_join(triples, mapping, num_partitions)
     pdf = mapping.to_pandas()
     best: dict[str, tuple[int, str]] = {}
     for node, canonical, n_m in zip(pdf["node"], pdf["canonical"], pdf["n_mentions"]):

@@ -19,8 +19,18 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 
-def edge_weights(triples: Dataset) -> pd.DataFrame:
-    """Distinct (subj, obj) edges with support weight (combiner + merge)."""
+def edge_weights(triples: Dataset, driver_threshold: int = 5_000_000) -> pd.DataFrame:
+    """Distinct (subj, obj) edges with support weight.
+
+    Returns a DataFrame by contract (callers treat the distinct-edge set as
+    driver-resident).  Below ``driver_threshold`` per-block distinct partials
+    the merge happens in pandas (cheapest at bench scale); above it the merge
+    is the distributed ``edge_weights_ds`` groupby and only the FINAL
+    distinct-edge set streams back — per-block partials never all land on the
+    driver at once.  Callers that must stay distributed end-to-end use
+    ``edge_weights_ds`` directly (``pagerank_distributed``, ``degree_stats``
+    above its own threshold).
+    """
 
     def partial(batch: pa.Table) -> pa.Table:
         if "n_support" in batch.column_names:
@@ -29,19 +39,77 @@ def edge_weights(triples: Dataset) -> pd.DataFrame:
         g = batch.group_by(["subj", "obj"]).aggregate([("subj", "count")])
         return g.rename_columns(["subj", "obj", "w"])
 
-    parts = triples.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts_ds = triples.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts_ds.count() > driver_threshold:
+        from ray.data.aggregate import Sum
+
+        return (
+            parts_ds.groupby(["subj", "obj"])
+            .aggregate(Sum("w", alias_name="w"))
+            .to_pandas()
+        )
+    parts = parts_ds.to_pandas()
     return parts.groupby(["subj", "obj"], sort=False)["w"].sum().reset_index()
 
 
-def degree_stats(triples: Dataset) -> pd.DataFrame:
-    """Per-node in/out degree over distinct edges (deterministic order)."""
-    e = edge_weights(triples)
+def degree_stats(triples: Dataset, driver_threshold: int = 5_000_000) -> pd.DataFrame:
+    """Per-node in/out degree over distinct edges (deterministic order).
+
+    Hybrid plan (same rationale as ``pagerank``): below ``driver_threshold``
+    distinct edges the degree fold is driver pandas over ``edge_weights``;
+    above it edges stay a Dataset (``edge_weights_ds``) and degrees come from
+    ONE distributed groupby-sum over narrow per-endpoint contribution rows —
+    the driver only ever holds the O(nodes) result the contract returns.
+    Driver-vs-distributed equality is pytest-gated on a seeded graph.
+    """
+    edges_ds = edge_weights_ds(triples).materialize()
+    if edges_ds.count() > driver_threshold:
+        return _degree_stats_distributed(edges_ds)
+    e = edges_ds.to_pandas()
     out_deg = e.groupby("subj").size().rename("out_degree")
     in_deg = e.groupby("obj").size().rename("in_degree")
     deg = pd.concat([out_deg, in_deg], axis=1).fillna(0).astype("int64")
     deg.index.name = "node"
     deg["degree"] = deg["out_degree"] + deg["in_degree"]
     return deg.reset_index().sort_values(
+        ["degree", "node"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _degree_stats_distributed(edges_ds: Dataset) -> pd.DataFrame:
+    """Degrees over a distinct-edge Dataset: per-block combiner emitting
+    (node, out, in) partial counts, then one groupby-sum shuffle."""
+    from ray.data.aggregate import Sum
+
+    def ends(t: pa.Table) -> pa.Table:
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        zeros = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        both = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["subj"].combine_chunks(), t["obj"].combine_chunks()]
+                ),
+                "out_degree": pa.concat_arrays([ones, zeros]),
+                "in_degree": pa.concat_arrays([zeros, ones]),
+            }
+        )
+        g = both.group_by("node").aggregate([("out_degree", "sum"), ("in_degree", "sum")])
+        return g.rename_columns(["node", "out_degree", "in_degree"])
+
+    deg = (
+        edges_ds.map_batches(ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(
+            Sum("out_degree", alias_name="out_degree"),
+            Sum("in_degree", alias_name="in_degree"),
+        )
+        .to_pandas()
+    )
+    deg["out_degree"] = deg["out_degree"].astype("int64")
+    deg["in_degree"] = deg["in_degree"].astype("int64")
+    deg["degree"] = deg["out_degree"] + deg["in_degree"]
+    deg = deg[["node", "out_degree", "in_degree", "degree"]]
+    return deg.sort_values(
         ["degree", "node"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
 

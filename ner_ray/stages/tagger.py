@@ -151,9 +151,17 @@ def _tags_table(conv, turn, texts, spans_per_row) -> pa.Table:
 class NeuralTagger:
     """BiLSTM-CRF inference actor (reference M1-M5 machinery, numpy).
 
-    ``model_ref`` may be a ``ray.ObjectRef`` (broadcast once via ``ray.put``
-    from the driver — the 100 TB pattern so every actor shares one copy in
-    the object store) or None to build the frozen model in-actor.
+    Model state arrives one of three ways:
+
+    - ``model_spec`` (dict of ``FrozenBiLSTM.create`` kwargs): the model is
+      REBUILT deterministically inside ``__init__`` — constructor args stay
+      plain values, so Ray can restart a lost actor from the task spec alone
+      (an ObjectRef in ``fn_constructor_kwargs`` makes restart fail if the
+      ref's owner dies, ray#53727).  Preferred for the frozen substitutes.
+    - ``model_ref`` (``ray.ObjectRef`` from ``ray.put``): one shared
+      object-store copy — the pattern for a real multi-GB trained checkpoint
+      that cannot be rebuilt per actor (accepting the restart caveat).
+    - neither: build the default frozen model in-actor.
 
     Long turns are processed in segments of ``max_seq_len`` and the decoded
     tags stitched (chunk-and-stitch; the reference instead TRUNCATES at
@@ -164,11 +172,14 @@ class NeuralTagger:
     def __init__(
         self,
         model_ref=None,
+        model_spec: dict | None = None,
         output: str = "mentions",
         max_seq_len: int = 256,
         strict_reference_mode: bool = False,
     ):
-        if model_ref is not None:
+        if model_spec is not None:
+            self.model = FrozenBiLSTM.create(**model_spec)
+        elif model_ref is not None:
             import ray
 
             self.model = ray.get(model_ref)
@@ -256,13 +267,16 @@ class BertTagger:
     reference's X/[CLS]/[SEP] label scheme -> word-level BIO folding back to
     char spans via token offsets (E1).
 
-    Same actor-pool interface as the other taggers; ``model_ref`` broadcasts
-    the frozen model via the object store.
+    Same actor-pool interface as the other taggers; model state arrives via
+    ``model_spec`` (``FrozenTinyBert.create`` kwargs, rebuilt in-actor —
+    restart-safe, see ``NeuralTagger``), ``model_ref`` (one object-store copy
+    for a real non-rebuildable checkpoint), or neither (frozen default).
     """
 
     def __init__(
         self,
         model_ref=None,
+        model_spec: dict | None = None,
         output: str = "mentions",
         max_seq_length: int = 128,
         strict_reference_mode: bool = False,
@@ -270,7 +284,9 @@ class BertTagger:
     ):
         from ner_ray.state.bert import BERT_LABELS, FrozenTinyBert, bert_bio_transitions
 
-        if model_ref is not None:
+        if model_spec is not None:
+            self.model = FrozenTinyBert.create(**model_spec)
+        elif model_ref is not None:
             import ray
 
             self.model = ray.get(model_ref)
@@ -419,12 +435,18 @@ def tag_transcripts(
     batch_size: int = 4096,
     concurrency: int | tuple[int, int] | None = None,
     num_cpus: float = 1,
+    num_gpus: float | None = None,
     **tagger_kwargs,
 ) -> Dataset:
-    """Run mention detection as an actor-pool ``map_batches`` stage."""
+    """Run mention detection as an actor-pool ``map_batches`` stage.
+
+    ``num_gpus`` maps the pool onto GPU workers (the north star's deployment
+    shape for the BERT encoder — e.g. ``num_gpus=0.25`` packs 4 tagger actors
+    per device); None (default) requests CPU-only actors.  The frozen numpy
+    encoders themselves are device-agnostic — a real torch checkpoint would
+    pick up ``ray.get_gpu_ids()`` in its ``__init__``."""
     cls = TAGGERS[tagger]
-    return ds.map_batches(
-        cls,
+    kwargs = dict(
         fn_constructor_kwargs={"output": output, **tagger_kwargs},
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -432,3 +454,6 @@ def tag_transcripts(
         concurrency=concurrency if concurrency is not None else heavy_pool_size(),
         num_cpus=num_cpus,
     )
+    if num_gpus is not None:
+        kwargs["num_gpus"] = num_gpus
+    return ds.map_batches(cls, **kwargs)

@@ -65,4 +65,7 @@ def heavy_pool_size() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     else:
         cpus = 8
-    return max(2, cpus - 2)
+    # clamp to cpus-1 so a <=3-CPU cluster keeps one slot free for the
+    # upstream read tasks (a pool equal to the whole cluster recreates the
+    # read-starvation hang the docstring above describes)
+    return min(max(2, cpus - 2), max(1, cpus - 1))
