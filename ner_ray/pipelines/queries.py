@@ -1023,7 +1023,16 @@ def q37_doc_embedding_near_dup(sf_dir: str) -> Dataset:
         )
 
     emb = ds.map_batches(embed, batch_format="pyarrow")
-    return embedding_near_dup_pairs(emb, threshold=0.9)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9)
+
+    # round like q19 so the SQL twin (which rounds in the SELECT) and the
+    # driver's float canonicalization agree at any comparator precision
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("score"), "score", pc.round(t["score"], ndigits=4)
+        )
+
+    return pairs.map_batches(rnd, batch_format="pyarrow")
 
 
 def q38_winnow_fingerprint(sf_dir: str) -> Dataset:
@@ -1442,18 +1451,44 @@ def mm_audio_features(sf_dir: str) -> Dataset:
 
 
 def mm_video_frames(sf_dir: str) -> Dataset:
+    """Frame sampling; the raw frame bytes are emitted hex-encoded because
+    binary columns stringify differently across engines (pyarrow ``bytes``
+    vs DuckDB ``bytearray``) and the driver hashes stringified rows."""
     from ner_ray.stages.multimodal import video_frames
 
-    return video_frames(rd.read_parquet(media_path_for(sf_dir)), every_n=8)
+    frames = video_frames(rd.read_parquet(media_path_for(sf_dir)), every_n=8)
+
+    def hexify(t: pa.Table) -> pa.Table:
+        hexed = pa.array(
+            [b.hex() if b is not None else None for b in t["frame"].to_pylist()],
+            pa.string(),
+        )
+        return t.drop_columns(["frame"]).append_column("frame", hexed)
+
+    return frames.map_batches(hexify, batch_format="pyarrow")
 
 
 def mm_resize_pipeline(sf_dir: str) -> Dataset:
     """Resize -> featurize composition (two actor-pool stages, payloads stay
-    binary Arrow between them)."""
+    binary Arrow between them).  The 16-bin histogram is emitted as a
+    fixed-format string column: list<float> survives neither the driver's
+    row-stringify hash nor DuckDB round-tripping consistently, and the
+    joined form is lossless here (histogram values are exact /256
+    fractions)."""
     from ner_ray.stages.multimodal import image_features, resize_images
 
     ds = resize_images(rd.read_parquet(media_path_for(sf_dir)), 16, 16)
-    return image_features(ds)
+    feats = image_features(ds)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        hists = [
+            ",".join(f"{float(v):.6f}" for v in h) for h in t["histogram"].to_pylist()
+        ]
+        return t.drop_columns(["histogram"]).append_column(
+            "histogram", pa.array(hists, pa.string())
+        )
+
+    return feats.map_batches(fmt, batch_format="pyarrow")
 
 
 def mm_media_stats(sf_dir: str) -> Dataset:
@@ -1835,6 +1870,153 @@ ORACLE_SQL = {
 }
 
 
+def _twin_fixture(name: str, src_paths: list[str], build) -> str:
+    """Build-once fixture parquet dir for a dynamic SQL twin, keyed on the
+    SOURCE input identity (file list + sizes) so a regenerated source never
+    serves a stale fixture (same hazard the IVF cache fix addresses)."""
+    from ner_ray.stages.materialize import input_signature, parquet_files_signature
+
+    sig = input_signature(parquet_files_signature(src_paths))[:16]
+    d = f"/tmp/ner_ray_cache/twin_{name}_{sig}"
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        build(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def _docemb_fixture(docs_path: str) -> str:
+    """Hash-embedded document vectors as parquet, for the q37 twin: the
+    ENCODER is shared with the Ray query by design (it is the deterministic
+    stand-in input, like the gazetteer for the tagger twins); the operator
+    under test — exact all-pairs cosine over chunk tiles — is re-derived by
+    DuckDB's ``list_cosine_similarity`` join, fully independently."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        from ner_ray.functions.texttools import hash_embed
+
+        t = pq.read_table(docs_path, columns=["doc_id", "text"])
+        vecs = [hash_embed(x or "") for x in t["text"].to_pylist()]
+        out = pa.table(
+            {
+                "vec_id": pc.cast(t["doc_id"], pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture("docemb", [docs_path], build)
+
+
+def _video_frame_bytes_fixture(media_path: str, every_n: int) -> str:
+    """Per-sampled-frame raw bytes for the mm_video_frames twin, re-sliced
+    straight off the media parquet with plain byte arithmetic (payload is a
+    row-major frame concatenation); the twin's SQL re-derives every METADATA
+    column (frame_idx cadence, ts_ms, dims) from the media table itself and
+    only joins the bytes from here."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            media_path,
+            columns=["media_id", "kind", "payload", "width", "height", "n_frames"],
+        )
+        t = t.filter(pc.equal(t["kind"], "video"))
+        mids, fidx, frames = [], [], []
+        for mid, payload, w, h, nf in zip(
+            t["media_id"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["width"].to_pylist(),
+            t["height"].to_pylist(),
+            t["n_frames"].to_pylist(),
+        ):
+            fsz = w * h
+            for fi in range(0, nf, every_n):
+                mids.append(mid)
+                fidx.append(fi)
+                frames.append(payload[fi * fsz : (fi + 1) * fsz])
+        out = pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture(f"vframes{every_n}", [media_path], build)
+
+
+def _resize_features_fixture(media_path: str, tw: int, th: int) -> str:
+    """Expected resize->featurize output for the mm_resize_pipeline twin,
+    re-derived at SQL-build time from the media parquet with standalone
+    numpy (block-mean downsample with truncating int cast, luminance
+    moments, 8x9 difference hash, 16-bin histogram) — the independent
+    enumeration pattern the linking/canonicalization twins use.  All
+    arithmetic is deterministic integer/float64-on-uint8, so both
+    implementations agree bitwise."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            media_path, columns=["media_id", "kind", "payload", "width", "height"]
+        )
+        t = t.filter(pc.equal(t["kind"], "image"))
+        bins = np.linspace(0, 256, 17)
+        rows = {k: [] for k in ("media_id", "width", "height", "mean_lum", "std_lum", "phash", "histogram")}
+        for mid, payload, w, h in zip(
+            t["media_id"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["width"].to_pylist(),
+            t["height"].to_pylist(),
+        ):
+            img = np.frombuffer(payload, dtype=np.uint8, count=h * w).reshape(h, w)
+            ys = np.linspace(0, h, th + 1, dtype=int)
+            xs = np.linspace(0, w, tw + 1, dtype=int)
+            small = np.empty((th, tw), dtype=np.uint8)
+            for i in range(th):
+                for j in range(tw):
+                    small[i, j] = int(img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean())
+            ys2 = np.linspace(0, th, 9, dtype=int)
+            xs2 = np.linspace(0, tw, 10, dtype=int)
+            grid = np.empty((8, 9))
+            for i in range(8):
+                for j in range(9):
+                    grid[i, j] = small[ys2[i] : ys2[i + 1], xs2[j] : xs2[j + 1]].mean()
+            bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+            phash = int(np.uint64(np.packbits(bits).view(">u8")[0]).astype(np.int64))
+            hist = (np.histogram(small, bins=bins)[0] / small.size).astype(np.float32)
+            rows["media_id"].append(mid)
+            rows["width"].append(tw)
+            rows["height"].append(th)
+            rows["mean_lum"].append(float(small.mean()))
+            rows["std_lum"].append(float(small.std()))
+            rows["phash"].append(phash)
+            rows["histogram"].append(",".join(f"{float(v):.6f}" for v in hist))
+        out = pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.int64()),
+                "width": pa.array(rows["width"], pa.int32()),
+                "height": pa.array(rows["height"], pa.int32()),
+                "mean_lum": pa.array(rows["mean_lum"], pa.float32()),
+                "std_lum": pa.array(rows["std_lum"], pa.float32()),
+                "phash": pa.array(rows["phash"], pa.int64()),
+                "histogram": pa.array(rows["histogram"], pa.string()),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture(f"resizefeat{tw}x{th}", [media_path], build)
+
+
 def oracle_sql_catalog() -> dict[str, str]:
     """Static twins plus twins whose SQL embeds a generated-fixture path.
 
@@ -1887,6 +2069,45 @@ UNION ALL SELECT '<UNK>', (SELECT k FROM k) + 3
         "avg(octet_length(payload)) AS mean_bytes "
         f"FROM read_parquet('{mpath}/*.parquet') GROUP BY kind"
     )
+    # Twin of mm_video_frames: SQL re-derives the sampling cadence, ts_ms
+    # and dims from the media table (payload arithmetic); the raw frame
+    # bytes — not BLOB-sliceable in DuckDB — join from a fixture re-sliced
+    # with plain byte offsets (see _video_frame_bytes_fixture).
+    vf = _video_frame_bytes_fixture(mpath, every_n=8)
+    sql["mm_video_frames"] = f"""
+WITH v AS (
+  SELECT media_id, width, height, n_frames, duration_ms
+  FROM read_parquet('{mpath}/*.parquet') WHERE kind = 'video' AND n_frames > 0
+), idx AS (
+  SELECT media_id, width, height,
+         u.fi::INTEGER AS frame_idx,
+         (u.fi * (duration_ms // n_frames))::INTEGER AS ts_ms
+  FROM v, unnest(range(0, n_frames::BIGINT, 8)) AS u(fi)
+)
+SELECT i.media_id, i.frame_idx, i.ts_ms, i.width, i.height,
+       lower(hex(f.frame)) AS frame
+FROM idx i JOIN read_parquet('{vf}/*.parquet') f
+  ON i.media_id = f.media_id AND i.frame_idx = f.frame_idx
+"""
+    # Twin of mm_resize_pipeline: expected features re-derived independently
+    # with standalone numpy at SQL-build time (see _resize_features_fixture).
+    rf = _resize_features_fixture(mpath, 16, 16)
+    sql["mm_resize_pipeline"] = (
+        "SELECT media_id, width, height, mean_lum, std_lum, phash, histogram "
+        f"FROM read_parquet('{rf}/*.parquet')"
+    )
+    # Twin of q37: the hash-embedded document vectors are materialized once
+    # (the deterministic encoder stand-in input), and DuckDB re-derives the
+    # near-dup PAIR SET — exact cosine join + threshold — independently of
+    # the chunk-tile plan under test (q19 pattern).
+    de = _docemb_fixture(_t("/root/testdata/sf0.01", "documents"))
+    sql["q37_doc_embedding_near_dup"] = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS score
+FROM read_parquet('{de}/*.parquet') a
+JOIN read_parquet('{de}/*.parquet') b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
     sql["kg_mentions"] = _kg_mentions_sql(path)
     sql["kg_raw_triples"] = _kg_raw_triples_sql(path)
     sql["kg_dedup_triples"] = (

@@ -239,3 +239,43 @@ class TestPmiCap:
         # the capped run's distinct terms inside pair keys is bounded by cap
         capped_terms = set(out["term_a"]) | set(out["term_b"])
         assert len(capped_terms) <= 20 + 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRound3DynamicTwins:
+    """Local replica of the driver's comparison for the three entries that
+    were rows-only in round 2 and gained dynamic twins this round
+    (q37 exact-cosine join, mm_video_frames payload re-slice,
+    mm_resize_pipeline independent numpy re-derivation)."""
+
+    SF = "/root/testdata/sf0.01"
+
+    def _check(self, name):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import TABLES, canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+        sql = oracle_sql_catalog()[name]
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{self.SF}/{t}.parquet')"
+            )
+        mine = canon(to_pandas(RAY_QUERIES[name](self.SF)))
+        oracle = canon(con.execute(sql).df())
+        ok, why = compare(mine, oracle)
+        assert ok, f"{name}: {why}"
+
+    def test_q37_embedding_near_dup_twin(self):
+        self._check("q37_doc_embedding_near_dup")
+
+    def test_mm_video_frames_twin(self):
+        self._check("mm_video_frames")
+
+    def test_mm_resize_pipeline_twin(self):
+        self._check("mm_resize_pipeline")
