@@ -214,7 +214,14 @@ def run_scaling() -> dict:
     n_convs = int(os.environ.get("SCALE_N_CONVS", "216000"))
     reps = int(os.environ.get("SCALE_REPS", "2"))
 
+    settle = int(os.environ.get("SCALE_SETTLE", "45"))
+
     def leg(n: int) -> dict:
+        # Let the box settle between legs: a leg that starts in the thermal /
+        # scheduler trail of the previous ~3-minute leg measures that trail,
+        # not the engine (observed: the paired high leg ran 70 s immediately
+        # after a low leg vs 56-61 s in isolation on the same code).
+        time.sleep(settle)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         cmd = [sys.executable, os.path.abspath(__file__), "--kg-only", tagger, str(n_convs)]
         # Pin each leg to exactly n physical cores: ray.init(num_cpus=n)

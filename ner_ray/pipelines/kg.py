@@ -319,24 +319,39 @@ def build_kg(
     )
     if cfg.tagger_num_gpus is not None:
         pool_kwargs["num_gpus"] = cfg.tagger_num_gpus
-    fan = transcripts.map_batches(
-        TaggerFanout,
-        fn_constructor_kwargs={
-            "tagger": cfg.tagger,
-            "tagger_kwargs": tagger_kwargs,
-            "window": cfg.window,
-            "chunk_turns": cfg.chunk_turns,
-            "alias_ipc": _alias_ipc(alias_table),
-            "tau": cfg.link_tau,
-        },
-        **pool_kwargs,
-    ).materialize()
+    # Coalesce the fan-out to ~one block per CPU INSIDE the materialize plan:
+    # the tagger stage emits one block per input block (16/CPU for straggler
+    # smoothing of the heavy actor pool), but every tail stage pays per-block
+    # task-launch/scheduling cost for EACH pass over the fan.  Measured on the
+    # 216k-conv H=128 bench payload (32 CPUs): tail with 512 fan blocks =
+    # 23.6 s wall (canonicalize 7.7, window+union 10.3, rewrite+dedup 5.6) vs
+    # 7.3 s after a repartition to 32 — and at 8 CPUs the 512-block tail was
+    # FASTER (10.9 s) than at 32, i.e. the tail anti-scaled on pure task
+    # overhead, which is exactly what the N-vs-4N efficiency ratio punishes.
+    # Folding the repartition into the streaming plan overlaps the coalesce
+    # with tagger compute (51.7 s vs 55.0 + 2.9 s as a separate barrier).
+    fan = (
+        transcripts.map_batches(
+            TaggerFanout,
+            fn_constructor_kwargs={
+                "tagger": cfg.tagger,
+                "tagger_kwargs": tagger_kwargs,
+                "window": cfg.window,
+                "chunk_turns": cfg.chunk_turns,
+                "alias_ipc": _alias_ipc(alias_table),
+                "tau": cfg.link_tau,
+            },
+            **pool_kwargs,
+        )
+        .repartition(pool_size()[1])
+        .materialize()
+    )
 
     pattern = _select_kind(fan, 0, schemas.TRIPLES)
     if cfg.window > 1:
-        # coalesce to ~one block per CPU before the all-to-all (see
-        # extract_triples for the measured rationale)
-        win = _select_kind(fan, 1, _WINDOW_ROWS).repartition(pool_size()[1])
+        # fan blocks are already coalesced to ~one per CPU (above), so the
+        # window branch selects straight into the groupby shuffle
+        win = _select_kind(fan, 1, _WINDOW_ROWS)
         cross = win.groupby("bucket").map_groups(
             make_window_extractor(cfg.window), batch_format="pyarrow"
         )
