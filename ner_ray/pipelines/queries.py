@@ -2017,6 +2017,59 @@ def _resize_features_fixture(media_path: str, tw: int, th: int) -> str:
     return _twin_fixture(f"resizefeat{tw}x{th}", [media_path], build)
 
 
+def _minhash_fixture(docs_path: str) -> str:
+    """Per-doc MinHash signature (uint32-truncated, as the verify compares)
+    + LSH band keys as parquet, for the q22 twin.  The SKETCH layer
+    (tokenize -> blake2b token hash -> mod-p shingle combine -> (a*x+b)%p
+    min -> band keys) is shared with the Ray query by design — it is the
+    deterministic stand-in encoder, like the gazetteer for the tagger twins
+    and ``hash_embed`` for q37.  Everything the OPERATOR does downstream —
+    band-bucket candidate pairing, signature-agreement verify at the 0.7
+    threshold, connected components, min-id group labels and keep flags —
+    is re-derived independently by the SQL (self-join + list lambdas +
+    recursive-CTE closure).  Build-time guard: asserts no LSH bucket
+    exceeds the engine's ``max_bucket`` cap (200), so the cap — which the
+    SQL does not model — is provably a no-op at oracle scale."""
+
+    def build(d: str) -> None:
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from ner_ray.functions.hashing import MinHasher, _hash64, band_keys_vectorized
+
+        t = pq.read_table(docs_path, columns=["doc_id", "text"])
+        mh = MinHasher(num_perm=128)
+        n = t.num_rows
+        sigs = np.empty((n, 128), dtype=np.uint64)
+        for r, text in enumerate(t["text"].to_pylist()):
+            toks = (text or "").split()
+            th = np.array([_hash64(tok) for tok in toks], dtype=np.uint64)
+            sh = MinHasher.shingle_hashes(th, k=3)
+            sigs[r] = mh.signature(set(sh.tolist()))
+        keys = band_keys_vectorized(sigs, 32)
+        bucket_sizes = Counter(
+            (b, int(k)) for row in keys for b, k in enumerate(row)
+        )
+        assert max(bucket_sizes.values(), default=0) <= 200, (
+            "q22 twin invalid: an LSH bucket exceeds the engine's max_bucket "
+            "cap, which the SQL twin does not model"
+        )
+        out = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "sig": pa.array(
+                    sigs.astype(np.uint32).astype(np.int64).tolist(),
+                    pa.list_(pa.int64()),
+                ),
+                "keys": pa.array(keys.tolist(), pa.list_(pa.int64())),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture("minhash", [docs_path], build)
+
+
 def oracle_sql_catalog() -> dict[str, str]:
     """Static twins plus twins whose SQL embeds a generated-fixture path.
 
@@ -2107,6 +2160,41 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 FROM read_parquet('{de}/*.parquet') a
 JOIN read_parquet('{de}/*.parquet') b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
+    # Twin of q22: LSH bucketing (band-key self-join), uint32-signature
+    # agreement verify (list lambda), components (recursive-CTE closure) and
+    # min-id/keep labels all re-derived in SQL over the sketch fixture.
+    mf = _minhash_fixture(_t("/root/testdata/sf0.01", "documents"))
+    sql["q22_minhash_near_dup"] = f"""
+WITH RECURSIVE sk AS (
+  SELECT doc_id, sig, keys FROM read_parquet('{mf}/*.parquet')
+),
+band AS (
+  SELECT doc_id, i AS band, keys[i] AS key FROM sk, range(1, 1 + 32) t(i)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM band x JOIN band y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+edges AS (
+  SELECT a, b FROM cand c
+  JOIN sk sa ON sa.doc_id = c.a
+  JOIN sk sb ON sb.doc_id = c.b
+  WHERE len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))
+        >= 0.7 * len(sa.sig)
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS v, min(b) AS grp FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS group_id,
+       coalesce(c.grp, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
 """
     sql["kg_mentions"] = _kg_mentions_sql(path)
     sql["kg_raw_triples"] = _kg_raw_triples_sql(path)

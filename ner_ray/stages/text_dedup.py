@@ -38,6 +38,15 @@ from ner_ray.stages.canonicalize import connected_components
 from ner_ray.utils import pool_size
 
 
+def _dnode(i) -> str:
+    """Graph node name for a doc id, ZERO-PADDED so the components step's
+    min-LABEL rule (lexicographic string min, in both the driver union-find
+    and the distributed min-label propagation) coincides with the numeric
+    min doc_id that ``group_id`` promises — unpadded names break the
+    contract for mixed digit counts ('d17' < 'd5')."""
+    return f"d{int(i):020d}"
+
+
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """One row per distinct (whitespace-normalized, lowercased) text:
     representative ``id = min(id)``, ``n_dups`` duplicate count.
@@ -225,8 +234,8 @@ def _minhash_verify_local(
     keep = agree >= threshold
     edges = pa.table(
         {
-            "src": pa.array([f"d{int(x)}" for x in a[keep]], pa.string()),
-            "dst": pa.array([f"d{int(y)}" for y in b[keep]], pa.string()),
+            "src": pa.array([_dnode(x) for x in a[keep]], pa.string()),
+            "dst": pa.array([_dnode(y) for y in b[keep]], pa.string()),
         }
     )
     import ray.data as rd
@@ -355,8 +364,8 @@ def minhash_near_dup(
                 np.mean(np.frombuffer(sa, dtype=np.uint32) == np.frombuffer(sb, dtype=np.uint32))
             )
             if agree >= threshold:
-                keep_a.append(f"d{x}")
-                keep_b.append(f"d{y}")
+                keep_a.append(_dnode(x))
+                keep_b.append(_dnode(y))
         return pa.table(
             {"src": pa.array(keep_a, pa.string()), "dst": pa.array(keep_b, pa.string())}
         )
@@ -454,8 +463,8 @@ def simhash_near_dup(
                 continue
             lo = np.minimum(d[ii][m], d[jj][m])
             hi = np.maximum(d[ii][m], d[jj][m])
-            src.extend(f"d{v}" for v in lo)
-            dst.extend(f"d{v}" for v in hi)
+            src.extend(_dnode(v) for v in lo)
+            dst.extend(_dnode(v) for v in hi)
         return pa.table(
             {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
         )

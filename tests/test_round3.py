@@ -279,3 +279,44 @@ class TestRound3DynamicTwins:
 
     def test_mm_resize_pipeline_twin(self):
         self._check("mm_resize_pipeline")
+
+    def test_q22_minhash_twin(self):
+        self._check("q22_minhash_near_dup")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupIdNumericMin:
+    """group_id must be the NUMERIC min doc_id of a duplicate cluster: the
+    components step picks the lexicographic-min node label, so unpadded
+    node names broke the contract for mixed digit counts ('d17' < 'd5').
+    Nodes are now zero-padded (text_dedup._dnode)."""
+
+    def _docs(self):
+        texts = {i: f"unique filler document number {i} " * 5 for i in range(20)}
+        dup = "the same duplicated text body repeated for the cluster " * 4
+        texts[5] = dup
+        texts[17] = dup
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(sorted(texts), pa.int64()),
+                    "text": [texts[i] for i in sorted(texts)],
+                }
+            )
+        )
+
+    def test_minhash_cluster_gets_numeric_min(self):
+        from ner_ray.stages.text_dedup import minhash_near_dup
+
+        out = minhash_near_dup(self._docs(), threshold=0.7).to_pandas()
+        g = dict(zip(out.doc_id, out.group_id))
+        assert g[5] == 5 and g[17] == 5
+        keep = dict(zip(out.doc_id, out.keep))
+        assert keep[5] and not keep[17]
+
+    def test_simhash_cluster_gets_numeric_min(self):
+        from ner_ray.stages.text_dedup import simhash_near_dup
+
+        out = simhash_near_dup(self._docs(), max_hamming=3).to_pandas()
+        g = dict(zip(out.doc_id, out.group_id))
+        assert g[5] == 5 and g[17] == 5
