@@ -113,6 +113,26 @@ def run_bench() -> dict:
         **extras,
     }
     ray.shutdown()
+    # Machine-phase stamp: this shared VM drifts between multi-minute phases
+    # where even the pure-multiprocessing ceiling of the tagging payload
+    # swings ~0.74-0.89 in 8->32 scaling and ±20% in absolute rate.  A short
+    # no-Ray probe (run_mp_probe) right after the bench records the phase so
+    # cross-round BENCH comparisons can separate engine regressions from box
+    # phases (see BASELINE.md "Variance").
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mp-probe", str(N_CPUS)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=120,
+        )
+        result["machine_probe_turns_per_sec"] = json.loads(
+            proc.stdout.strip().splitlines()[-1]
+        )["turns_per_sec"]
+    except Exception:
+        pass  # the probe is context, never a bench failure
     return result
 
 
@@ -205,6 +225,57 @@ def run_kg_only(tagger: str, n_convs: int) -> dict:
     return out
 
 
+def _mp_probe_worker(args):
+    """One fully independent tagging process for the machine-ceiling probe:
+    no Ray, no shared state — just the scaling payload's BertTagger over a
+    fixed shard slice.  Worker i reads shard i % 8 so the 8-proc and 32-proc
+    probes tag the IDENTICAL content mix (4 copies per shard at 32)."""
+    idx, hidden, n_layers, n_heads, n_batches, path = args
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ner_ray.stages.tagger import BertTagger
+
+    fs = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    t = pq.read_table(fs[idx % min(8, len(fs))], columns=["conv_id", "turn_idx", "text"])
+    batch = t.slice(0, 4096)
+    tg = BertTagger(
+        output="turn_mentions",
+        model_spec={"hidden": hidden, "n_layers": n_layers, "n_heads": n_heads},
+    )
+    tg(batch.slice(0, 512))  # warm: JIT-ish numpy alloc paths, page-in weights
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        tg(batch)
+    # batch.num_rows, NOT 4096: a shard smaller than the slice must not
+    # inflate the measured rate
+    return batch.num_rows * n_batches / (time.perf_counter() - t0)
+
+
+def run_mp_probe(nproc: int) -> dict:
+    """Machine-ceiling probe: aggregate turns/s of ``nproc`` INDEPENDENT
+    tagger processes (multiprocessing, no Ray, no shuffles, no coordination).
+    The (probe@hi / probe@lo) / (hi/lo) ratio is the best 8->32 scaling this
+    box can physically deliver for the scaling payload's compute *in the
+    current machine phase* — the single-shared-DRAM VM drifts between phases
+    where even this embarrassingly-parallel ceiling swings 0.78-0.89
+    (measured), which a real N vs 4N-node cluster (private DRAM per node)
+    does not suffer.  run_scaling interleaves this probe with each leg so
+    every pair carries its own same-phase ceiling."""
+    import multiprocessing as mp
+
+    dims = os.environ.get("SCALE_BERT_DIMS", "128,2,4")
+    h, nl, nh = (int(x) for x in dims.split(","))
+    n_batches = int(os.environ.get("SCALE_PROBE_BATCHES", "3"))
+    with mp.Pool(nproc) as p:
+        rates = p.map(
+            _mp_probe_worker,
+            [(i, h, nl, nh, n_batches, BENCH_TX) for i in range(nproc)],
+        )
+    return {"turns_per_sec": round(sum(rates), 1), "nproc": nproc}
+
+
 def run_scaling() -> dict:
     lo = int(os.environ.get("SCALE_LOW", "8"))
     hi = int(os.environ.get("SCALE_HIGH", "32"))
@@ -215,13 +286,30 @@ def run_scaling() -> dict:
     reps = int(os.environ.get("SCALE_REPS", "2"))
 
     settle = int(os.environ.get("SCALE_SETTLE", "45"))
+    probe_on = os.environ.get("SCALE_PROBE", "1") != "0"
+    if probe_on and not os.path.exists(os.path.join(BENCH_TX, "_SUCCESS")):
+        # the first ceiling probe runs before any leg has built the fixture
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--ensure-tx"],
+            check=True,
+            capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+
+    def probe(n: int) -> float:
+        cmd = [sys.executable, os.path.abspath(__file__), "--mp-probe", str(n)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{n - 1}"] + cmd
+        proc = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])["turns_per_sec"]
 
     def leg(n: int) -> dict:
-        # Let the box settle between legs: a leg that starts in the thermal /
-        # scheduler trail of the previous ~3-minute leg measures that trail,
-        # not the engine (observed: the paired high leg ran 70 s immediately
-        # after a low leg vs 56-61 s in isolation on the same code).
-        time.sleep(settle)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         cmd = [sys.executable, os.path.abspath(__file__), "--kg-only", tagger, str(n_convs)]
         # Pin each leg to exactly n physical cores: ray.init(num_cpus=n)
@@ -244,29 +332,46 @@ def run_scaling() -> dict:
     # (thermal/neighbour effects), so "best low over k" and "best high over
     # k" can come from different machine conditions and bias the ratio
     # either way.  Running each rep as a back-to-back (low, high) PAIR keeps
-    # the two legs of one comparison under matched conditions; the reported
-    # efficiency is the best pair (the least-noise-degraded comparison), and
-    # every pair is recorded for the spread.
+    # the two legs of one comparison under matched conditions, with a settle
+    # sleep before each leg (a leg started in the previous leg's trail
+    # measures the trail, not the engine), and — unless SCALE_PROBE=0 — a
+    # short machine-ceiling probe (run_mp_probe) pinned to the same cores
+    # right before each leg.  The probe pair gives the box's OWN 8->32
+    # scaling for the payload's compute in that phase (no Ray, no engine);
+    # efficiency_normalized = raw pair efficiency / probe-pair ceiling is the
+    # engine's scaling net of the single-shared-DRAM artifact that a real
+    # N vs 4N-node cluster does not have.  Every pair is recorded.
     pairs = []
     for _ in range(reps):
-        r_lo, r_hi = leg(lo), leg(hi)
+        time.sleep(settle)
+        p_lo = probe(lo) if probe_on else None
+        r_lo = leg(lo)
+        time.sleep(settle)
+        p_hi = probe(hi) if probe_on else None
+        r_hi = leg(hi)
         t_lo, t_hi = r_lo["kg_seconds"], r_hi["kg_seconds"]
-        pairs.append(
-            {
-                "kg_seconds_low": t_lo,
-                "kg_seconds_high": t_hi,
-                "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
-                "kg_triples_per_sec_low": r_lo["kg_triples_per_sec"],
-                "kg_triples_per_sec_high": r_hi["kg_triples_per_sec"],
-                "kg_turns": r_hi.get("kg_turns"),
-            }
-        )
+        eff = round((t_lo / t_hi) / (hi / lo), 3)
+        rec = {
+            "kg_seconds_low": t_lo,
+            "kg_seconds_high": t_hi,
+            "efficiency": eff,
+            "kg_triples_per_sec_low": r_lo["kg_triples_per_sec"],
+            "kg_triples_per_sec_high": r_hi["kg_triples_per_sec"],
+            "kg_turns": r_hi.get("kg_turns"),
+        }
+        if probe_on:
+            ceiling = round((p_hi / p_lo) / (hi / lo), 3)
+            rec["probe_turns_per_sec_low"] = p_lo
+            rec["probe_turns_per_sec_high"] = p_hi
+            rec["ceiling_efficiency"] = ceiling
+            rec["efficiency_normalized"] = round(eff / ceiling, 3)
+        pairs.append(rec)
     # headline "value" is the MEDIAN pair: the best pair is upward selection
     # bias under the documented ±20% box drift (it survives as value_best)
     ranked = sorted(pairs, key=lambda p: p["efficiency"])
     median = ranked[len(ranked) // 2] if len(ranked) % 2 else ranked[len(ranked) // 2 - 1]
     best = ranked[-1]
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": median["efficiency"],
         "value_best": best["efficiency"],
@@ -281,6 +386,34 @@ def run_scaling() -> dict:
         "kg_turns": median["kg_turns"],
         "pairs": [p["efficiency"] for p in pairs],
     }
+    if probe_on:
+        normed = sorted(p["efficiency_normalized"] for p in pairs)
+        out["value_normalized"] = (
+            normed[len(normed) // 2]
+            if len(normed) % 2
+            else round((normed[len(normed) // 2 - 1] + normed[len(normed) // 2]) / 2, 3)
+        )
+        out["ceiling_pairs"] = [p["ceiling_efficiency"] for p in pairs]
+        out["normalized_pairs"] = [p["efficiency_normalized"] for p in pairs]
+        out["pairs_detail"] = pairs
+    return out
+
+
+def run_ensure_tx() -> dict:
+    """Materialize the bench transcript fixture (own short Ray session), so
+    run_scaling's first ceiling probe has shards to read before any leg."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=max(4, min(N_CPUS, 8)),
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    path = _ensure_bench_transcripts()
+    ray.shutdown()
+    return {"path": path}
 
 
 if __name__ == "__main__":
@@ -289,5 +422,10 @@ if __name__ == "__main__":
     elif "--kg-only" in sys.argv:
         i = sys.argv.index("--kg-only")
         print(json.dumps(run_kg_only(sys.argv[i + 1], int(sys.argv[i + 2]))))
+    elif "--mp-probe" in sys.argv:
+        i = sys.argv.index("--mp-probe")
+        print(json.dumps(run_mp_probe(int(sys.argv[i + 1]))))
+    elif "--ensure-tx" in sys.argv:
+        print(json.dumps(run_ensure_tx()))
     else:
         print(json.dumps(run_bench()))
