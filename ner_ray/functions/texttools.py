@@ -185,3 +185,36 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
             out.append(m)
             prev = j
     return out
+
+
+# --- PII / URL redaction (vectorized, RE2 on BOTH engines) -----------------
+#
+# pyarrow.compute's regex kernels and DuckDB's regexp_* functions are both
+# RE2, so a pattern written in the shared subset (no backrefs, no lookaround)
+# redacts byte-for-byte identically in the Ray stage and the SQL twin.
+# Order matters and is part of the pinned semantics: URLs first (an email
+# inside a URL's query string is the URL's problem), then emails, then
+# phone-like digit runs (which would otherwise match digits inside URLs).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9\-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii_array(arr):
+    """Vectorized redaction over a pyarrow string array/chunked array.
+
+    Returns ``(clean, n_redactions)`` where ``clean`` replaces every match of
+    ``PII_PATTERNS`` (in order) with its tag and ``n_redactions`` counts the
+    non-overlapping matches each stage saw.  Entirely Arrow compute kernels —
+    no per-row Python — so it is the 100 TB-safe hot path; the SQL twin
+    applies the same patterns with nested ``regexp_replace(..., 'g')``."""
+    import pyarrow.compute as pc
+
+    cur, n = arr, None
+    for _, pat, repl in PII_PATTERNS:
+        c = pc.count_substring_regex(cur, pat)
+        n = c if n is None else pc.add(n, c)
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=repl)
+    return cur, n

@@ -1397,6 +1397,172 @@ WHERE p.n_ab >= 5
 """
 
 
+def q45_pii_redaction(sf_dir: str) -> Dataset:
+    """PII/URL scrubbing — a standard training-data hygiene pass.
+
+    The fixture corpus carries no PII, so the query first DERIVES a
+    PII-bearing text deterministically from each row (append ``doc_id``-keyed
+    emails/URL/phone — the same ``||`` construction the SQL twin uses), then
+    redacts with ``texttools.redact_pii_array``: vectorized RE2 kernels
+    (pyarrow.compute), the same regex engine DuckDB's ``regexp_replace`` runs,
+    so clean_text hash-matches byte-for-byte."""
+    from ner_ray.functions.texttools import redact_pii_array
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _mod(x, n):  # pyarrow.compute has no modulo kernel
+        return pc.subtract(x, pc.multiply(pc.divide(x, n), n))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        email = pc.binary_repeat(
+            pc.binary_join_element_wise(" user", ids, "@mail.example", ""),
+            pc.cast(_mod(t["doc_id"], 3), pa.int32()),
+        )
+        aug = pc.binary_join_element_wise(
+            t["text"],
+            " contact",
+            email,
+            " via https://site",
+            pc.cast(_mod(t["doc_id"], 7), pa.string()),
+            ".example/p",
+            ids,
+            " or +1-555-0",
+            ids,
+            "",
+        )
+        clean, n = redact_pii_array(aug)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": pc.cast(clean, pa.string()),
+                "n_redactions": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q46_stratified_sample(sf_dir: str) -> Dataset:
+    """Per-language rebalancing sample: en kept at ~18.8%, zh at 50%, de at
+    ~99.6%, everything else at the 6.25% default — the deterministic-hash
+    stratified sampler (`relational.stratified_sample`)."""
+    from ner_ray.stages.relational import stratified_sample
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    return stratified_sample(
+        ds, "doc_id", "lang", rates={"en": "30", "zh": "80", "de": "ff"}, default_hex="10"
+    )
+
+
+def q47_sequence_packing(sf_dir: str) -> Dataset:
+    """Token-budget sequence packing (training-row assembly): whitespace
+    token counts -> next-fit bins of ≤512 tokens per source stream
+    (`stages.packing.pack_sequences`, n_domains=1 so the recursive-CTE twin
+    checks GLOBAL next-fit per stratum)."""
+    from ner_ray.stages.packing import pack_sequences
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return pack_sequences(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        id_col="doc_id",
+        token_col="n_tokens",
+        budget=512,
+        stratum_col="source",
+    )
+
+
+# RE2 patterns shared verbatim with texttools.PII_PATTERNS (order pinned:
+# URL, then email, then phone — see redact_pii_array).
+_SQL_PII_URL = r"https?://[^\s]+"
+_SQL_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_SQL_PII_PHONE = r"\+?[0-9][0-9\-]{6,}[0-9]"
+
+SQL_Q45 = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact' ||
+         repeat(' user' || doc_id || '@mail.example', CAST(doc_id % 3 AS INTEGER)) ||
+         ' via https://site' || (doc_id % 7) || '.example/p' || doc_id ||
+         ' or +1-555-0' || doc_id AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_SQL_PII_URL}')) AS n1,
+         regexp_replace(t, '{_SQL_PII_URL}', '<URL>', 'g') AS t
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n1,
+         len(regexp_extract_all(t, '{_SQL_PII_EMAIL}')) AS n2,
+         regexp_replace(t, '{_SQL_PII_EMAIL}', '<EMAIL>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n1, n2,
+         len(regexp_extract_all(t, '{_SQL_PII_PHONE}')) AS n3,
+         regexp_replace(t, '{_SQL_PII_PHONE}', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, t AS clean_text, CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions
+FROM s3
+"""
+
+SQL_Q46 = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+      < CASE lang WHEN 'en' THEN 48 WHEN 'zh' THEN 128 WHEN 'de' THEN 255
+                  ELSE 16 END
+"""
+
+# Global next-fit per source as a linear recursive CTE: row i joins row i-1's
+# (bin, fill) state — the sequential recurrence pack_sequences runs per
+# packing domain, re-derived independently in SQL.
+SQL_Q47 = """
+WITH RECURSIVE ordered AS (
+  SELECT source,
+         doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_seq, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.fill + o.n_tokens > 512 THEN p.bin_seq + 1 ELSE p.bin_seq END,
+         CASE WHEN p.fill + o.n_tokens > 512 THEN o.n_tokens ELSE p.fill + o.n_tokens END
+  FROM pack p JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT doc_id,
+       source AS stratum,
+       n_tokens,
+       CAST(0 AS INTEGER) AS domain,
+       bin_seq,
+       CAST(sum(n_tokens) OVER (PARTITION BY source, bin_seq) AS BIGINT) AS bin_fill,
+       source || '#0#' || bin_seq AS bin_id
+FROM pack
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -1828,6 +1994,11 @@ RAY_QUERIES = {
     "q39_doc_near_dup_lsh": q39_doc_near_dup_lsh,
     "mm_image_features": mm_image_features,
     "mm_audio_features": mm_audio_features,
+    # round-3 additions (beyond the cap; twin-gated in pytest like the rest
+    # of the overflow region)
+    "q45_pii_redaction": q45_pii_redaction,
+    "q46_stratified_sample": q46_stratified_sample,
+    "q47_sequence_packing": q47_sequence_packing,
 }
 
 ORACLE_SQL = {
@@ -1867,6 +2038,9 @@ ORACLE_SQL = {
     "q42_rollup": SQL_Q42,
     "q43_tfidf_top_terms": SQL_Q43,
     "q44_term_pmi": SQL_Q44,
+    "q45_pii_redaction": SQL_Q45,
+    "q46_stratified_sample": SQL_Q46,
+    "q47_sequence_packing": SQL_Q47,
 }
 
 

@@ -305,6 +305,43 @@ def deterministic_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: Dataset,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, str],
+    default_hex: str = "00",
+    salt: str = "",
+) -> Dataset:
+    """Per-stratum deterministic content-hash sampling.
+
+    ``rates`` maps stratum value -> hex-byte threshold (as in
+    ``deterministic_sample``: keep ``md5(id||salt)[:2] < threshold``, i.e.
+    fraction ≈ int(threshold,16)/256); strata not listed use ``default_hex``
+    (default: drop).  This is the rebalancing primitive a training-data
+    pipeline uses to downweight over-represented sources — deterministic, so
+    re-runs and the DuckDB twin agree row-for-row, and embarrassingly
+    parallel (a pure per-row predicate inside ``map_batches``; no shuffle).
+    Like ``deterministic_sample`` the md5 runs per row in Python — pinned for
+    cross-engine oracle parity, fine at the scan-bound rates this serves."""
+    import hashlib
+
+    thresh = {k: int(v, 16) for k, v in rates.items()}
+    dflt = int(default_hex, 16)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        strata = batch[stratum_col].to_pylist()
+        mask = [
+            int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:2], 16)
+            < thresh.get(s, dflt)
+            for i, s in zip(ids, strata)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def heavy_hitters(
     ds: Dataset, col: str, k: int = 10, per_block_cap: int | None = None
 ) -> pd.DataFrame:

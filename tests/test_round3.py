@@ -320,3 +320,101 @@ class TestGroupIdNumericMin:
         out = simhash_near_dup(self._docs(), max_hamming=3).to_pandas()
         g = dict(zip(out.doc_id, out.group_id))
         assert g[5] == 5 and g[17] == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRound3NewOps:
+    """Round-3 additions: PII redaction, stratified sampling, sequence
+    packing — twin equality (driver replica) plus operator properties the
+    SQL twin can't express (multi-domain packing, oversize docs)."""
+
+    def test_q45_pii_redaction_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q45_pii_redaction")
+
+    def test_q46_stratified_sample_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q46_stratified_sample")
+
+    def test_q47_sequence_packing_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q47_sequence_packing")
+
+    def test_redact_order_pins_url_before_phone(self):
+        # digits inside a URL must be swallowed by <URL>, not tagged <PHONE>;
+        # an email inside a URL query string belongs to the URL
+        from ner_ray.functions.texttools import redact_pii_array
+
+        clean, n = redact_pii_array(
+            pa.array(["see https://h.example/a?e=x@y.zz&t=1-222-333-4444 ok +1-555-0100"])
+        )
+        assert clean.to_pylist() == ["see <URL> ok <PHONE>"]
+        assert n.to_pylist() == [2]
+
+    def test_stratified_sample_default_drops(self):
+        from ner_ray.stages.relational import stratified_sample
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(range(200), pa.int64()),
+                    "grp": pa.array(["a" if i % 2 else "b" for i in range(200)]),
+                }
+            )
+        )
+        out = stratified_sample(ds, "id", "grp", rates={"a": "ff"}).to_pandas()
+        # default_hex="00": unlisted stratum b fully dropped; a ~ 255/256 kept
+        assert set(out.grp) == {"a"}
+        assert len(out) >= 95
+
+    def _packed(self, toks, budget, n_domains=1, domain_block=4096):
+        from ner_ray.stages.packing import pack_sequences
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(toks)), pa.int64()),
+                    "src": pa.array(["s" + str(i % 2) for i in range(len(toks))]),
+                    "n_tokens": pa.array(toks, pa.int64()),
+                }
+            )
+        )
+        return pack_sequences(
+            ds,
+            "doc_id",
+            "n_tokens",
+            budget,
+            stratum_col="src",
+            n_domains=n_domains,
+            domain_block=domain_block,
+        ).to_pandas()
+
+    def test_packing_respects_budget_and_covers_all(self):
+        rng = __import__("numpy").random.default_rng(7)
+        toks = rng.integers(1, 200, size=500).tolist()
+        out = self._packed(toks, budget=512)
+        assert sorted(out.doc_id) == list(range(500))  # every doc exactly once
+        fills = out.groupby("bin_id")["n_tokens"].sum()
+        assert (fills <= 512).all()
+        # bin_fill column agrees with the recomputed per-bin totals
+        assert (out.bin_fill == out.bin_id.map(fills)).all()
+        # next-fit over id order: members of one bin are contiguous in id
+        # order within their (stratum, domain)
+        for _, g in out.sort_values("doc_id").groupby(["stratum", "domain"]):
+            seq = g.bin_seq.to_numpy()
+            assert (seq[1:] >= seq[:-1]).all()
+
+    def test_packing_oversize_doc_gets_own_bin(self):
+        out = self._packed([100, 900, 100, 50], budget=512)
+        big = out[out.doc_id == 1].iloc[0]
+        assert out.groupby("bin_id")["doc_id"].count()[big.bin_id] == 1
+        assert big.bin_fill == 900
+        small = out[out.doc_id != 1]
+        assert (small.groupby("bin_id")["n_tokens"].sum() <= 512).all()
+
+    def test_packing_multi_domain_still_valid(self):
+        rng = __import__("numpy").random.default_rng(11)
+        toks = rng.integers(1, 300, size=400).tolist()
+        out = self._packed(toks, budget=400, n_domains=3, domain_block=64)
+        assert sorted(out.doc_id) == list(range(400))
+        assert out.domain.nunique() == 3  # the striping actually spreads
+        fills = out.groupby("bin_id")["n_tokens"].sum()
+        oversize = set(out[out.n_tokens > 400].bin_id)
+        assert (fills.drop(index=list(oversize), errors="ignore") <= 400).all()
