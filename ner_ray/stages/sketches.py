@@ -1,0 +1,145 @@
+"""Cardinality sketches: HyperLogLog approximate distinct counting.
+
+Exact distinct counts (q11) shuffle every distinct value; at 100 TB the
+distinct set itself can exceed a node.  HyperLogLog (Flajolet, Fusy,
+Gandouet, Meunier 2007) replaces the shuffle with a fixed 2^p-byte register
+array per (group x block) that merges by ELEMENTWISE MAX — the same
+mergeable-sketch shape as the MinHash signatures and the Bloom bitmap, so
+partials combine in a tiny second stage and only registers ever move.
+
+Standard error is ~1.04/sqrt(2^p): p=12 -> 4 KiB registers, ~1.6% error;
+p=14 -> 16 KiB, ~0.8%.  Hashing is the same process-stable
+``pandas.util.hash_pandas_object`` the Bloom stage uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from ner_ray.stages.bloom import _key_hash64
+
+_COMBINE_PARTS = 8
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (returns 64 for x == 0).
+    Branch-free shift cascade — exact, unlike float log2 (which rounds
+    values near 2^53+ across power-of-two boundaries)."""
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        s_ = np.uint64(s)
+        m = (x >> np.uint64(64 - s)) == 0
+        n[m] += s_
+        x[m] <<= s_
+    return n
+
+
+def hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """uint8[2^p] register array for a batch of uint64 hashes."""
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return reg
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    w = hashes << np.uint64(p)
+    rank = np.minimum(_clz64(w) + np.uint64(1), np.uint64(64 - p + 1)).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Cardinality estimate with the small-range linear-counting correction
+    (64-bit hashes need no large-range correction)."""
+    m = len(reg)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(reg == 0))
+        if zeros:
+            est = m * math.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: Dataset, col: str, p: int = 14) -> float:
+    """Global approximate distinct count of ``ds[col]``.
+
+    One streaming pass emits a register array per block; a tiny repartition
+    pre-reduces to ``_COMBINE_PARTS`` partials before the driver max-merges
+    — driver traffic is bounded by ``_COMBINE_PARTS x 2^p`` bytes,
+    independent of input size (the build_bloom_bitmap pattern).
+    """
+
+    def block_regs(t: pa.Table) -> pa.Table:
+        reg = hll_registers(_key_hash64(t[col]) if t.num_rows else np.empty(0, np.uint64), p)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    def max_combine(t: pa.Table) -> pa.Table:
+        reg = np.zeros(1 << p, dtype=np.uint8)
+        for payload in t["reg"].to_pylist():
+            np.maximum(reg, np.frombuffer(payload, dtype=np.uint8), out=reg)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(block_regs, batch_format="pyarrow", batch_size=None)
+        .repartition(_COMBINE_PARTS)
+        .map_batches(max_combine, batch_format="pyarrow", batch_size=None)
+    )
+    reg = np.zeros(1 << p, dtype=np.uint8)
+    for row in parts.iter_rows():
+        np.maximum(reg, np.frombuffer(row["reg"], dtype=np.uint8), out=reg)
+    return hll_estimate(reg)
+
+
+def grouped_approx_distinct(
+    ds: Dataset, key: str, col: str, p: int = 12, out_col: str = "approx_distinct"
+) -> Dataset:
+    """Per-``key`` approximate distinct count of ``col``.
+
+    Stage 1 (map_batches) collapses each block to one register row per key
+    present in the block — so the shuffle moves ``n_keys x 2^p`` bytes per
+    block, never raw values.  Stage 2 (groupby.map_groups) max-merges and
+    estimates.  Register rows dominate only when a block's rows-per-key
+    drops below 2^p; for genuinely high-cardinality keys lower ``p``.
+    """
+
+    def block_regs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: t[key], "reg": pa.array([], pa.binary())}
+            )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        h = _key_hash64(t[col])
+        order = np.argsort(keys, kind="stable")
+        ks, hs = keys[order], h[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        out_keys, regs = [], []
+        for i, s in enumerate(bounds):
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(ks)
+            out_keys.append(ks[s])
+            regs.append(hll_registers(hs[s:e], p).tobytes())
+        return pa.table({key: pa.array(out_keys), "reg": pa.array(regs, pa.binary())})
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        reg = np.zeros(1 << p, dtype=np.uint8)
+        for payload in t["reg"].to_pylist():
+            np.maximum(reg, np.frombuffer(payload, dtype=np.uint8), out=reg)
+        return pa.table(
+            {
+                key: t[key].slice(0, 1),
+                out_col: pa.array([hll_estimate(reg)], pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key, col])
+        .map_batches(block_regs, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
