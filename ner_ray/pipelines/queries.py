@@ -1600,6 +1600,42 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 """
 
 
+def q50_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE over three lineitem keys (all 8 grouping sets): ONE
+    combiner pass computes the finest grouping, every coarser set folds from
+    those partials driver-side (relational.cube_agg / grouping_sets_agg) —
+    the distributive-fold pattern q42's ROLLUP uses, generalized."""
+    from ner_ray.stages.relational import cube_agg
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_linenumber", "l_quantity"],
+    )
+
+    def key_str(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("l_linenumber")
+        return t.set_column(i, "l_linenumber", pc.cast(t["l_linenumber"], pa.string()))
+
+    return cube_agg(
+        ds.map_batches(key_str, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus", "l_linenumber"],
+        "l_quantity",
+    )
+
+
+SQL_Q50 = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COALESCE(CAST(l_linenumber AS VARCHAR), 'ALL') AS l_linenumber,
+       round(sum(l_quantity), 4) AS sum_val,
+       count(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+            + GROUPING(l_linenumber) AS BIGINT) AS grouping_id
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus, l_linenumber)
+"""
+
+
 def q49_approx_distinct_users(sf_dir: str) -> Dataset:
     """Per-event-type approximate distinct users (HyperLogLog, p=12,
     ~1.6% stderr).  Rows-only by nature — an estimator can't hash-match
@@ -2059,6 +2095,9 @@ RAY_QUERIES = {
     "mm_image_features": mm_image_features,
     "mm_audio_features": mm_audio_features,
     "q49_approx_distinct_users": q49_approx_distinct_users,
+    # q50 is twinned but past the cap: its fold mechanism is q42's (in-cap)
+    # generalized; pytest runs the twin comparison instead (TestCube).
+    "q50_cube": q50_cube,
 }
 
 ORACLE_SQL = {
@@ -2102,6 +2141,7 @@ ORACLE_SQL = {
     "q46_stratified_sample": SQL_Q46,
     "q47_sequence_packing": SQL_Q47,
     "q48_bloom_semi_join": SQL_Q48,
+    "q50_cube": SQL_Q50,
 }
 
 

@@ -591,3 +591,60 @@ def rollup_agg(
     out["n_rows"] = out["n_rows"].astype("int64")
     out["_lvl"] = out["_lvl"].astype("int64")
     return out.sort_values(keys + ["_lvl"]).reset_index(drop=True)
+
+
+def grouping_sets_agg(
+    ds: Dataset,
+    keys: list[str],
+    sets: list[tuple[str, ...]],
+    sum_col: str,
+    all_label: str = "ALL",
+) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS (...)``: the rollup_agg generalization.
+
+    Every requested set must be a subset of ``keys``.  Exactly ONE combiner
+    pass computes the finest grouping (all ``keys``); every requested set
+    folds from those partials driver-side — sum/count are distributive, so
+    folding |finest| rows is exact and no second data pass ever happens.
+    ``grouping_id`` matches SQL's GROUPING() bit order (bit i set when
+    ``keys[i]`` is aggregated away, MSB-first like DuckDB's GROUPING_ID)."""
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} not a subset of keys: {unknown}")
+    finest = grouped_agg_partial(ds, keys, sums={"sum_val": sum_col}, count_col="n_rows")
+    levels = []
+    for s in sets:
+        kept = [k for k in keys if k in s]  # canonical key order
+        if kept:
+            g = finest.groupby(kept, sort=False, as_index=False)[["sum_val", "n_rows"]].sum()
+        else:
+            g = pd.DataFrame(
+                {"sum_val": [finest["sum_val"].sum()], "n_rows": [finest["n_rows"].sum()]}
+            )
+        gid = 0
+        for i, k in enumerate(keys):
+            if k not in s:
+                g[k] = all_label
+                gid |= 1 << (len(keys) - 1 - i)
+        levels.append(g.assign(grouping_id=gid))
+    out = pd.concat(levels, ignore_index=True)[keys + ["sum_val", "n_rows", "grouping_id"]]
+    for k in keys:
+        out[k] = out[k].astype(str)  # same sentinel-vs-numeric rationale as rollup_agg
+    out["sum_val"] = out["sum_val"].astype(float).round(4)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["grouping_id"] = out["grouping_id"].astype("int64")
+    return out.sort_values(keys + ["grouping_id"]).reset_index(drop=True)
+
+
+def cube_agg(
+    ds: Dataset, keys: list[str], sum_col: str, all_label: str = "ALL"
+) -> pd.DataFrame:
+    """``GROUP BY CUBE(k1, ..., kn)``: all 2^n grouping sets, folded from one
+    combiner pass (see grouping_sets_agg)."""
+    from itertools import combinations
+
+    sets = [
+        combo for r in range(len(keys), -1, -1) for combo in combinations(keys, r)
+    ]
+    return grouping_sets_agg(ds, keys, sets, sum_col, all_label=all_label)

@@ -613,3 +613,58 @@ class TestHyperLogLog:
 
         out = RAY_QUERIES["q49_approx_distinct_users"]("/root/testdata/sf0.001").to_pandas()
         assert len(out) >= 1 and (out.approx_distinct > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCube:
+    """CUBE / GROUPING SETS fold from one combiner pass (relational.cube_agg):
+    DuckDB twin equality plus fold-vs-pandas equality on seeded data."""
+
+    def test_q50_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q50_cube")
+
+    def test_grouping_sets_match_pandas(self):
+        from ner_ray.stages.relational import grouping_sets_agg
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame(
+            {
+                "a": np.array(["x", "y", "z"])[rng.integers(0, 3, 5000)],
+                "b": np.array(["p", "q"])[rng.integers(0, 2, 5000)],
+                "v": rng.integers(0, 100, 5000).astype("int64"),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(4)
+        out = grouping_sets_agg(ds, ["a", "b"], [("a", "b"), ("a",), ()], "v")
+        # (a, b) level
+        lvl_ab = out[out.grouping_id == 0]
+        exp_ab = df.groupby(["a", "b"])["v"].agg(["sum", "size"])
+        for _, r in lvl_ab.iterrows():
+            assert r.sum_val == float(exp_ab.loc[(r.a, r.b)]["sum"])
+            assert r.n_rows == int(exp_ab.loc[(r.a, r.b)]["size"])
+        # (a,) level: b == 'ALL', grouping_id has the b bit (LSB) set
+        lvl_a = out[out.grouping_id == 1]
+        assert set(lvl_a.b) == {"ALL"}
+        exp_a = df.groupby("a")["v"].sum()
+        for _, r in lvl_a.iterrows():
+            assert r.sum_val == float(exp_a[r.a])
+        # grand total
+        g = out[out.grouping_id == 3]
+        assert len(g) == 1 and g.iloc[0].sum_val == float(df.v.sum())
+        # no (b,) level was requested
+        assert (out.grouping_id != 2).all()
+
+    def test_grouping_set_must_be_subset(self):
+        from ner_ray.stages.relational import grouping_sets_agg
+
+        ds = rd.from_pandas(pd.DataFrame({"a": ["x"], "v": [1]}))
+        with pytest.raises(ValueError):
+            grouping_sets_agg(ds, ["a"], [("a", "nope")], "v")
+
+    def test_cube_has_all_subsets(self):
+        from ner_ray.stages.relational import cube_agg
+
+        df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1, 2, 3]})
+        out = cube_agg(rd.from_pandas(df), ["a", "b"], "v")
+        assert set(out.grouping_id) == {0, 1, 2, 3}
+        assert out[out.grouping_id == 3].iloc[0].n_rows == 3
