@@ -211,7 +211,17 @@ def _alias_ipc(table: pa.Table) -> bytes:
     makes the actor unrestartable if the ref's owner dies (ray#53727: actor
     'has constructor arguments in the object store and max_restarts > 0 ...
     restart will fail'); alias dictionaries are dwarfed by the corpus, so the
-    by-value copy is cheap insurance for multi-node fault tolerance."""
+    by-value copy is cheap insurance for multi-node fault tolerance.
+
+    NOTE the core_worker warning itself still prints once per pool in ray
+    2.49: Ray Data's ActorPoolMapOperator passes its OWN ``map_transformer``
+    (which wraps this class + kwargs) into every ``MapWorker`` constructor,
+    and that framework payload is what lands in the object store — a bare
+    identity class with no kwargs reproduces the warning verbatim.  With
+    USER state by value (this function), an actor restart re-fetches only
+    the driver-owned transformer ref; the driver dying loses the job anyway,
+    so the residual warning is benign and not silenceable from user code
+    short of ``max_restarts=0`` (which would give up fault tolerance)."""
     import pyarrow.ipc as ipc
 
     sink = pa.BufferOutputStream()
