@@ -1657,6 +1657,75 @@ def q49_approx_distinct_users(sf_dir: str) -> Dataset:
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _centroids_fixture_dir(sf_dir: str, k: int = 10) -> str:
+    """Deterministic k-means centroids over the embeddings table, served from
+    a content-addressed fixture so the Ray query and the DuckDB twin consume
+    the IDENTICAL (k, d) matrix (the gazetteer pattern: centroids are the
+    fixture INPUT; the operator under test is the distributed assignment /
+    dedup).  The build mirrors ``ann._train_sample``'s content-addressed
+    sample (smallest crc32(id), order pinned by id) + ``kmeans_lite`` in
+    pure numpy — no Ray needed at SQL-build time.  At engine scale a user
+    derives centroids with ``cluster.kmeans_fit`` instead; this helper's
+    driver-side read is sized by the fixture tables it serves."""
+    import zlib
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        from ner_ray.stages.ann import kmeans_lite
+
+        t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        h = np.array([zlib.crc32(str(i).encode()) for i in ids], dtype=np.int64)
+        sel = np.lexsort((ids, h))[:2048]
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[sel]
+        cent = kmeans_lite(mat, k)
+        out = pa.table(
+            {
+                "cid": pa.array(np.arange(len(cent), dtype=np.int64)),
+                "centroid": pa.array([c.tolist() for c in cent], pa.list_(pa.float64())),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture(f"centroids_k{k}", [_t(sf_dir, "embeddings")], build)
+
+
+def _centroids_for(sf_dir: str, k: int = 10) -> "np.ndarray":
+    import pyarrow.parquet as pq
+
+    d = _centroids_fixture_dir(sf_dir, k)
+    t = pq.read_table(os.path.join(d, "part-0.parquet"))
+    order = np.argsort(np.asarray(t["cid"].to_pylist()))
+    return np.asarray(t["centroid"].to_pylist(), dtype=np.float64)[order]
+
+
+def q51_kmeans_assign(sf_dir: str) -> Dataset:
+    """Distributed k-means assignment: the (k, d) centroid matrix broadcasts
+    once via ``ray.put``; each batch is one float64 matmul + argmax (ties =
+    lowest centroid id, matching the twin's ``ORDER BY sim DESC, cid``).
+    Twinned via the centroid fixture; sim floor-quantized to 4 decimals with
+    the cross-engine-stable expression (q43 pattern)."""
+    from ner_ray.stages.cluster import kmeans_assign
+
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, _centroids_for(sf_dir))
+
+
+def q52_semantic_dedup(sf_dir: str) -> Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    prune cosine near-duplicates WITHIN clusters only — the all-pairs
+    problem becomes k bounded per-cluster matmuls, components resolve over
+    the tiny threshold-hit edge set (driver union-find under a size gate,
+    distributed min-label above it).  Output (vec_id, cluster_id, group_id,
+    keep); filtering keep yields the deduplicated corpus."""
+    from ner_ray.stages.cluster import semantic_dedup
+
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, _centroids_for(sf_dir), threshold=0.30)
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2098,6 +2167,10 @@ RAY_QUERIES = {
     # q50 is twinned but past the cap: its fold mechanism is q42's (in-cap)
     # generalized; pytest runs the twin comparison instead (TestCube).
     "q50_cube": q50_cube,
+    # q51/q52 are twinned but past the cap (dynamic centroid-fixture twins);
+    # pytest runs the twin comparison (TestClusterOps).
+    "q51_kmeans_assign": q51_kmeans_assign,
+    "q52_semantic_dedup": q52_semantic_dedup,
 }
 
 ORACLE_SQL = {
@@ -2484,6 +2557,56 @@ FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
     sql["kg_canon_entities"] = _kg_canon_entities_sql(path)
     # incremental build must equal the from-scratch build: SAME twin
     sql["kg_incremental_triples"] = _kg_canon_triples_sql(path)
+    # Twins of q51/q52: the centroid matrix is the fixture INPUT (gazetteer
+    # pattern); DuckDB re-derives the argmax-cosine assignment — and, for
+    # q52, the within-cluster near-dup pairs + recursive-CTE components —
+    # fully independently.  embedding::DOUBLE[] pins both engines to the
+    # same float64 math (list_cosine_similarity on FLOAT lists would run
+    # float32 arithmetic and diverge at the quantize/threshold boundaries);
+    # the fixture centroids are already float64 and unit-norm.
+    cf = _centroids_fixture_dir("/root/testdata/sf0.01")
+    _assign_cte = f"""
+c AS (SELECT cid, centroid FROM read_parquet('{cf}/*.parquet')),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) AS s
+  FROM embeddings e CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, cid, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+  FROM sims
+),
+asg AS (SELECT vec_id, cid::BIGINT AS cluster_id, s FROM best WHERE rn = 1)
+"""
+    sql["q51_kmeans_assign"] = f"""
+WITH {_assign_cte}
+SELECT vec_id, cluster_id, floor(s * 10000 + 0.5) / 10000 AS sim FROM asg
+"""
+    sql["q52_semantic_dedup"] = f"""
+WITH RECURSIVE {_assign_cte},
+pairs AS (
+  SELECT x.vec_id AS pa, y.vec_id AS pb
+  FROM asg x JOIN asg y
+    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(ex.embedding::DOUBLE[], ey.embedding::DOUBLE[])
+        >= 0.30
+),
+sym AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+verts AS (SELECT DISTINCT pa AS v FROM sym),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, s2.pb FROM reach r JOIN sym s2 ON r.b = s2.pa
+),
+comp AS (SELECT a AS v, min(b) AS grp FROM reach GROUP BY a)
+SELECT g.vec_id, g.cluster_id,
+       coalesce(cm.grp, g.vec_id) AS group_id,
+       coalesce(cm.grp, g.vec_id) = g.vec_id AS keep
+FROM asg g LEFT JOIN comp cm ON cm.v = g.vec_id
+"""
     return sql
 
 

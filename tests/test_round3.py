@@ -668,3 +668,142 @@ class TestCube:
         out = cube_agg(rd.from_pandas(df), ["a", "b"], "v")
         assert set(out.grouping_id) == {0, 1, 2, 3}
         assert out[out.grouping_id == 3].iloc[0].n_rows == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusterOps:
+    """Distributed k-means + SemDeDup (stages.cluster): DuckDB twin equality
+    over the centroid fixture, distributed-fit-vs-driver-Lloyd's equality,
+    partitioning independence, the oversized-cluster cap, and the
+    distributed-components fallback."""
+
+    def _toy(self, n=2000, d=16, seed=7):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(8, d))
+        x = (centers[rng.integers(0, 8, n)] + 0.3 * rng.normal(size=(n, d))).astype(
+            np.float32
+        )
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array([v.tolist() for v in x], pa.list_(pa.float32())),
+            }
+        )
+        return t, x
+
+    def test_q51_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q51_kmeans_assign")
+
+    def test_q52_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q52_semantic_dedup")
+
+    def test_kmeans_fit_matches_driver_lloyds(self):
+        import zlib
+
+        from ner_ray.stages.ann import kmeans_lite
+        from ner_ray.stages.cluster import kmeans_fit
+
+        t, x = self._toy()
+        ds = rd.from_arrow(t).repartition(6).materialize()
+        cent = kmeans_fit(ds, 8, n_iter=5, init_sample=512, seed=7)
+
+        # driver replica: identical content-addressed init, then plain
+        # numpy Lloyd's (mean = fold(sum)/fold(count), so only float
+        # summation ORDER differs from the distributed partials)
+        xd = x.astype(np.float64)
+        ids = np.arange(len(xd), dtype=np.int64)
+        h = np.array([zlib.crc32(str(i).encode()) for i in ids], dtype=np.int64)
+        sel = np.lexsort((ids, h))[:512]
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        ref = kmeans_lite(xd[sel], 8, seed=7)
+        xn = xd / np.linalg.norm(xd, axis=1, keepdims=True)
+        for _ in range(5):
+            a = np.argmax(xn @ ref.T, axis=1)
+            nxt = ref.copy()
+            for c in range(8):
+                m = xn[a == c]
+                if len(m):
+                    nxt[c] = m.mean(axis=0)
+            ref = nxt / np.linalg.norm(nxt, axis=1, keepdims=True)
+
+        assert cent.shape == ref.shape
+        np.testing.assert_allclose(cent, ref, atol=1e-8)
+
+    def test_assign_partitioning_independence(self):
+        from ner_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+        t, _ = self._toy()
+        ds = rd.from_arrow(t).materialize()
+        cent = kmeans_fit(ds, 8, n_iter=3, init_sample=512, seed=7)
+        a2 = kmeans_assign(ds.repartition(2), cent).to_pandas().sort_values("vec_id")
+        a8 = kmeans_assign(ds.repartition(8), cent).to_pandas().sort_values("vec_id")
+        assert (a2["cluster_id"].to_numpy() == a8["cluster_id"].to_numpy()).all()
+        np.testing.assert_array_equal(a2["sim"].to_numpy(), a8["sim"].to_numpy())
+
+    def test_semantic_dedup_drops_near_dups(self):
+        from ner_ray.stages.cluster import kmeans_fit, semantic_dedup
+
+        t, x = self._toy(n=400)
+        # append exact duplicates of the first 20 vectors with fresh ids
+        dup = pa.table(
+            {
+                "vec_id": pa.array(np.arange(1000, 1020, dtype=np.int64)),
+                "embedding": pa.array(
+                    [v.tolist() for v in x[:20]], pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = rd.from_arrow(pa.concat_tables([t, dup])).repartition(4).materialize()
+        cent = kmeans_fit(ds, 8, n_iter=3, init_sample=256, seed=7)
+        out = semantic_dedup(ds, cent, threshold=0.999).to_pandas()
+        assert len(out) == 420
+        dropped = out[~out["keep"]]
+        # every injected duplicate is dropped in favour of its numeric-min twin
+        assert set(dropped["vec_id"]) >= set(range(1000, 1020))
+        for _, r in dropped[dropped["vec_id"] >= 1000].iterrows():
+            assert r["group_id"] == r["vec_id"] - 1000
+
+    def test_cluster_cap_bounds_pairs(self):
+        from ner_ray.stages.cluster import kmeans_fit, semantic_dedup
+
+        t, _ = self._toy(n=300)
+        ds = rd.from_arrow(t).materialize()
+        cent = kmeans_fit(ds, 2, n_iter=2, init_sample=128, seed=7)
+        out = semantic_dedup(ds, cent, threshold=0.0, max_cluster_size=10).to_pandas()
+        # threshold 0 links ~everything, but the cap keeps only the 10
+        # smallest ids per cluster in the pair scan: overflow rows stay kept
+        assert len(out) == 300
+        assert out[out["vec_id"] >= 100]["keep"].all()
+
+    def test_distributed_components_path_equal(self):
+        # tiny edge set (exact-dup chains only, threshold .9999): the point
+        # is DRIVER-vs-DISTRIBUTED path equality, not CC scale — min-label
+        # propagation costs a join round per component diameter, so a dense
+        # toy graph would spend minutes proving nothing extra
+        from ner_ray.stages.cluster import kmeans_fit, semantic_dedup
+
+        t, x = self._toy(n=80)
+        dup = pa.table(
+            {
+                "vec_id": pa.array(np.arange(500, 510, dtype=np.int64)),
+                "embedding": pa.array(
+                    [v.tolist() for v in x[:10]], pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = rd.from_arrow(pa.concat_tables([t, dup])).repartition(3).materialize()
+        cent = kmeans_fit(ds, 4, n_iter=2, init_sample=64, seed=7)
+        drv = (
+            semantic_dedup(ds, cent, threshold=0.9999)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        dist = (
+            semantic_dedup(ds, cent, threshold=0.9999, cc_threshold=0)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert (~drv["keep"]).sum() >= 10  # the injected dups actually linked
+        pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
