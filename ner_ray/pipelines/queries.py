@@ -1726,6 +1726,90 @@ def q52_semantic_dedup(sf_dir: str) -> Dataset:
     return semantic_dedup(ds, _centroids_for(sf_dir), threshold=0.30)
 
 
+def q53_curation_pipeline(sf_dir: str) -> Dataset:
+    """End-to-end corpus curation — the composed training-data prep pass a
+    100-TB user actually runs: ONE stateless map_batches computes language,
+    quality score, token count and the exact-dup fingerprint per document;
+    survivors (``pred_lang='en' AND quality >= 0.5``) dedup by fingerprint
+    with keeper = min doc_id via a narrow groupby + hash-join back.  The
+    wide ``text`` column never leaves the feature pass; everything that
+    shuffles is the narrow feature row.  Each component reuses the exact
+    pinned formula its standalone twin proves (q21 lang, q24 quality, q15
+    tokens, q13 fingerprint), and the composition has its own SQL twin."""
+    from ner_ray.functions.texttools import (
+        lang_id,
+        md5_fingerprint,
+        quality_score,
+        tokenize_ws,
+    )
+    from ner_ray.stages.joins import hash_join
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        tbl = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "fp": pa.array([md5_fingerprint(x) for x in texts], pa.string()),
+                "pred_lang": pa.array([lang_id(x) for x in texts], pa.string()),
+                "quality": pa.array([quality_score(x) for x in texts], pa.float64()),
+                "n_tokens": pa.array(
+                    [len(tokenize_ws(x)) for x in texts], pa.int64()
+                ),
+            }
+        )
+        mask = pc.and_(
+            pc.equal(tbl["pred_lang"], "en"), pc.greater_equal(tbl["quality"], 0.5)
+        )
+        return tbl.filter(mask)
+
+    # materialize: the narrow survivor set (no text column) feeds TWO
+    # consumers — the keeper groupby and the join-back left side
+    surv = ds.map_batches(feats, batch_format="pyarrow").materialize()
+    surv_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("fp", pa.string()),
+            ("pred_lang", pa.string()),
+            ("quality", pa.float64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+    keepers = surv.groupby("fp").aggregate(Min("doc_id", alias_name="keep_id"))
+    joined = hash_join(
+        surv,
+        keepers,
+        on="fp",
+        left_schema=surv_schema,
+        right_schema=pa.schema([("fp", pa.string()), ("keep_id", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["doc_id"], t["keep_id"]))
+        return kept.select(["doc_id", "pred_lang", "quality", "n_tokens"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q53 = f"""
+WITH lang AS ({SQL_Q21}), qual AS ({SQL_Q24}),
+base AS (
+  SELECT d.doc_id,
+         md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp,
+         l.pred_lang, q.quality,
+         len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+  FROM documents d
+  JOIN lang l ON l.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id
+),
+surv AS (SELECT * FROM base WHERE pred_lang = 'en' AND quality >= 0.5),
+keep AS (SELECT fp, min(doc_id) AS keep_id FROM surv GROUP BY fp)
+SELECT s.doc_id, s.pred_lang, s.quality, s.n_tokens
+FROM surv s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.keep_id
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2171,6 +2255,7 @@ RAY_QUERIES = {
     # pytest runs the twin comparison (TestClusterOps).
     "q51_kmeans_assign": q51_kmeans_assign,
     "q52_semantic_dedup": q52_semantic_dedup,
+    "q53_curation_pipeline": q53_curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -2215,6 +2300,7 @@ ORACLE_SQL = {
     "q47_sequence_packing": SQL_Q47,
     "q48_bloom_semi_join": SQL_Q48,
     "q50_cube": SQL_Q50,
+    "q53_curation_pipeline": SQL_Q53,
 }
 
 
@@ -2260,6 +2346,57 @@ def _docemb_fixture(docs_path: str) -> str:
         pq.write_table(out, os.path.join(d, "part-0.parquet"))
 
     return _twin_fixture("docemb", [docs_path], build)
+
+
+def _simhash_fixture(docs_path: str) -> str:
+    """Per-doc 64-bit SimHash (stored signed int64) + its pigeonhole block
+    values, for the q23 twin.  The SKETCH layer (lowercase tokenize ->
+    simhash64 -> 16-bit blocks) is the deterministic stand-in input, like
+    q22's signatures; the OPERATOR under test — block-bucket candidate
+    pairing, XOR+popcount Hamming verify at max_hamming=3, components and
+    min-id group/keep labels — is re-derived independently by the SQL
+    (DuckDB ``bit_count(xor(..))`` is exact two's-complement popcount,
+    probed).  Build-time guard mirrors q22: asserts no (block, val) bucket
+    exceeds the engine's ``max_bucket`` cap (500), so the cap — which the
+    SQL does not model — is provably a no-op at oracle scale."""
+
+    def build(d: str) -> None:
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from ner_ray.functions.hashing import simhash64, simhash_blocks
+        from ner_ray.functions.texttools import tokenize_ws
+
+        t = pq.read_table(docs_path, columns=["doc_id", "text"])
+        ids, blk, val, sims = [], [], [], []
+        bucket: Counter = Counter()
+        for i, text in zip(
+            pc.cast(t["doc_id"], pa.int64()).to_pylist(), t["text"].to_pylist()
+        ):
+            h = simhash64(tokenize_ws((text or "").lower()))
+            hs = h - (1 << 64) if h >= (1 << 63) else h
+            for b, v in simhash_blocks(h, 4):
+                ids.append(i)
+                blk.append(b)
+                val.append(v)
+                sims.append(hs)
+                bucket[(b, v)] += 1
+        assert max(bucket.values(), default=0) <= 500, (
+            "q23 twin invalid: a (block, val) bucket exceeds the engine's "
+            "max_bucket cap, which the SQL twin does not model"
+        )
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "block": pa.array(blk, pa.int32()),
+                "val": pa.array(val, pa.int64()),
+                "sim": pa.array(sims, pa.int64()),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture("simhash", [docs_path], build)
 
 
 def _video_frame_bytes_fixture(media_path: str, every_n: int) -> str:
@@ -2544,6 +2681,50 @@ SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS group_id,
        coalesce(c.grp, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
 """
+    # Twin of q23: SimHash near-dup groups re-derived in SQL over the sketch
+    # fixture (block self-join candidates, XOR+popcount Hamming verify,
+    # recursive-CTE closure, min-id group/keep — the q22 pattern).
+    shf = _simhash_fixture(_t("/root/testdata/sf0.01", "documents"))
+    sql["q23_simhash_near_dup"] = f"""
+WITH RECURSIVE sk AS (
+  SELECT doc_id, block, val, sim FROM read_parquet('{shf}/*.parquet')
+),
+docs AS (SELECT DISTINCT doc_id, sim FROM sk),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sk x JOIN sk y
+    ON x.block = y.block AND x.val = y.val AND x.doc_id < y.doc_id
+),
+edges AS (
+  SELECT a, b FROM cand c
+  JOIN docs da ON da.doc_id = c.a
+  JOIN docs db ON db.doc_id = c.b
+  WHERE bit_count(xor(da.sim, db.sim)) <= 3
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS v, min(b) AS grp FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS group_id,
+       coalesce(c.grp, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+"""
+    # Twin of kg_degree_stats: degrees re-derived over the SAME independent
+    # canon-triples twin the flagship hash-gate uses — distinct (subj, obj)
+    # edges, per-endpoint contribution fold.
+    sql["kg_degree_stats"] = (
+        f"WITH canon AS ({_kg_canon_triples_sql(path)}),\n"
+        "edges AS (SELECT DISTINCT subj, obj FROM canon),\n"
+        "ends AS (SELECT subj AS node, 1 AS o, 0 AS i FROM edges\n"
+        "         UNION ALL SELECT obj, 0, 1 FROM edges)\n"
+        "SELECT node, sum(o)::BIGINT AS out_degree, sum(i)::BIGINT AS in_degree,\n"
+        "       (sum(o) + sum(i))::BIGINT AS degree\n"
+        "FROM ends GROUP BY node"
+    )
     sql["kg_mentions"] = _kg_mentions_sql(path)
     sql["kg_raw_triples"] = _kg_raw_triples_sql(path)
     sql["kg_dedup_triples"] = (

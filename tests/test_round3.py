@@ -807,3 +807,34 @@ class TestClusterOps:
         )
         assert (~drv["keep"]).sum() >= 10  # the injected dups actually linked
         pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurationPipeline:
+    """q53: the composed curation pass (lang + quality + tokens + exact-dup
+    keeper) — twin equality plus output-invariant checks."""
+
+    def test_q53_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q53_curation_pipeline")
+
+    def test_output_invariants(self):
+        from ner_ray.pipelines.queries import RAY_QUERIES
+
+        out = RAY_QUERIES["q53_curation_pipeline"]("/root/testdata/sf0.001").to_pandas()
+        assert set(out.columns) == {"doc_id", "pred_lang", "quality", "n_tokens"}
+        assert (out["pred_lang"] == "en").all()
+        assert (out["quality"] >= 0.5).all()
+        assert out["doc_id"].is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLateRound3Twins:
+    """Twins added late round 3: SimHash near-dup over the sketch fixture
+    (XOR+popcount verify in SQL) and degrees over the independent
+    canon-triples twin."""
+
+    def test_q23_simhash_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q23_simhash_near_dup")
+
+    def test_kg_degree_stats_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "kg_degree_stats")
