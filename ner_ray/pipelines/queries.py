@@ -1818,10 +1818,18 @@ def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def kg_pagerank(sf_dir: str) -> pd.DataFrame:
-    """PageRank over the canonical entity graph (support-weighted)."""
+    """PageRank over the canonical entity graph (support-weighted).
+
+    ``tol=0.0`` pins the iteration count to exactly ``n_iter`` (the default
+    early-break leaves up to ~tol·d/(1-d) ≈ 6e-9 of residual drift vs a
+    fixed-count twin — visible at the 1e-10 rounding the stage applies);
+    with both engines running the same 30 float64 rounds the only
+    cross-engine difference is summation order (~1e-14), far inside the
+    rounding quantum.  The SQL twin unrolls the power iteration as 30
+    generated CTE stages over the independent canon-triples twin."""
     from ner_ray.stages.graph import pagerank
 
-    return pagerank(kg_triples(sf_dir))
+    return pagerank(kg_triples(sf_dir), tol=0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -2348,6 +2356,38 @@ def _docemb_fixture(docs_path: str) -> str:
     return _twin_fixture("docemb", [docs_path], build)
 
 
+def _pagerank_sql(canon_sql: str, n_iter: int = 30, damping: float = 0.85) -> str:
+    """Generate the unrolled fixed-iteration PageRank twin (see the
+    kg_pagerank registration comment for the semantics contract)."""
+    # every multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
+    # CTEs per REFERENCE, and r{i} references r{i-1} twice (dangling mass +
+    # contributions), so an un-materialized unroll expands 2^n_iter copies
+    # of the base scan (observed as a resource-exhaustion IO error)
+    head = f"""WITH canon AS MATERIALIZED ({canon_sql}),
+ew AS MATERIALIZED (SELECT subj, obj, sum(n_support)::DOUBLE AS w FROM canon GROUP BY subj, obj),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT subj AS node FROM ew UNION ALL SELECT obj AS node FROM ew)),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+ow AS MATERIALIZED (SELECT subj, sum(w) AS out_w FROM ew GROUP BY subj),
+ne AS MATERIALIZED (SELECT e.subj AS src, e.obj AS dst, e.w / o.out_w AS nw FROM ew e JOIN ow o ON o.subj = e.subj),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    body = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        body.append(
+            f""",
+d{i} AS MATERIALIZED (SELECT coalesce(sum(p.r), 0.0) / (SELECT n FROM nn) AS dm
+         FROM {p} p LEFT JOIN ow o ON o.subj = p.node WHERE o.subj IS NULL),
+c{i} AS MATERIALIZED (SELECT ne.dst AS node, sum(p.r * ne.nw) AS c
+         FROM ne JOIN {p} p ON p.node = ne.src GROUP BY ne.dst),
+r{i} AS MATERIALIZED (SELECT nd.node,
+                (1.0 - {damping}) / (SELECT n FROM nn)
+                + {damping} * (coalesce(c.c, 0.0) + (SELECT dm FROM d{i})) AS r
+         FROM nodes nd LEFT JOIN c{i} c ON c.node = nd.node)"""
+        )
+    tail = f"\nSELECT node, round(r, 10) AS rank FROM r{n_iter}"
+    return head + "".join(body) + tail
+
+
 def _simhash_fixture(docs_path: str) -> str:
     """Per-doc 64-bit SimHash (stored signed int64) + its pigeonhole block
     values, for the q23 twin.  The SKETCH layer (lowercase tokenize ->
@@ -2713,6 +2753,15 @@ SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS group_id,
        coalesce(c.grp, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
 """
+    # Twin of kg_pagerank: the power iteration UNROLLED as generated CTE
+    # stages (standard SQL forbids GROUP BY in a recursive term, so a
+    # recursive CTE can't express the per-round contribution aggregate;
+    # fixed n_iter makes unrolling exact).  Replicates graph.pagerank's
+    # driver matvec bit-for-bit up to summation order: support-weighted
+    # distinct edges, out-weight-normalized contributions, dangling mass by
+    # complement, rank = (1-d)/n + d*(contrib + dangling/n), 30 rounds,
+    # round(rank, 10).
+    sql["kg_pagerank"] = _pagerank_sql(_kg_canon_triples_sql(path))
     # Twin of kg_degree_stats: degrees re-derived over the SAME independent
     # canon-triples twin the flagship hash-gate uses — distinct (subj, obj)
     # edges, per-endpoint contribution fold.

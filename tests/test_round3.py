@@ -838,3 +838,9 @@ class TestLateRound3Twins:
 
     def test_kg_degree_stats_twin(self):
         TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "kg_degree_stats")
+
+    def test_kg_pagerank_twin(self):
+        # 30-round float64 power iteration, unrolled MATERIALIZED-CTE twin:
+        # bit-identical after the stage's 1e-10 rounding (tol=0.0 pins the
+        # iteration count on the engine side)
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "kg_pagerank")
