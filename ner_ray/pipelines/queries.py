@@ -766,8 +766,11 @@ def q32_ann_ivf(sf_dir: str) -> pd.DataFrame:
 
 
 def q26_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
-    """Exact word-3-gram Jaccard on the minhash candidate pairs (verify pass
-    of the near-dup family; rows-only — set semantics are not DuckDB-cheap)."""
+    """Exact word-3-gram Jaccard on the minhash (group_id, doc_id) dup pairs.
+    Twinned: the SQL composes the q22 twin's closure (pair derivation) with
+    the q40 twin's shingle/Jaccard expressions.  Jaccard is an int/int
+    float64 division, bit-identical across engines — no rounding on either
+    side (rounding would ADD a half-boundary divergence risk, e.g. 1/32)."""
     from ner_ray.stages.text_dedup import minhash_near_dup, ngram_jaccard_pairs
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -777,9 +780,7 @@ def q26_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     if not pairs:
         return pd.DataFrame({"a": pd.Series([], dtype=int), "b": pd.Series([], dtype=int), "jaccard": pd.Series([], dtype=float)})
     ds2 = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds2, pairs)
-    out["jaccard"] = out["jaccard"].round(4)
-    return out
+    return ngram_jaccard_pairs(ds2, pairs)
 
 
 def q27_semi_join(sf_dir: str) -> Dataset:
@@ -2439,6 +2440,123 @@ def _simhash_fixture(docs_path: str) -> str:
     return _twin_fixture("simhash", [docs_path], build)
 
 
+def _rollhash_fixture(docs_path: str) -> str:
+    """Per-doc Rabin-Karp rolling k-gram hashes (1-based position, int64
+    value), for the q38 twin.  The HASH layer is the deterministic stand-in
+    input; the OPERATOR — winnowing's sliding-window leftmost-argmin
+    selection, consecutive-position compression, count/min aggregates — is
+    re-derived by the SQL (window frame + a HUGEINT (val, pos) key for the
+    exact leftmost tie-break)."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        from ner_ray.functions.texttools import normalize_for_fingerprint, rolling_hashes
+
+        t = pq.read_table(docs_path, columns=["doc_id", "text"])
+        ids, poss, vals = [], [], []
+        for i, text in zip(
+            pc.cast(t["doc_id"], pa.int64()).to_pylist(), t["text"].to_pylist()
+        ):
+            hs = rolling_hashes(normalize_for_fingerprint(text or ""), k=8)
+            for p, v in enumerate(hs, start=1):
+                ids.append(i)
+                poss.append(p)
+                vals.append(v)
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "val": pa.array(vals, pa.int64()),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture("rollhash", [docs_path], build)
+
+
+def _lshband_fixture(docs_path: str) -> str:
+    """Per-doc hyperplane-LSH band keys for the q39 twin, mirroring
+    ``ann._near_dup_pairs_lsh``'s sketch layer exactly (hash_embed ->
+    normalize -> seeded plane signs -> 3-bit band keys; n_planes=12, 4
+    bands, seed=42).  The sketch is the stand-in input; the SQL re-derives
+    candidate pairing, the exact-cosine verify at the threshold, and the
+    band dedup.  Build-time guard: no (band, key) bucket may exceed the
+    engine's max_bucket cap (2000), so the cap is provably a no-op."""
+
+    def build(d: str) -> None:
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from ner_ray.functions.texttools import hash_embed
+
+        t = pq.read_table(docs_path, columns=["doc_id", "text"])
+        vecs = np.stack([hash_embed(x or "") for x in t["text"].to_pylist()]).astype(
+            np.float64
+        )
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = vecs / norms
+        planes = np.random.default_rng(42).standard_normal((m.shape[1], 12))
+        bits = (m @ planes > 0).astype(np.uint64)
+        ids = np.asarray(pc.cast(t["doc_id"], pa.int64()).to_pylist(), dtype=np.int64)
+        out_id, out_band, out_key = [], [], []
+        bucket: Counter = Counter()
+        for b in range(4):
+            seg = bits[:, b * 3 : (b + 1) * 3]
+            key = (seg * (1 << np.arange(3, dtype=np.uint64))).sum(axis=1).astype(np.int64)
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_key.append(key)
+            for kk in key:
+                bucket[(b, int(kk))] += 1
+        assert max(bucket.values(), default=0) <= 2000, (
+            "q39 twin invalid: an LSH bucket exceeds the engine's max_bucket "
+            "cap, which the SQL twin does not model"
+        )
+        out = pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "bkey": pa.array(np.concatenate(out_key), pa.int64()),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture("lshband", [docs_path], build)
+
+
+def _lshsig_fixture(emb_path: str) -> str:
+    """Per-vector 10-bit hyperplane signature bitmask for the q25 twin,
+    mirroring ``ann.lsh_topk``'s sketch layer (seeded planes over normalized
+    float64 vectors).  The signature is the stand-in input; the SQL
+    re-derives the multi-probe candidate set (Hamming <= 2 via
+    ``bit_count(xor(..))``), the exact-cosine scoring, and the
+    (score desc, id asc) top-k."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        planes = np.random.default_rng(42).standard_normal((m.shape[1], 10))
+        bits = (m @ planes > 0).astype(np.int64)
+        mask = (bits << np.arange(10, dtype=np.int64)).sum(axis=1)
+        out = pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "sig": pa.array(mask, pa.int64()),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture("lshsig", [emb_path], build)
+
+
 def _video_frame_bytes_fixture(media_path: str, every_n: int) -> str:
     """Per-sampled-frame raw bytes for the mm_video_frames twin, re-sliced
     straight off the media parquet with plain byte arithmetic (payload is a
@@ -2690,7 +2808,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
     # agreement verify (list lambda), components (recursive-CTE closure) and
     # min-id/keep labels all re-derived in SQL over the sketch fixture.
     mf = _minhash_fixture(_t("/root/testdata/sf0.01", "documents"))
-    sql["q22_minhash_near_dup"] = f"""
+    q22_sql = f"""
 WITH RECURSIVE sk AS (
   SELECT doc_id, sig, keys FROM read_parquet('{mf}/*.parquet')
 ),
@@ -2720,6 +2838,140 @@ comp AS (SELECT a AS v, min(b) AS grp FROM reach GROUP BY a)
 SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS group_id,
        coalesce(c.grp, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+"""
+    sql["q22_minhash_near_dup"] = q22_sql
+    # Twin of q26: the minhash closure (q22 twin, materialized once) derives
+    # the (group_id, doc_id) dup pairs; the q40 twin's shingle/Jaccard
+    # expressions score them.  No rounding on either side — Jaccard is an
+    # int/int float64 division, bit-identical across engines.
+    sql["q26_ngram_jaccard"] = f"""
+WITH RECURSIVE lab AS MATERIALIZED ({q22_sql}),
+prs AS (SELECT group_id AS a, doc_id AS b FROM lab WHERE NOT keep),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents WHERE doc_id IN (SELECT a FROM prs UNION SELECT b FROM prs)
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+         WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN range(1, len(w) - 1) ])
+    END AS g
+  FROM toks
+)
+SELECT p.a::BIGINT AS a, p.b::BIGINT AS b,
+  CASE WHEN len(sa.g) = 0 AND len(sb.g) = 0 THEN 1.0
+       WHEN len(sa.g) = 0 OR len(sb.g) = 0 THEN 0.0
+       ELSE len(list_intersect(sa.g, sb.g))::DOUBLE
+            / len(list_distinct(list_concat(sa.g, sb.g)))
+  END AS jaccard
+FROM prs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b
+"""
+    # Twin of q38: winnowing re-derived in SQL over the rolling-hash fixture
+    # — per-window min via a frame, leftmost argmin via a HUGEINT (val, pos)
+    # key (winnowing's selected position is monotone non-decreasing, so the
+    # consecutive-position compression equals COUNT(DISTINCT j)).
+    rhf = _rollhash_fixture(_t("/root/testdata/sf0.01", "documents"))
+    sql["q38_winnow_fingerprint"] = f"""
+WITH h AS (SELECT doc_id, pos, val FROM read_parquet('{rhf}/*.parquet')),
+n AS (SELECT doc_id, max(pos) AS np FROM h GROUP BY doc_id),
+win AS (
+  SELECT doc_id, pos AS i,
+         min(val) OVER w AS m,
+         (min(val::HUGEINT * 1048576 + pos) OVER w) % 1048576 AS j
+  FROM h
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+),
+sel AS (
+  SELECT w.doc_id, w.m, w.j FROM win w JOIN n ON n.doc_id = w.doc_id
+  WHERE w.i <= greatest(n.np - 3, 1)
+),
+agg AS (
+  SELECT doc_id, count(DISTINCT j)::BIGINT AS n_fps, min(m)::BIGINT AS min_fp
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_fps, 0)::BIGINT AS n_fps,
+       coalesce(a.min_fp, -1)::BIGINT AS min_fp
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+    # Twin of q39: LSH band-bucket near-dup pairs — candidates from the band
+    # fixture's (band, key) self-join, exact float64 cosine verify at the
+    # threshold, band-duplicate dedup via DISTINCT (the engine's per-pair
+    # max(score) is a no-op: a pair scores identically in every bucket).
+    bf = _lshband_fixture(_t("/root/testdata/sf0.01", "documents"))
+    sql["q39_doc_near_dup_lsh"] = f"""
+WITH sk AS (SELECT vec_id, band, bkey FROM read_parquet('{bf}/*.parquet')),
+e AS (SELECT vec_id, embedding FROM read_parquet('{de}/*.parquet')),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM sk x JOIN sk y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+)
+SELECT c.a AS vec_id_a, c.b AS vec_id_b,
+       list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS score
+FROM cand c
+JOIN e ea ON ea.vec_id = c.a
+JOIN e eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.9
+"""
+    # Twin of q25: multi-probe LSH top-k — the query (vec_id 0) is in the
+    # corpus, so its fixture signature IS the query signature; candidates =
+    # Hamming(sig, qsig) <= 2, then exact-cosine (score desc, id asc) top-10
+    # with rank, matching _topk_merge.
+    lsf = _lshsig_fixture(_t("/root/testdata/sf0.01", "embeddings"))
+    sql["q25_ann_lsh"] = f"""
+WITH sg AS (SELECT vec_id, sig FROM read_parquet('{lsf}/*.parquet')),
+qs AS (SELECT sig AS qsig FROM sg WHERE vec_id = 0),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT s.vec_id FROM sg s, qs WHERE bit_count(xor(s.sig, qs.qsig)) <= 2),
+scored AS (
+  SELECT 0::BIGINT AS query_idx, c.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qe FROM qv)) AS score
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) - 1 AS rk
+  FROM scored
+)
+SELECT query_idx, vec_id, score, rk::BIGINT AS "rank" FROM ranked WHERE rk < 10
+"""
+    # Twin of q32: IVF probed search — the coarse quantizer IS the
+    # content-addressed centroid fixture (same derivation as
+    # ivf_build_index: crc32-min train sample + seeded kmeans_lite); the SQL
+    # re-derives assignment (argmax cosine, lowest-cid ties), the top-6
+    # probe set, and the within-probe exact top-10.
+    cf16 = _centroids_fixture_dir("/root/testdata/sf0.01", 16)
+    sql["q32_ann_ivf"] = f"""
+WITH c AS (SELECT cid, centroid FROM read_parquet('{cf16}/*.parquet')),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_cosine_similarity((SELECT qe FROM qv), centroid) DESC, cid ASC
+    ) AS rn FROM c
+  ) WHERE rn <= 6
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC, c.cid ASC
+    ) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT 0::BIGINT AS query_idx, a.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qe FROM qv)) AS score
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.cell IN (SELECT cid FROM probe)
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) - 1 AS rk
+  FROM scored
+)
+SELECT query_idx, vec_id, score, rk::BIGINT AS "rank" FROM ranked WHERE rk < 10
 """
     # Twin of q23: SimHash near-dup groups re-derived in SQL over the sketch
     # fixture (block self-join candidates, XOR+popcount Hamming verify,

@@ -844,3 +844,18 @@ class TestLateRound3Twins:
         # bit-identical after the stage's 1e-10 rounding (tol=0.0 pins the
         # iteration count on the engine side)
         TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "kg_pagerank")
+
+    def test_q26_ngram_jaccard_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q26_ngram_jaccard")
+
+    def test_q38_winnow_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q38_winnow_fingerprint")
+
+    def test_q39_lsh_near_dup_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q39_doc_near_dup_lsh")
+
+    def test_q25_lsh_topk_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q25_ann_lsh")
+
+    def test_q32_ivf_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q32_ann_ivf")
