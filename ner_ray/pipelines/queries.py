@@ -1860,13 +1860,27 @@ def media_path_for(sf_dir: str) -> str:
 
 def mm_image_features(sf_dir: str) -> Dataset:
     """Actor-pool image decode + featurize over binary payload columns
-    (stubbed codec backend; rows-only — binary media is not a DuckDB view)."""
+    (stubbed codec backend).  Twinned by independent numpy re-derivation at
+    SQL-build time (the mm_resize_pipeline pattern); the histogram ships as
+    a fixed-format string for the same row-stringify-hash reason."""
     from ner_ray.stages.multimodal import image_features
 
-    return image_features(rd.read_parquet(media_path_for(sf_dir)))
+    feats = image_features(rd.read_parquet(media_path_for(sf_dir)))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        hists = [
+            ",".join(f"{float(v):.6f}" for v in h) for h in t["histogram"].to_pylist()
+        ]
+        return t.drop_columns(["histogram"]).append_column(
+            "histogram", pa.array(hists, pa.string())
+        )
+
+    return feats.map_batches(fmt, batch_format="pyarrow")
 
 
 def mm_audio_features(sf_dir: str) -> Dataset:
+    """Int16-PCM RMS/zero-cross features; twinned by independent numpy
+    re-derivation (mm_resize_pipeline pattern)."""
     from ner_ray.stages.multimodal import audio_features
 
     return audio_features(rd.read_parquet(media_path_for(sf_dir)))
@@ -2660,6 +2674,112 @@ def _resize_features_fixture(media_path: str, tw: int, th: int) -> str:
     return _twin_fixture(f"resizefeat{tw}x{th}", [media_path], build)
 
 
+def _image_features_fixture(media_path: str) -> str:
+    """Expected ImageFeaturizer output for the mm_image_features twin,
+    re-derived at SQL-build time with standalone numpy over the raw
+    payloads (luminance moments, 8x9 difference hash, 16-bin histogram —
+    all deterministic uint8/float64 arithmetic, so both implementations
+    agree bitwise)."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            media_path, columns=["media_id", "kind", "payload", "width", "height"]
+        )
+        t = t.filter(pc.equal(t["kind"], "image"))
+        bins = np.linspace(0, 256, 17)
+        rows = {
+            k: []
+            for k in (
+                "media_id", "width", "height", "mean_lum", "std_lum", "phash", "histogram",
+            )
+        }
+        for mid, payload, w, h in zip(
+            t["media_id"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["width"].to_pylist(),
+            t["height"].to_pylist(),
+        ):
+            img = np.frombuffer(payload, dtype=np.uint8, count=h * w).reshape(h, w)
+            ys = np.linspace(0, h, 9, dtype=int)
+            xs = np.linspace(0, w, 10, dtype=int)
+            grid = np.empty((8, 9))
+            for i in range(8):
+                for j in range(9):
+                    grid[i, j] = img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+            bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+            phash = int(np.uint64(np.packbits(bits).view(">u8")[0]).astype(np.int64))
+            hist = (np.histogram(img, bins=bins)[0] / img.size).astype(np.float32)
+            rows["media_id"].append(mid)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["mean_lum"].append(float(img.mean()))
+            rows["std_lum"].append(float(img.std()))
+            rows["phash"].append(phash)
+            rows["histogram"].append(",".join(f"{float(v):.6f}" for v in hist))
+        out = pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.int64()),
+                "width": pa.array(rows["width"], pa.int32()),
+                "height": pa.array(rows["height"], pa.int32()),
+                "mean_lum": pa.array(rows["mean_lum"], pa.float32()),
+                "std_lum": pa.array(rows["std_lum"], pa.float32()),
+                "phash": pa.array(rows["phash"], pa.int64()),
+                "histogram": pa.array(rows["histogram"], pa.string()),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture("imgfeat", [media_path], build)
+
+
+def _audio_features_fixture(media_path: str) -> str:
+    """Expected AudioFeaturizer output for the mm_audio_features twin,
+    re-derived with standalone numpy (int16 PCM -> per-frame RMS mean/max,
+    zero-cross rate)."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(media_path, columns=["media_id", "kind", "payload", "sample_rate"])
+        t = t.filter(pc.equal(t["kind"], "audio"))
+        rows = {
+            k: []
+            for k in ("media_id", "sample_rate", "n_samples", "rms_mean", "rms_max", "zero_cross_rate")
+        }
+        for mid, payload, sr in zip(
+            t["media_id"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["sample_rate"].to_pylist(),
+        ):
+            x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+            n = len(x)
+            nf = max(1, n // 256)
+            frames = x[: nf * 256].reshape(nf, 256)
+            rms = np.sqrt((frames**2).mean(axis=1))
+            zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+            rows["media_id"].append(mid)
+            rows["sample_rate"].append(sr)
+            rows["n_samples"].append(n)
+            rows["rms_mean"].append(float(rms.mean()))
+            rows["rms_max"].append(float(rms.max()))
+            rows["zero_cross_rate"].append(zc)
+        out = pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.int64()),
+                "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+                "n_samples": pa.array(rows["n_samples"], pa.int64()),
+                "rms_mean": pa.array(rows["rms_mean"], pa.float32()),
+                "rms_max": pa.array(rows["rms_max"], pa.float32()),
+                "zero_cross_rate": pa.array(rows["zero_cross_rate"], pa.float32()),
+            }
+        )
+        pq.write_table(out, os.path.join(d, "part-0.parquet"))
+
+    return _twin_fixture("audiofeat", [media_path], build)
+
+
 def _minhash_fixture(docs_path: str) -> str:
     """Per-doc MinHash signature (uint32-truncated, as the verify compares)
     + LSH band keys as parquet, for the q22 twin.  The SKETCH layer
@@ -2791,6 +2911,18 @@ FROM idx i JOIN read_parquet('{vf}/*.parquet') f
     sql["mm_resize_pipeline"] = (
         "SELECT media_id, width, height, mean_lum, std_lum, phash, histogram "
         f"FROM read_parquet('{rf}/*.parquet')"
+    )
+    # Twins of mm_image_features / mm_audio_features: same independent
+    # numpy-re-derivation pattern as mm_resize_pipeline.
+    imf = _image_features_fixture(mpath)
+    sql["mm_image_features"] = (
+        "SELECT media_id, width, height, mean_lum, std_lum, phash, histogram "
+        f"FROM read_parquet('{imf}/*.parquet')"
+    )
+    auf = _audio_features_fixture(mpath)
+    sql["mm_audio_features"] = (
+        "SELECT media_id, sample_rate, n_samples, rms_mean, rms_max, "
+        f"zero_cross_rate FROM read_parquet('{auf}/*.parquet')"
     )
     # Twin of q37: the hash-embedded document vectors are materialized once
     # (the deterministic encoder stand-in input), and DuckDB re-derives the

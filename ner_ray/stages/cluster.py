@@ -144,9 +144,13 @@ def kmeans_fit(
         p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
         nxt = cent.copy()
         if len(p):
-            # fold in sorted order so the driver-side float sums are
-            # independent of block arrival order
-            p = p.sort_values("cluster_id", kind="mergesort")
+            # fold in CONTENT-sorted order so the driver-side float sums are
+            # independent of block arrival order (cluster_id alone leaves
+            # same-cluster partials from different blocks in arrival order)
+            p["_k"] = p["vsum"].map(
+                lambda v: np.asarray(v, dtype=np.float64).tobytes()
+            )
+            p = p.sort_values(["cluster_id", "cnt", "_k"], kind="mergesort")
             for cid, grp in p.groupby("cluster_id", sort=True):
                 vec = np.sum(np.stack(list(grp["vsum"])), axis=0)
                 nxt[int(cid)] = vec / int(grp["cnt"].sum())

@@ -859,3 +859,9 @@ class TestLateRound3Twins:
 
     def test_q32_ivf_twin(self):
         TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q32_ann_ivf")
+
+    def test_mm_image_features_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "mm_image_features")
+
+    def test_mm_audio_features_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "mm_audio_features")
