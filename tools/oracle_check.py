@@ -42,6 +42,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         if str(df[c].dtype) in ("float32",):
             df[c] = df[c].astype("float64")
+        # round floats BEFORE the row sort (the driver hashes rounded rows):
+        # sorting on raw floats misaligns the two frames whenever engines
+        # differ in the last bits among near-ties — q33's 5.7e-14 sum drift
+        # flipped sort order and reported a spurious datetime mismatch
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(4)
         if str(df[c].dtype).startswith("int") or str(df[c].dtype).startswith("uint"):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -80,7 +86,7 @@ def main():
 
     logging.getLogger("ray.data").setLevel(logging.CRITICAL)
 
-    from ner_ray.pipelines.queries import ORACLE_SQL, RAY_QUERIES
+    from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
 
     con = duckdb.connect()
     for t in TABLES:
@@ -91,7 +97,9 @@ def main():
     failures = []
     import time
 
-    for name, sql in ORACLE_SQL.items():
+    # the FULL twin catalog (dynamic fixture twins included) — what the
+    # driver actually consumes, not just the static ORACLE_SQL subset
+    for name, sql in oracle_sql_catalog().items():
         if only and name not in only:
             continue
         t0 = time.perf_counter()
