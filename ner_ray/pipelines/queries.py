@@ -3158,6 +3158,33 @@ FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
         "       (sum(o) + sum(i))::BIGINT AS degree\n"
         "FROM ends GROUP BY node"
     )
+    # Twin of kg_demo (E3): the SAME recursive-CTE rule tagger the
+    # kg_mentions twin uses, run over the demo sentence as a one-row
+    # fixture — independent re-derivation, not a hardcoded expected list.
+    import zlib as _zlib
+
+    _demo_sentence = "Alice Chen works at Acme Corp in Nanjing."
+    _demo_dir = f"/tmp/ner_ray_cache/twin_demo_{_zlib.crc32(_demo_sentence.encode()):08x}"
+    if not os.path.exists(os.path.join(_demo_dir, "_SUCCESS")):
+        import pyarrow.parquet as _pq
+
+        os.makedirs(_demo_dir, exist_ok=True)
+        _pq.write_table(
+            pa.table(
+                {
+                    "conv_id": pa.array(["demo"], pa.string()),
+                    "turn_idx": pa.array([0], pa.int32()),
+                    "text": pa.array([_demo_sentence], pa.string()),
+                }
+            ),
+            os.path.join(_demo_dir, "part-0.parquet"),
+        )
+        with open(os.path.join(_demo_dir, "_SUCCESS"), "w") as f:
+            f.write("ok")
+    sql["kg_demo"] = (
+        _rule_mentions_ctes(_demo_dir)
+        + '\nSELECT surface, type, s::INTEGER AS start, e::INTEGER AS "end" FROM mentions'
+    )
     sql["kg_mentions"] = _kg_mentions_sql(path)
     sql["kg_raw_triples"] = _kg_raw_triples_sql(path)
     sql["kg_dedup_triples"] = (

@@ -865,3 +865,6 @@ class TestLateRound3Twins:
 
     def test_mm_audio_features_twin(self):
         TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "mm_audio_features")
+
+    def test_kg_demo_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "kg_demo")
