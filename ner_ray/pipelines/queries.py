@@ -1811,6 +1811,68 @@ FROM surv s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.keep_id
 """
 
 
+def q54_cms_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch frequency estimates (Cormode & Muthukrishnan 2005)
+    for a deterministic probe set of users: ONE streaming pass builds the
+    4x64 counter matrix from per-block partials (elementwise-sum mergeable,
+    exact under any partitioning — the additive sibling of q49's HLL).
+    Estimates OVERcount only (min over 4 hash rows); width 64 << 150
+    distinct users forces real collisions so the sketch is exercised, and
+    the twin re-derives cells/counters/min ENTIRELY in SQL — the
+    multiply-shift hash is uint64 wraparound arithmetic that HUGEINT
+    replicates exactly, no hash fixture needed."""
+    from ner_ray.stages.sketches import cms_counts, cms_estimate
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+    mat = cms_counts(ds, "user_id", width_bits=6)
+
+    def probe(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": pa.array(np.unique(u[u % 7 == 0]))})
+
+    keys = (
+        ds.map_batches(probe, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+        .to_pandas()["user_id"]
+        .sort_values()
+        .to_numpy()
+    )
+    return pd.DataFrame(
+        {"user_id": keys, "est_count": cms_estimate(mat, keys, width_bits=6)}
+    )
+
+
+def _cms_sql(width_bits: int = 6, probe_mod: int = 7) -> str:
+    """Generate the q54 twin from the SAME CMS_PARAMS constants the engine
+    uses — cells, counters and the min-estimate are re-derived by DuckDB
+    with exact HUGEINT replicas of the uint64 multiply-shift."""
+    from ner_ray.stages.sketches import CMS_PARAMS
+
+    vals = ", ".join(
+        f"({i}, {a}::HUGEINT, {b}::HUGEINT)" for i, (a, b) in enumerate(CMS_PARAMS)
+    )
+    two64 = 1 << 64
+    div = 1 << (64 - width_bits)
+    cell = f"((p.a * {{src}}.user_id + p.b) % {two64}) // {div}"
+    return f"""
+WITH params(i, a, b) AS (VALUES {vals}),
+cells AS (
+  SELECT p.i, {cell.format(src='e')} AS cell
+  FROM events e CROSS JOIN params p
+),
+counters AS (SELECT i, cell, count(*) AS cnt FROM cells GROUP BY i, cell),
+probe AS (SELECT DISTINCT user_id FROM events WHERE user_id % {probe_mod} = 0),
+pc AS (
+  SELECT pr.user_id, p.i, {cell.format(src='pr')} AS cell
+  FROM probe pr CROSS JOIN params p
+)
+SELECT pc.user_id, min(c.cnt)::BIGINT AS est_count
+FROM pc JOIN counters c ON c.i = pc.i AND c.cell = pc.cell
+GROUP BY pc.user_id
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2279,6 +2341,7 @@ RAY_QUERIES = {
     "q51_kmeans_assign": q51_kmeans_assign,
     "q52_semantic_dedup": q52_semantic_dedup,
     "q53_curation_pipeline": q53_curation_pipeline,
+    "q54_cms_user_counts": q54_cms_user_counts,
 }
 
 ORACLE_SQL = {
@@ -2324,6 +2387,7 @@ ORACLE_SQL = {
     "q48_bloom_semi_join": SQL_Q48,
     "q50_cube": SQL_Q50,
     "q53_curation_pipeline": SQL_Q53,
+    "q54_cms_user_counts": _cms_sql(),
 }
 
 

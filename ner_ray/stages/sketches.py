@@ -143,3 +143,78 @@ def grouped_approx_distinct(
         .groupby(key)
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) ------------------------
+#
+# Frequency estimation with a fixed (depth x width) counter matrix that
+# merges by ELEMENTWISE SUM — the additive sibling of HLL's max-merge, so
+# per-block partial matrices fold exactly regardless of partitioning (integer
+# sums commute; partition-independence is a pytest law, like HLL's).
+# Estimate(x) = min over rows of counter[i, h_i(x)]; always >= true count,
+# over by at most ~e*N/width with prob 1 - e^-depth.
+#
+# Hashing is multiply-shift over uint64 wraparound arithmetic
+# ((a*x + b) mod 2^64) >> (64 - width_bits) — chosen because HUGEINT SQL can
+# replicate it EXACTLY ((a*x + b) % 2^64 // 2^(64-bits)), so the whole sketch
+# (cells, counters, min) is independently re-derivable by the DuckDB twin
+# with no hash fixture at all.  Constants are fixed odd 62-bit values
+# (seeded once, embedded below AND in the twin SQL).
+
+CMS_PARAMS: tuple[tuple[int, int], ...] = tuple(
+    (int(a) | 1, int(b))
+    for a, b in np.random.default_rng(42).integers(
+        1, 1 << 62, size=(4, 2), dtype=np.int64
+    )
+)
+
+
+def cms_cells(keys: np.ndarray, width_bits: int) -> np.ndarray:
+    """[depth, n] cell index per key per hash row (uint64 multiply-shift)."""
+    x = keys.astype(np.uint64)
+    shift = np.uint64(64 - width_bits)
+    return np.stack(
+        [
+            (np.uint64(a) * x + np.uint64(b)) >> shift
+            for a, b in CMS_PARAMS
+        ]
+    ).astype(np.int64)
+
+
+def cms_counts(ds: Dataset, col: str, width_bits: int = 6) -> np.ndarray:
+    """Build the (depth, 2^width_bits) counter matrix in ONE streaming pass:
+    each block emits its partial matrix as (row, cell, cnt) rows (<= d*w per
+    block, tiny), folded by integer sum on the driver — exact under any
+    partitioning."""
+    depth, width = len(CMS_PARAMS), 1 << width_bits
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = cms_cells(keys, width_bits)
+        rows, cols, cnts = [], [], []
+        for i in range(depth):
+            binc = np.bincount(cells[i], minlength=width)
+            nz = np.flatnonzero(binc)
+            rows.append(np.full(len(nz), i, dtype=np.int64))
+            cols.append(nz.astype(np.int64))
+            cnts.append(binc[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows)),
+                "cell": pa.array(np.concatenate(cols)),
+                "cnt": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    mat = np.zeros((depth, width), dtype=np.int64)
+    if len(p):
+        np.add.at(mat, (p["row"].to_numpy(), p["cell"].to_numpy()), p["cnt"].to_numpy())
+    return mat
+
+
+def cms_estimate(mat: np.ndarray, keys: np.ndarray, width_bits: int = 6) -> np.ndarray:
+    """Point estimates for ``keys``: min over hash rows of their counters."""
+    cells = cms_cells(np.asarray(keys, dtype=np.int64), width_bits)
+    ests = np.stack([mat[i, cells[i]] for i in range(len(CMS_PARAMS))])
+    return ests.min(axis=0)

@@ -868,3 +868,37 @@ class TestLateRound3Twins:
 
     def test_kg_demo_twin(self):
         TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "kg_demo")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCountMinSketch:
+    """CMS (stages.sketches): twin equality, exact partition-independence of
+    the integer counter fold (the additive merge law), and the
+    overestimate guarantee."""
+
+    def test_q54_twin(self):
+        TestRound3DynamicTwins._check(TestRound3DynamicTwins(), "q54_cms_user_counts")
+
+    def test_partition_independence_exact(self):
+        from ner_ray.stages.sketches import cms_counts
+
+        rng = np.random.default_rng(5)
+        keys = rng.zipf(1.5, size=20_000).astype(np.int64)
+        t = pa.table({"k": pa.array(keys)})
+        m2 = cms_counts(rd.from_arrow(t).repartition(2), "k", width_bits=7)
+        m9 = cms_counts(rd.from_arrow(t).repartition(9), "k", width_bits=7)
+        assert np.array_equal(m2, m9)  # integer sums: EXACT, not approximate
+        assert m2.sum() == 20_000 * len(m2)  # every row counts every item
+
+    def test_overestimates_only_and_bound(self):
+        from ner_ray.stages.sketches import cms_counts, cms_estimate
+
+        rng = np.random.default_rng(6)
+        keys = rng.zipf(1.3, size=30_000).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(4)
+        mat = cms_counts(ds, "k", width_bits=8)
+        uniq, true = np.unique(keys, return_counts=True)
+        est = cms_estimate(mat, uniq, width_bits=8)
+        assert (est >= true).all()
+        # expected overshoot <= ~2N/width per row; allow 4 sigma-ish slack
+        assert (est - true).max() <= 8 * 30_000 / 256
