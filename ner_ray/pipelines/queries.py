@@ -38,6 +38,14 @@ configure_context()
 CUTOFF = "1999-01-01"
 
 
+def _fmt_hist(vals) -> str:
+    """THE cross-engine histogram encoding: one format string shared by the
+    mm queries AND their re-derivation fixtures — a precision/separator
+    change anywhere else would silently desynchronize query output from
+    fixture output and break the mm twins."""
+    return ",".join(f"{float(v):.6f}" for v in vals)
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -489,8 +497,8 @@ def q15_token_stats(sf_dir: str) -> Dataset:
 
 SQL_Q15 = """
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-       len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_unique_tokens
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+       len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS n_unique_tokens
 FROM documents
 """
 
@@ -526,7 +534,7 @@ def q16_quality_by_source(sf_dir: str) -> Dataset:
 SQL_Q16 = """
 SELECT lang, source, count(*) AS n_docs,
        round(avg(length(text)), 4) AS avg_chars,
-       round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
+       round(avg(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), 4) AS avg_tokens
 FROM documents GROUP BY lang, source
 """
 
@@ -621,8 +629,7 @@ WITH f AS (
          length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]', '', 'g')) AS n_cjk,
          length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
   FROM documents
 ), g AS (
   SELECT doc_id,
@@ -680,8 +687,7 @@ SQL_Q24 = r"""
 WITH f AS (
   SELECT doc_id,
          greatest(length(text), 1) AS n,
-         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
          length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
   FROM documents
@@ -1539,7 +1545,7 @@ SQL_Q47 = """
 WITH RECURSIVE ordered AS (
   SELECT source,
          doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ),
@@ -1799,7 +1805,7 @@ base AS (
   SELECT d.doc_id,
          md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp,
          l.pred_lang, q.quality,
-         len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+         len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS n_tokens
   FROM documents d
   JOIN lang l ON l.doc_id = d.doc_id
   JOIN qual q ON q.doc_id = d.doc_id
@@ -1930,9 +1936,7 @@ def mm_image_features(sf_dir: str) -> Dataset:
     feats = image_features(rd.read_parquet(media_path_for(sf_dir)))
 
     def fmt(t: pa.Table) -> pa.Table:
-        hists = [
-            ",".join(f"{float(v):.6f}" for v in h) for h in t["histogram"].to_pylist()
-        ]
+        hists = [_fmt_hist(h) for h in t["histogram"].to_pylist()]
         return t.drop_columns(["histogram"]).append_column(
             "histogram", pa.array(hists, pa.string())
         )
@@ -1979,9 +1983,7 @@ def mm_resize_pipeline(sf_dir: str) -> Dataset:
     feats = image_features(ds)
 
     def fmt(t: pa.Table) -> pa.Table:
-        hists = [
-            ",".join(f"{float(v):.6f}" for v in h) for h in t["histogram"].to_pylist()
-        ]
+        hists = [_fmt_hist(h) for h in t["histogram"].to_pylist()]
         return t.drop_columns(["histogram"]).append_column(
             "histogram", pa.array(hists, pa.string())
         )
@@ -2721,7 +2723,7 @@ def _resize_features_fixture(media_path: str, tw: int, th: int) -> str:
             rows["mean_lum"].append(float(small.mean()))
             rows["std_lum"].append(float(small.std()))
             rows["phash"].append(phash)
-            rows["histogram"].append(",".join(f"{float(v):.6f}" for v in hist))
+            rows["histogram"].append(_fmt_hist(hist))
         out = pa.table(
             {
                 "media_id": pa.array(rows["media_id"], pa.int64()),
@@ -2781,7 +2783,7 @@ def _image_features_fixture(media_path: str) -> str:
             rows["mean_lum"].append(float(img.mean()))
             rows["std_lum"].append(float(img.std()))
             rows["phash"].append(phash)
-            rows["histogram"].append(",".join(f"{float(v):.6f}" for v in hist))
+            rows["histogram"].append(_fmt_hist(hist))
         out = pa.table(
             {
                 "media_id": pa.array(rows["media_id"], pa.int64()),

@@ -38,9 +38,32 @@ _COMBINE_PARTS = 8
 
 
 def _key_hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Stable uint64 hash of a key column (int or string), vectorized."""
-    s = pd.Series(arr.to_pandas() if isinstance(arr, pa.ChunkedArray) else arr.to_pandas())
+    """Stable uint64 hash of a key column (int or string), vectorized.
+
+    Nulls are hashed on the DROPPED subset and scattered back (null slots
+    get 0): ``to_pandas`` on an int column WITH a null yields float64, and
+    ``hash_pandas_object`` then hashes every OTHER value in the block
+    differently than in a null-free block — which would give the Bloom
+    filter false negatives (probed: hash of key 5 changed when a null
+    shared its block).  Callers are responsible for null SEMANTICS (a null
+    key never matches in SQL EXISTS); this function only guarantees the
+    non-null hashes are block-content-independent."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if a.null_count:
+        valid = ~np.asarray(pc.is_null(a))
+        h = pd.util.hash_pandas_object(
+            pd.Series(a.drop_null().to_pandas()), index=False
+        ).to_numpy().astype(np.uint64)
+        out = np.zeros(len(a), dtype=np.uint64)
+        out[valid] = h
+        return out
+    s = pd.Series(a.to_pandas())
     return pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
+
+
+def _valid_mask(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return ~np.asarray(pc.is_null(a))
 
 
 def _positions(h: np.ndarray, num_bits: int, num_hashes: int) -> list[np.ndarray]:
@@ -82,6 +105,8 @@ def build_bloom_bitmap(
 
     def block_bitmap(t: pa.Table) -> pa.Table:
         bm = np.zeros(words, dtype=np.uint64)
+        # null build keys never match in SQL EXISTS — they must not set bits
+        t = t.filter(pc.is_valid(t[key]))
         if t.num_rows:
             h = _key_hash64(t[key])
             for idx in _positions(h, num_bits, num_hashes):
@@ -153,7 +178,9 @@ def bloom_semi_join(
                 return t
             bm = ray.get(bitmap_ref)
             h = _key_hash64(t[on])
-            maybe = np.ones(len(h), dtype=bool)
+            # null probe keys are definite misses (EXISTS false / NOT
+            # EXISTS true), never bitmap lookups
+            maybe = _valid_mask(t[on])
             for idx in _positions(h, num_bits, num_hashes):
                 maybe &= _test_bits(bm, idx)
             return t.filter(pa.array(~maybe if keep_misses else maybe))
@@ -163,6 +190,12 @@ def bloom_semi_join(
     if anti and not exact:
         # approximate anti: keep definite misses only (under-keeps by FPR).
         return probe_pass(True)
+
+    if anti:
+        # exact anti consumes the probe chain TWICE (survivors + misses);
+        # pin it so a lazy upstream plan runs once — only the (cheap)
+        # bitmap test repeats per partition, not the upstream compute
+        probe = probe.materialize()
 
     survivors = probe_pass(False)
     if not exact:

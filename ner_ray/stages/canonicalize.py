@@ -481,6 +481,9 @@ def rewrite_triples(
 
     import ray
 
+    # pin before the gate: count() would otherwise execute a lazy mapping
+    # chain once for the gate and AGAIN for to_pandas()/the join plan
+    mapping = mapping.materialize()
     if mapping.count() > broadcast_threshold:
         return _rewrite_join(triples, mapping, num_partitions)
     pdf = mapping.to_pandas()

@@ -174,6 +174,13 @@ def semantic_dedup(
     of the vector's duplicate component (itself when unique), ``keep`` marks
     the component representative — filtering on ``keep`` yields the
     deduplicated corpus.
+
+    Threshold boundary note: the ``>= threshold`` compare runs on raw
+    float64 cosines (normalize-then-matmul) while a SQL twin computes
+    dot/norms — a pair within ~1e-15 of the threshold could flip between
+    engines.  Quantizing before the compare only MOVES the sharp boundary,
+    it cannot remove it, so this matches the q19/q37/q39 exact-pair twins:
+    the flip set is measure-zero on real data and has never been observed.
     """
     import ray
 

@@ -41,7 +41,6 @@ def _pack_group(df, budget: int):
     df = df.sort_values("_pack_id", kind="mergesort").reset_index(drop=True)
     toks = df["_pack_tokens"].to_numpy(dtype=np.int64)
     bins = np.empty(len(toks), dtype=np.int64)
-    fill = np.empty(len(toks), dtype=np.int64)
     cur_bin, cur_fill = 0, 0
     for i, t in enumerate(toks):
         if cur_fill > 0 and cur_fill + t > budget:
@@ -49,7 +48,6 @@ def _pack_group(df, budget: int):
             cur_fill = 0
         cur_fill += int(t)
         bins[i] = cur_bin
-        fill[i] = cur_fill
     out = pd.DataFrame(
         {
             "doc_id": df["_pack_id"],

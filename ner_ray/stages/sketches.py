@@ -19,6 +19,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ner_ray.stages.bloom import _key_hash64
@@ -76,7 +77,12 @@ def approx_distinct(ds: Dataset, col: str, p: int = 14) -> float:
     """
 
     def block_regs(t: pa.Table) -> pa.Table:
-        reg = hll_registers(_key_hash64(t[col]) if t.num_rows else np.empty(0, np.uint64), p)
+        # SQL COUNT(DISTINCT col) ignores nulls — so must the sketch
+        vals = t[col].combine_chunks().drop_null() if t.num_rows else None
+        reg = hll_registers(
+            _key_hash64(vals) if vals is not None and len(vals) else np.empty(0, np.uint64),
+            p,
+        )
         return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
 
     def max_combine(t: pa.Table) -> pa.Table:
@@ -110,19 +116,27 @@ def grouped_approx_distinct(
     """
 
     def block_regs(t: pa.Table) -> pa.Table:
+        # null VALUES are ignored (SQL COUNT DISTINCT); null KEYS are
+        # dropped rather than grouped — Ray's groupby sort-shuffle cannot
+        # order None against strings, and np.argsort on an object array
+        # containing None raises, so the null group is out of reach here
+        # (callers wanting it should coalesce the key upstream).  Grouping
+        # runs over factorize codes, which is also null-crash-proof.
+        t = t.filter(pc.and_(pc.is_valid(t[col]), pc.is_valid(t[key])))
         if t.num_rows == 0:
             return pa.table(
                 {key: t[key], "reg": pa.array([], pa.binary())}
             )
         keys = t[key].to_numpy(zero_copy_only=False)
         h = _key_hash64(t[col])
-        order = np.argsort(keys, kind="stable")
-        ks, hs = keys[order], h[order]
-        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        codes, uniques = pd.factorize(keys, use_na_sentinel=True)
+        order = np.argsort(codes, kind="stable")
+        cs, hs = codes[order], h[order]
+        bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
         out_keys, regs = [], []
         for i, s in enumerate(bounds):
-            e = bounds[i + 1] if i + 1 < len(bounds) else len(ks)
-            out_keys.append(ks[s])
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(cs)
+            out_keys.append(uniques[cs[s]])
             regs.append(hll_registers(hs[s:e], p).tobytes())
         return pa.table({key: pa.array(out_keys), "reg": pa.array(regs, pa.binary())})
 
@@ -189,7 +203,11 @@ def cms_counts(ds: Dataset, col: str, width_bits: int = 6) -> np.ndarray:
     depth, width = len(CMS_PARAMS), 1 << width_bits
 
     def partial(t: pa.Table) -> pa.Table:
-        keys = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # null keys carry no frequency (SQL GROUP BY col ... WHERE col IS
+        # NOT NULL semantics for a point-estimate sketch)
+        keys = (
+            t[col].combine_chunks().drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         cells = cms_cells(keys, width_bits)
         rows, cols, cnts = [], [], []
         for i in range(depth):

@@ -902,3 +902,60 @@ class TestCountMinSketch:
         assert (est >= true).all()
         # expected overshoot <= ~2N/width per row; allow 4 sigma-ish slack
         assert (est - true).max() <= 8 * 30_000 / 256
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNullKeySemantics:
+    """Nulls in key/value columns: the block-content hash independence fix
+    (a null in a block must not change OTHER keys' hashes — pandas upcasts
+    int->float64 under to_pandas and rehashes everything), plus SQL
+    semantics (EXISTS never matches null; COUNT DISTINCT ignores nulls;
+    GROUP BY keeps a null group)."""
+
+    def test_hash_block_content_independent(self):
+        from ner_ray.stages.bloom import _key_hash64
+
+        clean = _key_hash64(pa.array([5, 7], pa.int64()))
+        dirty = _key_hash64(pa.array([5, None], pa.int64()))
+        assert clean[0] == dirty[0]
+
+    def test_bloom_semi_anti_with_nulls(self):
+        from ner_ray.stages.bloom import bloom_semi_join
+
+        probe = rd.from_arrow(
+            pa.table({"k": pa.array([1, 2, None, 4], pa.int64()),
+                      "v": pa.array(["a", "b", "c", "d"])})
+        ).repartition(2)
+        build = rd.from_arrow(
+            pa.table({"k": pa.array([2, None, 4], pa.int64())})
+        ).repartition(2)
+        schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+        semi = bloom_semi_join(probe, build, on="k", probe_schema=schema).to_pandas()
+        assert sorted(semi["v"]) == ["b", "d"]  # null never matches
+        anti = bloom_semi_join(
+            probe, build, on="k", anti=True, probe_schema=schema
+        ).to_pandas()
+        assert sorted(anti["v"]) == ["a", "c"]  # NOT EXISTS keeps the null row
+
+    def test_hll_ignores_null_values(self):
+        from ner_ray.stages.sketches import approx_distinct
+
+        vals = pa.array(list(range(1000)) + [None] * 50, pa.int64())
+        ds = rd.from_arrow(pa.table({"v": vals})).repartition(3)
+        est = approx_distinct(ds, "v", p=14)
+        assert abs(est - 1000) / 1000 < 0.05
+
+    def test_grouped_hll_null_key_dropped_not_crash(self):
+        # Ray's groupby sort-shuffle cannot order None among strings, so
+        # null keys are DROPPED (documented); the old np.argsort path
+        # crashed the whole task instead
+        from ner_ray.stages.sketches import grouped_approx_distinct
+
+        t = pa.table(
+            {
+                "g": pa.array(["a", "a", None, None, "b"]),
+                "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            }
+        )
+        out = grouped_approx_distinct(rd.from_arrow(t).repartition(2), "g", "v").to_pandas()
+        assert sorted(out["g"]) == ["a", "b"]
