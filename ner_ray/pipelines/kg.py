@@ -41,7 +41,7 @@ from ner_ray.stages.materialize import (
     parquet_files_signature,
     run_stage,
 )
-from ner_ray.stages.tagger import _mentions_table, stable_mention_id, tag_transcripts
+from ner_ray.stages.tagger import stable_mention_id, tag_transcripts
 from ner_ray.stages.triples import extract_triples
 
 
@@ -60,7 +60,7 @@ class KGConfig:
     chunk_turns: int = 256  # salt-chunk size for mega-conversation fanout
     link_tau: float = 0.6  # cosine threshold for entity linking
     tagger_batch_size: int = 4096
-    tagger_concurrency: tuple | None = None  # None -> pool_size() (cluster-wide)
+    tagger_concurrency: tuple | None = None  # None -> fixed heavy_pool_size() pool
     # GPUs per tagger actor (north-star deployment: BERT encoding on GPU
     # actor pools; e.g. 0.25 packs 4 actors/device).  None = CPU-only.
     tagger_num_gpus: float | None = None
@@ -306,8 +306,6 @@ def build_kg(
     ``tagger_kwargs`` forwards to the tagger constructor (e.g. a broadcast
     ``model_ref`` for the neural paths); kept out of ``KGConfig`` because an
     ObjectRef does not belong in the resumable-checkpoint signature."""
-    import ray
-
     from ner_ray.stages.triples import make_window_extractor
     from ner_ray.utils import pool_size
 
@@ -586,15 +584,18 @@ def update_kg(
         linked_sets.append(linked)
         raw_sets.append(raw)
 
+    # boundary check BEFORE pruning: a rejected input layout (conversations
+    # split across shards) must not have already destroyed the previous
+    # layout's still-valid increment checkpoints
+    if check_boundaries and len(linked_sets) > 1:
+        _check_conv_boundaries(linked_sets, input_paths)
+
     if prune:
         import shutil as _shutil
 
         for d in os.listdir(out_root):
             if d.startswith("inc_") and d not in inc_names:
                 _shutil.rmtree(os.path.join(out_root, d))
-
-    if check_boundaries and len(linked_sets) > 1:
-        _check_conv_boundaries(linked_sets, input_paths)
 
     all_linked = linked_sets[0]
     for d in linked_sets[1:]:

@@ -33,6 +33,7 @@ import hashlib
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -228,14 +229,18 @@ def _canonicalize_driver(
     ent_meta = {
         r["entity_id"]: (r["canonical"], r["type"]) for r in alias_table.to_pylist()
     }
-    # merge partials -> distinct nodes
+    # merge partials -> distinct nodes.  A zero-mention corpus yields an
+    # empty partials frame WITHOUT columns (to_pandas of a block-less
+    # dataset) — a valid degenerate input that must produce an empty graph,
+    # not a KeyError.
     merged: dict[tuple, int] = {}
-    for node, s, t, e, n in zip(
-        partials_pdf["node"], partials_pdf["surface"], partials_pdf["type"],
-        partials_pdf["entity_id"], partials_pdf["n_mentions"],
-    ):
-        key = (node, s, t, int(e))
-        merged[key] = merged.get(key, 0) + int(n)
+    if len(partials_pdf) and "node" in partials_pdf.columns:
+        for node, s, t, e, n in zip(
+            partials_pdf["node"], partials_pdf["surface"], partials_pdf["type"],
+            partials_pdf["entity_id"], partials_pdf["n_mentions"],
+        ):
+            key = (node, s, t, int(e))
+            merged[key] = merged.get(key, 0) + int(n)
     # edges: data (node -> entity) ∪ unambiguous dictionary edges
     pairs = [
         (node, f"{ENT_PREFIX}{e}") for (node, _s, _t, e) in merged if e >= 0
@@ -285,17 +290,35 @@ def _canonicalize_driver(
                     "n_mentions": merged[(node, s, t, e)],
                 }
             )
-    mapping = rd.from_arrow(pa.Table.from_pylist(map_rows))
+    # explicit schemas: from_pylist([]) would otherwise emit a ZERO-COLUMN
+    # table and downstream consumers (rewrite_triples' pdf["node"]) crash on
+    # the empty-graph case instead of passing through
+    mapping = rd.from_arrow(
+        pa.Table.from_pylist(
+            map_rows,
+            schema=pa.schema(
+                [
+                    ("node", pa.string()),
+                    ("surface", pa.string()),
+                    ("type", pa.string()),
+                    ("entity_id", pa.int64()),
+                    ("canonical", pa.string()),
+                    ("n_mentions", pa.int64()),
+                ]
+            ),
+        )
+    )
     entities = rd.from_arrow(
-        pa.Table.from_pylist(ent_rows).cast(
-            pa.schema(
+        pa.Table.from_pylist(
+            ent_rows,
+            schema=pa.schema(
                 [
                     ("entity_id", pa.int64()),
                     ("canonical", pa.string()),
                     ("type", pa.string()),
                     ("aliases", pa.list_(pa.string())),
                 ]
-            )
+            ),
         )
     )
     return mapping, entities
@@ -488,6 +511,10 @@ def rewrite_triples(
         return _rewrite_join(triples, mapping, num_partitions)
     pdf = mapping.to_pandas()
     best: dict[str, tuple[int, str]] = {}
+    if len(pdf) == 0 or "node" not in pdf.columns:
+        # zero-mention corpus: to_pandas of an empty mapping can come back
+        # column-less — rewrite is then the identity (empty lookup table)
+        pdf = pd.DataFrame({"node": [], "canonical": [], "n_mentions": []})
     for node, canonical, n_m in zip(pdf["node"], pdf["canonical"], pdf["n_mentions"]):
         key = node.split(":", 1)[1]
         cur = best.get(key)

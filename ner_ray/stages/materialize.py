@@ -51,6 +51,11 @@ def parquet_files_signature(paths: list[str]) -> list[dict]:
     for p in sorted(paths):
         if os.path.isdir(p):
             for root, _dirs, files in os.walk(p):
+                # pin traversal order: os.walk visits subdirectories in
+                # scandir order, which is filesystem-dependent — an rsynced
+                # copy of the same bytes would otherwise change the
+                # signature and silently void every checkpoint
+                _dirs.sort()
                 for f in sorted(files):
                     if f.endswith(".parquet"):
                         fp = os.path.join(root, f)
@@ -163,14 +168,28 @@ def run_stage(
 
 
 def add_subject_partition(ds: Dataset, num_partitions: int = 16) -> Dataset:
-    """Add ``part = hash(subj) % n`` for partitioned final-graph layout."""
+    """Add ``part = hash(subj) % n`` for partitioned final-graph layout.
+
+    Subjects are Zipfian canonical names, so the blake2b runs per DISTINCT
+    value (dictionary_encode + take — the linker/rewrite hot-path pattern),
+    not per row: the final graph is the largest persisted table and a
+    per-row Python hash loop would dominate its write stage."""
 
     def add(batch: pa.Table) -> pa.Table:
-        part = [
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big")
-            % num_partitions
-            for s in batch["subj"].to_pylist()
-        ]
-        return batch.append_column("part", pa.array(part, pa.int32()))
+        import pyarrow.compute as pc
+
+        arr = batch["subj"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        enc = pc.dictionary_encode(arr)
+        dpart = pa.array(
+            [
+                int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big")
+                % num_partitions
+                for s in enc.dictionary.to_pylist()
+            ],
+            pa.int32(),
+        )
+        return batch.append_column("part", pc.take(dpart, enc.indices))
 
     return ds.map_batches(add, batch_format="pyarrow")

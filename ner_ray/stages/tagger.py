@@ -40,7 +40,7 @@ from ner_ray.functions.bio import fold_bio, spans_to_bio
 from ner_ray.functions.viterbi import viterbi_decode_batch
 from ner_ray.schemas import LABEL2TAG
 from ner_ray.state.model import FrozenBiLSTM
-from ner_ray.utils import heavy_pool_size, pool_size
+from ner_ray.utils import heavy_pool_size
 
 _ASCII_WORD = re.compile(r"[A-Za-z0-9]")
 
@@ -256,6 +256,41 @@ class NeuralTagger:
         return _mentions_table(rows)
 
 
+def _word_boundary_chunks(toks: list, cap: int) -> list[list]:
+    """Split a wordpiece sequence into <=cap segments WITHOUT splitting a
+    word: a fixed-stride ``toks[i:i+cap]`` chunking can land the boundary
+    mid-word, which (a) truncates the mention surface — the word-end
+    extension loop only scans within its segment — and (b) silently drops
+    the continuation pieces opening the next segment.  Segments break at
+    word starts; a degenerate single word longer than ``cap`` pieces is
+    hard-split (its tail pieces decode as X/O, matching the old behavior
+    for that pathological case only)."""
+    segs: list[list] = []
+    cur: list = []
+    i, n = 0, len(toks)
+    while i < n:
+        j = i + 1
+        while j < n and toks[j].is_continuation:
+            j += 1
+        wlen = j - i
+        if wlen > cap:
+            if cur:
+                segs.append(cur)
+                cur = []
+            for k in range(i, j, cap):
+                segs.append(list(toks[k : min(k + cap, j)]))
+            i = j
+            continue
+        if len(cur) + wlen > cap:
+            segs.append(cur)
+            cur = []
+        cur.extend(toks[i:j])
+        i = j
+    if cur:
+        segs.append(cur)
+    return segs
+
+
 class BertTagger:
     """BERT-path inference actor (reference M7-M10 machinery, numpy).
 
@@ -313,7 +348,7 @@ class BertTagger:
             if self.strict:
                 segs = [toks[:cap]] if toks else []
             else:
-                segs = [toks[i : i + cap] for i in range(0, len(toks), cap)]
+                segs = _word_boundary_chunks(toks, cap)
             for s in segs:
                 seg_rows.append(s)
                 seg_owner.append(r)

@@ -959,3 +959,71 @@ class TestNullKeySemantics:
         )
         out = grouped_approx_distinct(rd.from_arrow(t).repartition(2), "g", "v").to_pandas()
         assert sorted(out["g"]) == ["a", "b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCoreReviewFixes:
+    """Round-3 self-review fixes on the core path: BERT word-boundary
+    chunking (mid-word segment splits truncated mention surfaces) and the
+    zero-mention corpus producing an empty graph instead of a KeyError."""
+
+    def test_word_boundary_chunks(self):
+        from collections import namedtuple
+
+        from ner_ray.stages.tagger import _word_boundary_chunks
+
+        T = namedtuple("T", "piece is_continuation")
+        # words of 1-4 pieces, then a degenerate 9-piece word
+        toks = []
+        for w, n in enumerate([1, 3, 2, 4, 1, 2, 9, 1]):
+            toks.append(T(f"w{w}", False))
+            toks.extend(T(f"w{w}#{k}", True) for k in range(n - 1))
+        segs = _word_boundary_chunks(toks, cap=6)
+        # every token survives, in order
+        assert [t.piece for s in segs for t in s] == [t.piece for t in toks]
+        assert all(len(s) <= 6 for s in segs)
+        # no segment may START with a continuation piece, except inside the
+        # hard-split of the degenerate 9-piece word (> cap)
+        for s in segs:
+            if s[0].is_continuation:
+                assert s[0].piece.startswith("w6#")
+
+    def test_bert_long_turn_surfaces_complete(self):
+        from ner_ray.stages.tagger import tag_transcripts
+
+        filler = "meeting report update " * 60  # pushes past the 126 cap
+        text = filler + "Alice Chen works at Acme Corp in Nanjing."
+        t = pa.table(
+            {
+                "conv_id": pa.array(["c"], pa.string()),
+                "turn_idx": pa.array([0], pa.int32()),
+                "text": pa.array([text], pa.string()),
+            }
+        )
+        out = tag_transcripts(
+            rd.from_arrow(t), tagger="bert", batch_size=16, concurrency=2,
+            model_spec={"hidden": 32, "n_layers": 2, "n_heads": 2},
+        ).to_pandas()
+        # whatever the (frozen) model tags, every surface must equal the
+        # text slice it claims — a mid-word split would truncate it
+        for r in out.itertuples():
+            assert text[r.start:r.end] == r.surface
+            assert not r.surface.endswith(("##",))
+
+    def test_empty_corpus_builds_empty_graph(self):
+        from ner_ray.pipelines.kg import KGConfig, build_kg
+
+        t = pa.table(
+            {
+                "conv_id": pa.array(["c1", "c1", "c2"], pa.string()),
+                "turn_idx": pa.array([0, 1, 0], pa.int32()),
+                "text": pa.array(
+                    ["nothing of note", "still nothing", "plain words only"],
+                    pa.string(),
+                ),
+            }
+        )
+        res = build_kg(rd.from_arrow(t).repartition(2), KGConfig())
+        assert res.triples.count() == 0
+        assert res.entities.count() == 0
+        assert res.mapping.count() == 0
