@@ -46,8 +46,18 @@ from ner_ray.stages.joins import hash_join
 ENT_PREFIX = "ent:"
 
 # Per-worker-process cache for broadcast objects fetched inside stateless
-# tasks (keyed by ObjectRef hex; lives for the worker's lifetime).
+# tasks (keyed by ObjectRef hex).  BOUNDED: each rewrite_triples broadcast
+# pins a full mapping dict (up to broadcast_threshold entries); without
+# eviction, repeated pipeline runs in one long-lived Ray session would grow
+# worker RSS monotonically until OOM.
 _BROADCAST_CACHE: dict[str, object] = {}
+_BROADCAST_CACHE_MAX = 2
+
+
+def _broadcast_cache_put(key: str, value) -> None:
+    while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+        _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+    _BROADCAST_CACHE[key] = value
 
 _NODE_LABEL = pa.schema([("node", pa.string()), ("label", pa.string())])
 
@@ -78,12 +88,17 @@ def _checksum(labels: Dataset) -> int:
     return int(out or 0)
 
 
-def connected_components(
-    edges: Dataset, max_rounds: int = 8, num_partitions: int = 16
-) -> Dataset:
+def connected_components(edges: Dataset, max_rounds: int = 8) -> Dataset:
     """Min-label propagation over an edge Dataset with columns (src, dst).
 
     Returns a Dataset (node, label); every endpoint appears exactly once.
+
+    ``max_rounds`` is a SAFETY bound, not a convergence guarantee: plain
+    min-label propagation needs O(component diameter) rounds (the entity-
+    alias stars this engine builds have diameter <= 2, hence the small
+    default).  If the checksum fixpoint is not reached a WARNING is logged
+    — callers feeding long-chain graphs (dedup chains A~B~C~...) should
+    raise ``max_rounds`` toward their expected diameter.
     """
 
     def to_half_edges(batch: pa.Table) -> pa.Table:
@@ -107,6 +122,7 @@ def connected_components(
         .materialize()
     )
     prev = _checksum(labels)
+    converged = False
     for _ in range(max_rounds):
         # label(node) joined onto half-edges => message (peer, label)
         def peer_msgs(t: pa.Table) -> pa.Table:
@@ -127,8 +143,18 @@ def connected_components(
         )
         cur = _checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: label propagation did NOT reach a fixpoint "
+            "in %d rounds — components with diameter > max_rounds are still "
+            "split; raise max_rounds for long-chain graphs",
+            max_rounds,
+        )
     return labels
 
 
@@ -328,7 +354,6 @@ def canonicalize(
     linked_mentions: Dataset,
     alias_table: pa.Table,
     max_rounds: int = 8,
-    num_partitions: int = 16,
     cc_threshold: int = 2_000_000,
     node_threshold: int = 500_000,
 ) -> tuple[Dataset, Dataset]:
@@ -416,9 +441,7 @@ def canonicalize(
 
         labeled = nodes.map_batches(attach, batch_format="pyarrow")
     else:
-        labels = connected_components(
-            edges, max_rounds=max_rounds, num_partitions=num_partitions
-        )
+        labels = connected_components(edges, max_rounds=max_rounds)
         labeled = hash_join(nodes, labels, on="node", how="left").map_batches(
             fill_label, batch_format="pyarrow"
         )
@@ -533,7 +556,7 @@ def rewrite_triples(
         t = _BROADCAST_CACHE.get(ref_key)
         if t is None:
             t = ray.get(ref)
-            _BROADCAST_CACHE[ref_key] = t
+            _broadcast_cache_put(ref_key, t)
         for col in ("subj", "obj"):
             arr = batch[col]
             if isinstance(arr, pa.ChunkedArray):

@@ -16,10 +16,7 @@ from __future__ import annotations
 import pyarrow as pa
 from ray.data import Dataset
 
-from ner_ray import schemas
-from ner_ray.functions.bio import fold_bio
-from ner_ray.functions.metrics import PRF, SpanEval
-
+from ner_ray.functions.metrics import SpanEval
 from ner_ray.utils import pool_size
 
 

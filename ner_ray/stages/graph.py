@@ -19,6 +19,17 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 
+def _edge_partial(batch: pa.Table) -> pa.Table:
+    """Per-block distinct-(subj, obj) combiner with support weight — THE edge
+    combiner, shared by the driver-combine and distributed paths so a
+    semantics fix can never apply to one and miss the other."""
+    if "n_support" in batch.column_names:
+        g = batch.group_by(["subj", "obj"]).aggregate([("n_support", "sum")])
+        return g.rename_columns(["subj", "obj", "w"])
+    g = batch.group_by(["subj", "obj"]).aggregate([("subj", "count")])
+    return g.rename_columns(["subj", "obj", "w"])
+
+
 def edge_weights(triples: Dataset, driver_threshold: int = 5_000_000) -> pd.DataFrame:
     """Distinct (subj, obj) edges with support weight.
 
@@ -32,14 +43,7 @@ def edge_weights(triples: Dataset, driver_threshold: int = 5_000_000) -> pd.Data
     above its own threshold).
     """
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if "n_support" in batch.column_names:
-            g = batch.group_by(["subj", "obj"]).aggregate([("n_support", "sum")])
-            return g.rename_columns(["subj", "obj", "w"])
-        g = batch.group_by(["subj", "obj"]).aggregate([("subj", "count")])
-        return g.rename_columns(["subj", "obj", "w"])
-
-    parts_ds = triples.map_batches(partial, batch_format="pyarrow").materialize()
+    parts_ds = triples.map_batches(_edge_partial, batch_format="pyarrow").materialize()
     if parts_ds.count() > driver_threshold:
         from ray.data.aggregate import Sum
 
@@ -120,14 +124,7 @@ def edge_weights_ds(triples: Dataset) -> Dataset:
     the shuffle payload is per-block-distinct edges, never raw triples."""
     from ray.data.aggregate import Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if "n_support" in batch.column_names:
-            g = batch.group_by(["subj", "obj"]).aggregate([("n_support", "sum")])
-            return g.rename_columns(["subj", "obj", "w"])
-        g = batch.group_by(["subj", "obj"]).aggregate([("subj", "count")])
-        return g.rename_columns(["subj", "obj", "w"])
-
-    parts = triples.map_batches(partial, batch_format="pyarrow")
+    parts = triples.map_batches(_edge_partial, batch_format="pyarrow")
     return parts.groupby(["subj", "obj"]).aggregate(Sum("w", alias_name="w"))
 
 
@@ -281,12 +278,18 @@ def pagerank(
     triples: Dataset,
     damping: float = 0.85,
     n_iter: int = 30,
-    tol: float = 1e-9,
+    tol: float = 0.0,
     driver_threshold: int = 5_000_000,
 ) -> pd.DataFrame:
     """PageRank over the canonical entity graph (weighted by edge support).
 
-    Deterministic: fixed iteration count / tolerance, sorted node order.
+    Deterministic: fixed iteration count, sorted node order.  ``tol``
+    defaults to 0.0 (run exactly ``n_iter`` rounds) because only the DRIVER
+    path can early-break on it — a positive tol would make the two hybrid
+    paths disagree at the 1e-10 rounding whenever the driver exits early,
+    so results would depend on which side of ``driver_threshold`` the same
+    logical graph lands.  Pass a positive tol only for driver-scale graphs
+    where the early exit is worth that asymmetry.
     Returns (node, rank) sorted by rank desc then node.  Hybrid plan (same
     rationale as canonicalize): below ``driver_threshold`` distinct edges the
     power iteration is a driver-side numpy matvec; above it the computation

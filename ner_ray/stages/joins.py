@@ -47,6 +47,10 @@ def hash_join(
     hash_joins re-ran a sort+aggregate chain 3x in q22), so schema probing
     must never be the price of a join on a hot path.
     """
+    if how not in ("inner", "left"):
+        # only these two are implemented; anything else would silently get
+        # left-outer semantics from the merge's how=="inner" special-case
+        raise ValueError(f"hash_join: unsupported how={how!r} (inner|left)")
     keys = [on] if isinstance(on, str) else list(on)
     ls = left_schema if left_schema is not None else _arrow_schema(left)
     rs = right_schema if right_schema is not None else _arrow_schema(right)
@@ -101,9 +105,13 @@ def hash_join(
             for c in rcols:
                 cols[c] = pa.nulls(nl, out_schema.field(c).type)
             return pa.table(cols, schema=out_schema)
-        # cross product within the key group
-        li = pa.array([i for i in range(nl) for _ in range(nr)], pa.int64())
-        ri = pa.array(list(range(nr)) * nl, pa.int64())
+        # cross product within the key group, vectorized: a hot key (a
+        # high-degree node) can pair 10^4 x 10^2 rows in one group — a
+        # Python list comprehension would build that element by element
+        import numpy as np
+
+        li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
+        ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
         cols = {n: lt[n].take(li) for n in lt.column_names}
         for c in rcols:
             cols[c] = rt[c].take(ri)

@@ -59,6 +59,16 @@ def semi_join_filter(ds: Dataset, keys: set, key_col: str, anti: bool = False) -
     plan when the key side is small enough to broadcast."""
     import ray
 
+    if not keys:
+        # empty key set: pa.array([]) is null-typed and pc.is_in raises a
+        # type error against any real column — and no lookup is needed:
+        # EXISTS is false everywhere, NOT EXISTS true everywhere
+        if anti:
+            return ds
+        return ds.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow"
+        )
+
     ref = ray.put(pa.array(sorted(keys)))
 
     class Filt:
@@ -133,7 +143,10 @@ def grouped_agg_partial(
         return batch.group_by(keys).aggregate(aggs)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    gb = parts.groupby(keys, sort=False)
+    # dropna=False: SQL GROUP BY keeps the null-key group and the Arrow
+    # per-block partials above already emit it — pandas' default dropna=True
+    # would silently discard those partial rows in the combine
+    gb = parts.groupby(keys, sort=False, dropna=False)
     out = pd.DataFrame(index=gb.size().index)
     for name, c in sums.items():
         out[name] = gb[f"{c}_sum"].sum()
@@ -450,12 +463,19 @@ def grouped_quantiles(
     from ner_ray.utils import pool_size
 
     def drop_null_vals(batch: pa.Table) -> pa.Table:
-        # quantile_cont ignores NULLs; without this a NaN would be counted
-        # in n AND binned (NaN casts to bin 0) while the refine sort pushes
-        # it last — silently desynchronizing rank arithmetic
+        # quantile_cont ignores NULLs — and true float NaN is NOT an Arrow
+        # null (pc.is_valid(NaN) is True): a NaN row would be counted in n
+        # and cast to bin 0, silently shifting every rank, so both are
+        # dropped here.  Null KEYS are dropped too: the histogram cell ids
+        # index a dense per-key array and NaN keys can't be dictionary
+        # codes — the null-key group is not emitted by this operator
+        # (coalesce the key upstream to include it).
         import pyarrow.compute as pc
 
-        return batch.filter(pc.is_valid(batch[val_col]))
+        mask = pc.and_(pc.is_valid(batch[val_col]), pc.is_valid(batch[key_col]))
+        if pa.types.is_floating(batch[val_col].type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(batch[val_col])))
+        return batch.filter(mask)
 
     # one execution of the upstream plan: the three passes below would
     # otherwise re-run it (and could even see different rows if the plan is

@@ -1027,3 +1027,51 @@ class TestCoreReviewFixes:
         assert res.triples.count() == 0
         assert res.entities.count() == 0
         assert res.mapping.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelationalEdgeCases:
+    """Second review batch: empty broadcast key sets, NaN vs null in
+    quantiles, null group keys in the partial-agg combine, and hash_join
+    rejecting unimplemented join types."""
+
+    def test_semi_join_empty_keys(self):
+        from ner_ray.stages.relational import semi_join_filter
+
+        ds = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+        assert semi_join_filter(ds, set(), "k").count() == 0
+        assert semi_join_filter(ds, set(), "k", anti=True).count() == 3
+
+    def test_grouped_quantiles_ignore_nan(self):
+        from ner_ray.stages.relational import grouped_quantiles
+
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 3),
+                "v": pa.array([float("nan"), 5.0, 6.0], pa.float64()),
+            }
+        )
+        out = grouped_quantiles(rd.from_arrow(t), "g", "v", qs=[0.5])
+        assert float(out.iloc[0]["p50"]) == 5.5  # quantile_cont over [5, 6]
+
+    def test_grouped_agg_partial_keeps_null_keys(self):
+        from ner_ray.stages.relational import grouped_agg_partial
+
+        t = pa.table(
+            {
+                "g": pa.array(["a", None, None], pa.string()),
+                "v": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+        out = grouped_agg_partial(
+            rd.from_arrow(t).repartition(2), ["g"], sums={"s": "v"}
+        )
+        assert len(out) == 2  # the null group survives the pandas combine
+        assert int(out[out["g"].isna()]["s"].iloc[0]) == 5
+
+    def test_hash_join_rejects_unknown_how(self):
+        from ner_ray.stages.joins import hash_join
+
+        ds = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError):
+            hash_join(ds, ds, on="k", how="outer")
