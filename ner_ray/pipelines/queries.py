@@ -1879,6 +1879,57 @@ GROUP BY pc.user_id
 """
 
 
+_DECONTAM_MOD = 97  # benchmark split: doc_id % 97 == 0 (mirrored in SQL_Q55)
+
+
+def q55_decontaminate(sf_dir: str) -> Dataset:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap filter):
+    documents sharing a word bigram with the held-out "benchmark" slice
+    (``doc_id % 97 == 0``) are flagged with their distinct-hit count.
+    n=3 is fixture-driven — the synthetic corpus draws from a ~40-word
+    vocabulary, so trigrams give a discriminating split (171/495 docs hit;
+    bigrams flag nearly everything, 5-grams almost nothing); the operator
+    default stays n=5.  Scale shape in stages/decontam.py: broadcast
+    benchmark shingle set under a count threshold, hash-join fallback
+    above it."""
+    from ner_ray.stages.decontam import decontaminate
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _part(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = ids % _DECONTAM_MOD == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+
+        return fn
+
+    bench = ds.map_batches(_part(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_part(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=3)
+
+
+SQL_Q55 = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+  FROM tok
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+),
+corp AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id, count(*)::BIGINT AS n_hits
+FROM corp c JOIN bench b USING (shingle)
+GROUP BY c.doc_id
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2344,6 +2395,9 @@ RAY_QUERIES = {
     "q52_semantic_dedup": q52_semantic_dedup,
     "q53_curation_pipeline": q53_curation_pipeline,
     "q54_cms_user_counts": q54_cms_user_counts,
+    # q55+ are twinned but past the cap; pytest runs the twin comparison
+    # (TestRound3bTwins).
+    "q55_decontaminate": q55_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -2390,6 +2444,7 @@ ORACLE_SQL = {
     "q50_cube": SQL_Q50,
     "q53_curation_pipeline": SQL_Q53,
     "q54_cms_user_counts": _cms_sql(),
+    "q55_decontaminate": SQL_Q55,
 }
 
 

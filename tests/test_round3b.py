@@ -1,0 +1,113 @@
+"""Round-3 second batch: decontamination (and siblings added after it).
+
+Twin checks replicate the driver's rows+schema+hash comparison locally for
+catalog entries past the driver's 50-entry recording cap; hybrid-path
+equality follows the minhash/canonicalize discipline (force the distributed
+path with a zero threshold, assert identical output).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.01"
+
+
+def _twin_check(name: str) -> None:
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from oracle_check import TABLES, canon, compare, to_pandas
+
+    from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+    sql = oracle_sql_catalog()[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    mine = canon(to_pandas(RAY_QUERIES[name](SF)))
+    oracle = canon(con.execute(sql).df())
+    ok, why = compare(mine, oracle)
+    assert ok, f"{name}: {why}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDecontaminate:
+    def _toy(self):
+        bench = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1000, 1001], pa.int64()),
+                    "text": pa.array(
+                        ["the quick brown fox jumps", "pack my box with jugs"],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        corpus = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(
+                        [
+                            # shares "the quick brown" and "quick brown fox"
+                            "see the quick brown fox run",
+                            "completely clean document here",
+                            # shares "pack my box"
+                            "please pack my box today",
+                            None,
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        return corpus, bench
+
+    def test_hits_and_counts(self):
+        from ner_ray.stages.decontam import decontaminate
+
+        corpus, bench = self._toy()
+        out = (
+            decontaminate(corpus, bench, n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 3]
+        assert out["n_hits"].tolist() == [2, 1]
+
+    def test_driver_vs_distributed_equality(self):
+        from ner_ray.stages.decontam import decontaminate
+
+        corpus, bench = self._toy()
+        fast = (
+            decontaminate(corpus, bench, n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        dist = (
+            decontaminate(corpus, bench, n=3, driver_threshold=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert fast.equals(dist)
+
+    def test_short_docs_emit_no_shingles(self):
+        from ner_ray.stages.decontam import _doc_shingles
+
+        assert _doc_shingles("one two", 3) == set()
+        assert _doc_shingles(None, 3) == set()
+        assert _doc_shingles("a b c", 3) == {"a b c"}
+
+    def test_q55_twin(self):
+        _twin_check("q55_decontaminate")
