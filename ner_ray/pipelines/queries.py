@@ -1930,6 +1930,73 @@ GROUP BY c.doc_id
 """
 
 
+_BM25_QUERIES: dict[str, list[str]] = {
+    # fixture-vocab terms so every query retrieves real candidates
+    "q1": ["spark", "sort", "merge"],
+    "q2": ["customer", "order", "value"],
+    "q3": ["window", "stream", "batch"],
+}
+_BM25_K = 10
+
+
+def q56_bm25_topk(sf_dir: str) -> Dataset:
+    """BM25 top-10 docs per query (Okapi k1=1.2, b=0.75, Lucene +1 idf) —
+    ranked lexical retrieval over the corpus.  Distributed shape in
+    stages/retrieval.py: one narrow query-term-DF + token-count partial
+    pass, broadcast stats, stateless in-block scoring (doc length needs no
+    join), top-k via the pre-combined top_n_per_group shuffle.  Per-term
+    contributions quantize to integer micros BEFORE summing so the twin's
+    arbitrary-order sum is exact."""
+    from ner_ray.stages.retrieval import bm25_topk
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=_BM25_K)
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75, k: int = _BM25_K) -> str:
+    """q56 twin generated from the SAME query set/constants as the engine:
+    DuckDB re-derives df, doc length, avgdl, and every per-term
+    contribution independently; the arithmetic is written with the same
+    association order as retrieval.bm25_topk so each contribution is the
+    identical double before integer quantization."""
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _BM25_QUERIES.items() for t in ts
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM tok),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+nz AS (
+  SELECT t.doc_id, q.query_id, q.term,
+         len(list_filter(t.w, x -> x = q.term))::BIGINT AS tf
+  FROM tok t CROSS JOIN q
+  WHERE len(list_filter(t.w, x -> x = q.term)) > 0
+),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM nz GROUP BY term),
+contrib AS (
+  SELECT nz.query_id, nz.doc_id,
+         CAST(floor(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1) * nz.tf * ({k1} + 1)
+              / (nz.tf + {k1} * (1 - {b} + {b} * l.dl / s.avgdl)) * 1000000 + 0.5)
+              AS BIGINT) AS micros
+  FROM nz JOIN df d USING (term) JOIN dl l ON l.doc_id = nz.doc_id CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, sum(micros)::BIGINT AS sm FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sm DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, sm / 1000000.0 AS score, rn::BIGINT AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2398,6 +2465,7 @@ RAY_QUERIES = {
     # q55+ are twinned but past the cap; pytest runs the twin comparison
     # (TestRound3bTwins).
     "q55_decontaminate": q55_decontaminate,
+    "q56_bm25_topk": q56_bm25_topk,
 }
 
 ORACLE_SQL = {
@@ -2445,6 +2513,7 @@ ORACLE_SQL = {
     "q53_curation_pipeline": SQL_Q53,
     "q54_cms_user_counts": _cms_sql(),
     "q55_decontaminate": SQL_Q55,
+    "q56_bm25_topk": _bm25_sql(),
 }
 
 

@@ -111,3 +111,42 @@ class TestDecontaminate:
 
     def test_q55_twin(self):
         _twin_check("q55_decontaminate")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBM25:
+    def test_ranking_and_absence(self):
+        """tf monotonicity at equal length; docs without query terms are
+        absent; rank is dense from 1 with deterministic doc_id tie-break."""
+        from ner_ray.stages.retrieval import bm25_topk
+
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(
+                        [
+                            "apple apple apple pie crust",
+                            "apple banana cherry date fig",
+                            "nothing relevant in here whatsoever",
+                            "apple banana cherry date fig",  # tie with doc 2
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        out = (
+            bm25_topk(docs, {"qa": ["apple"]}, k=10)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 2, 4]  # tf=3 first, then tie by id
+        assert out["rank"].tolist() == [1, 2, 3]
+        assert out["score"].iloc[0] > out["score"].iloc[1]
+        assert out["score"].iloc[1] == out["score"].iloc[2]
+        assert 3 not in set(out["doc_id"])
+
+    def test_q56_twin(self):
+        _twin_check("q56_bm25_topk")
