@@ -218,3 +218,41 @@ def redact_pii_array(arr):
         n = c if n is None else pc.add(n, c)
         cur = pc.replace_substring_regex(cur, pattern=pat, replacement=repl)
     return cur, n
+
+
+# --- Gopher-style repetition statistics (Rae et al. 2021, §A1.1) -----------
+#
+# Excess-repetition filters: a document dominated by one repeated n-gram or
+# by duplicated n-gram positions is boilerplate/spam and gets dropped before
+# training.  Token-based variants (the fixture corpus is single-line, so the
+# paper's duplicate-line metrics would be vacuously zero here):
+#   top_bigram_frac  — count of the most frequent bigram / total bigrams
+#   dup_trigram_frac — fraction of trigram positions whose trigram occurs
+#                      more than once in the doc
+# Fractions are quantized to 1e-6 with the shared floor idiom; both
+# numerator and denominator are exact ints so `c * 1000000 / n` is the
+# identical correctly-rounded double in Python and DuckDB.
+
+_REP_TOKEN = re.compile(r"[a-z0-9]+")  # = the corpus-analytics twin idiom
+
+
+def repetition_stats(text: str | None) -> tuple[int, float, float]:
+    """``(n_tokens, top_bigram_frac, dup_trigram_frac)`` for one document."""
+    from collections import Counter
+
+    import math
+
+    if text is None:
+        return 0, 0.0, 0.0
+    toks = _REP_TOKEN.findall(text.lower())
+    n = len(toks)
+    top_bi = 0.0
+    if n >= 2:
+        c = Counter(zip(toks, toks[1:]))
+        top_bi = math.floor(max(c.values()) * 1000000 / (n - 1) + 0.5) / 1000000.0
+    dup_tri = 0.0
+    if n >= 3:
+        c3 = Counter(zip(toks, toks[1:], toks[2:]))
+        dup = sum(v for v in c3.values() if v > 1)
+        dup_tri = math.floor(dup * 1000000 / (n - 2) + 0.5) / 1000000.0
+    return n, top_bi, dup_tri

@@ -1997,6 +1997,77 @@ FROM ranked WHERE rn <= {k}
 """
 
 
+_REP_TOP_BI = 0.08  # fixture p95 ≈ 0.087: flags the repetitive tail
+_REP_DUP_TRI = 0.02  # fixture p95 ≈ 0.022
+
+
+def q57_repetition_filter(sf_dir: str) -> Dataset:
+    """Gopher-style excess-repetition quality filter (Rae et al. 2021
+    §A1.1): per-doc top-bigram coverage and duplicate-trigram fraction,
+    with the drop flag at thresholds set to the fixture's p95 so the flag
+    is exercised (~5-7%% of docs).  Stateless map_batches — the pure
+    kernel lives in functions/texttools.repetition_stats; fractions are
+    floor-quantized from exact integer ratios so the twin is bit-equal."""
+    from ner_ray.functions.texttools import repetition_stats
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        rows = [repetition_stats(x) for x in t["text"].to_pylist()]
+        top_bi = [r[1] for r in rows]
+        dup_tri = [r[2] for r in rows]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array([r[0] for r in rows], pa.int64()),
+                "top_bigram_frac": pa.array(top_bi, pa.float64()),
+                "dup_trigram_frac": pa.array(dup_tri, pa.float64()),
+                "flagged": pa.array(
+                    [
+                        int(a > _REP_TOP_BI or c > _REP_DUP_TRI)
+                        for a, c in zip(top_bi, dup_tri)
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q57 = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+bi AS (
+  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+  FROM tok
+),
+bic AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi
+        FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+        GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+  FROM tok
+),
+tric AS (SELECT doc_id, coalesce(sum(c) FILTER (c > 1), 0) AS dup_c, sum(c) AS n_tri
+         FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
+         GROUP BY doc_id),
+m AS (
+  SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+         coalesce(floor(b.top_c * 1000000 / b.n_bi + 0.5) / 1000000.0, 0.0) AS top_bigram_frac,
+         coalesce(floor(c.dup_c * 1000000 / c.n_tri + 0.5) / 1000000.0, 0.0) AS dup_trigram_frac
+  FROM tok t
+  LEFT JOIN bic b USING (doc_id)
+  LEFT JOIN tric c USING (doc_id)
+)
+SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
+       CASE WHEN top_bigram_frac > {_REP_TOP_BI} OR dup_trigram_frac > {_REP_DUP_TRI}
+            THEN 1 ELSE 0 END::BIGINT AS flagged
+FROM m
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2466,6 +2537,7 @@ RAY_QUERIES = {
     # (TestRound3bTwins).
     "q55_decontaminate": q55_decontaminate,
     "q56_bm25_topk": q56_bm25_topk,
+    "q57_repetition_filter": q57_repetition_filter,
 }
 
 ORACLE_SQL = {
@@ -2514,6 +2586,7 @@ ORACLE_SQL = {
     "q54_cms_user_counts": _cms_sql(),
     "q55_decontaminate": SQL_Q55,
     "q56_bm25_topk": _bm25_sql(),
+    "q57_repetition_filter": SQL_Q57,
 }
 
 

@@ -150,3 +150,20 @@ class TestBM25:
 
     def test_q56_twin(self):
         _twin_check("q56_bm25_topk")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepetitionFilter:
+    def test_kernel_exact_fracs(self):
+        from ner_ray.functions.texttools import repetition_stats
+
+        # 'a b a b a b x': 6 bigram slots, (a,b) x3 -> 0.5; 5 trigram slots,
+        # (a,b,a) x2 + (b,a,b) x2 -> 4/5
+        assert repetition_stats("a b a b a b x") == (7, 0.5, 0.8)
+        assert repetition_stats("") == (0, 0.0, 0.0)
+        assert repetition_stats(None) == (0, 0.0, 0.0)
+        assert repetition_stats("solo") == (1, 0.0, 0.0)
+        assert repetition_stats("two words") == (2, 1.0, 0.0)
+
+    def test_q57_twin(self):
+        _twin_check("q57_repetition_filter")
