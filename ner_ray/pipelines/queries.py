@@ -1645,23 +1645,94 @@ GROUP BY CUBE(l_returnflag, l_linestatus, l_linenumber)
 
 def q49_approx_distinct_users(sf_dir: str) -> Dataset:
     """Per-event-type approximate distinct users (HyperLogLog, p=12,
-    ~1.6% stderr).  Rows-only by nature — an estimator can't hash-match
-    DuckDB's exact COUNT(DISTINCT) (nor its differently-seeded
-    approx_count_distinct); pytest gates the error bound and the
-    partitioning-independence of the merged registers instead."""
+    ~1.6% stderr).  The estimator can't match DuckDB's exact
+    COUNT(DISTINCT) — but with the SQL-replicable splitmix64 hash the
+    SKETCH ITSELF is re-derivable: the twin recomputes every register
+    (hash -> top-p index -> CLZ rank via ``64 - length(bin(w))`` -> group
+    max) and the exact-integer-denominator estimate entirely in HUGEINT
+    SQL, so q49 is hash-gated like q54's CMS.  Pytest additionally gates
+    the error bound vs exact counts and register partition-independence."""
     from ner_ray.stages.sketches import grouped_approx_distinct
 
     ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_type", "user_id"])
-    out = grouped_approx_distinct(ds, "event_type", "user_id", p=12)
+    out = grouped_approx_distinct(ds, "event_type", "user_id", p=12, hash_fn="splitmix")
 
     def rnd(t: pa.Table) -> pa.Table:
+        v = t["approx_distinct"].to_numpy(zero_copy_only=False)
         return t.set_column(
             t.column_names.index("approx_distinct"),
             "approx_distinct",
-            pc.round(t["approx_distinct"], ndigits=2),
+            pa.array(np.floor(v * 100 + 0.5) / 100.0, pa.float64()),
         )
 
     return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _hll_sql(p: int = 12) -> str:
+    """q49 twin: full HUGEINT re-derivation of the HLL sketch.  splitmix64
+    steps are mod-2^64 add/mul/xor/shift (shifts as floor-division);
+    the 64x64->64 multiplies are done in 32-bit halves because HUGEINT is
+    a SIGNED 128-bit int and a full product of two near-2^64 values
+    overflows it:  z*B mod 2^64 = ((zh*bl + zl*bh) mod 2^32)*2^32 + zl*bl
+    (mod 2^64), every intermediate < 2^65.  CLZ(w) = 64 - length(bin(w))
+    is exact because DuckDB ``bin`` on UBIGINT prints the minimal binary
+    representation; the harmonic denominator is an exact HUGEINT sum of
+    2^(64-rank) terms (absent registers contribute 2^64 each), mirroring
+    sketches.hll_estimate's integer arithmetic."""
+    m = 1 << p
+    t64 = 1 << 64
+    t32 = 1 << 32
+    maxrank = 64 - p + 1
+    a0, b1, c1 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mul(x: str, const: int) -> str:
+        hi, lo = const >> 32, const & (t32 - 1)
+        return (
+            f"((((({x}) // {t32}) * {lo} + (({x}) % {t32}) * {hi}) % {t32}) * {t32}"
+            f" + (({x}) % {t32}) * {lo}) % {t64}::HUGEINT"
+        )
+
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+z0 AS (SELECT event_type,
+              ((user_id::HUGEINT + {a0}::HUGEINT) % {t64}::HUGEINT + {t64}::HUGEINT)
+                % {t64}::HUGEINT AS z
+       FROM keys),
+x1 AS (SELECT event_type, xor(z, z // {1 << 30}) AS x FROM z0),
+z1 AS (SELECT event_type, {mul('x', b1)} AS z FROM x1),
+x2 AS (SELECT event_type, xor(z, z // {1 << 27}) AS x FROM z1),
+z2 AS (SELECT event_type, {mul('x', c1)} AS z FROM x2),
+h AS (SELECT event_type, xor(z, z // {1 << 31}) AS h FROM z2),
+rw AS (SELECT event_type, h // {1 << (64 - p)} AS idx, (h * {1 << p}) % {t64}::HUGEINT AS w FROM h),
+rk AS (
+  SELECT event_type, idx,
+         CASE WHEN w = 0 THEN {maxrank}
+              ELSE least(64 - length(bin(w::UBIGINT)) + 1, {maxrank}) END AS r
+  FROM rw
+),
+regs AS (SELECT event_type, idx, max(r) AS r FROM rk GROUP BY event_type, idx),
+est AS (
+  SELECT event_type,
+         sum(1::HUGEINT << (64 - r))::HUGEINT
+           + ({m} - count(*))::HUGEINT * {t64}::HUGEINT AS denom,
+         {m} - count(*) AS zeros
+  FROM regs GROUP BY event_type
+),
+raw AS (
+  SELECT event_type, zeros,
+         0.7213 / (1 + 1.079 / {m}) * {m} * {m} * {float(t64)!r}
+           / CAST(denom AS DOUBLE) AS raw
+  FROM est
+)
+SELECT event_type,
+       floor((CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                   THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+                   ELSE raw END) * 100 + 0.5) / 100.0 AS approx_distinct
+FROM raw
+"""
 
 
 def _centroids_fixture_dir(sf_dir: str, k: int = 10) -> str:
@@ -2587,6 +2658,7 @@ ORACLE_SQL = {
     "q55_decontaminate": SQL_Q55,
     "q56_bm25_topk": _bm25_sql(),
     "q57_repetition_filter": SQL_Q57,
+    "q49_approx_distinct_users": _hll_sql(),
 }
 
 

@@ -54,20 +54,53 @@ def hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
     return reg
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele, Lea & Flood 2014) over
+    uint64 wraparound arithmetic.  Avalanche-quality like the pandas hash,
+    but — unlike it — every step is plain mod-2^64 add/mul/xor/shift that
+    HUGEINT SQL replicates EXACTLY, so a DuckDB twin can re-derive the
+    whole sketch with no hash fixture (the CMS multiply-shift precedent,
+    with xor-shift mixing on top because HLL's rank bits need avalanche
+    where CMS's bucket index does not)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def hll_estimate(reg: np.ndarray) -> float:
     """Cardinality estimate with the small-range linear-counting correction
-    (64-bit hashes need no large-range correction)."""
+    (64-bit hashes need no large-range correction).
+
+    The harmonic denominator sum(2^-r) is computed as an EXACT integer
+    scaled by 2^64 (every term 2^(64-r) is an exact int; ranks are <= 64)
+    — float summation order can differ by an ulp between numpy and a SQL
+    twin, integer summation cannot.  The division and the alpha factor are
+    then single correctly-rounded double ops, written in the same
+    association order as the twin SQL."""
     m = len(reg)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    counts = np.bincount(reg, minlength=65)
+    denom = sum(int(c) << (64 - r) for r, c in enumerate(counts.tolist()) if c)
+    est = alpha * m * m * float(1 << 64) / float(denom)
     if est <= 2.5 * m:
-        zeros = int(np.count_nonzero(reg == 0))
+        zeros = int(counts[0])
         if zeros:
             est = m * math.log(m / zeros)
     return float(est)
 
 
-def approx_distinct(ds: Dataset, col: str, p: int = 14) -> float:
+def _hashes(arr: pa.ChunkedArray | pa.Array, hash_fn: str) -> np.ndarray:
+    """Hash a (null-free) value column: ``"pandas"`` = the process-stable
+    Bloom-stage hash; ``"splitmix"`` = SQL-replicable splitmix64 over
+    integer keys (the q49 twin path — raises on non-integer columns)."""
+    if hash_fn == "splitmix":
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        return splitmix64(a.to_numpy(zero_copy_only=False).astype(np.int64))
+    return _key_hash64(arr)
+
+
+def approx_distinct(ds: Dataset, col: str, p: int = 14, hash_fn: str = "pandas") -> float:
     """Global approximate distinct count of ``ds[col]``.
 
     One streaming pass emits a register array per block; a tiny repartition
@@ -80,7 +113,7 @@ def approx_distinct(ds: Dataset, col: str, p: int = 14) -> float:
         # SQL COUNT(DISTINCT col) ignores nulls — so must the sketch
         vals = t[col].combine_chunks().drop_null() if t.num_rows else None
         reg = hll_registers(
-            _key_hash64(vals) if vals is not None and len(vals) else np.empty(0, np.uint64),
+            _hashes(vals, hash_fn) if vals is not None and len(vals) else np.empty(0, np.uint64),
             p,
         )
         return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
@@ -104,7 +137,12 @@ def approx_distinct(ds: Dataset, col: str, p: int = 14) -> float:
 
 
 def grouped_approx_distinct(
-    ds: Dataset, key: str, col: str, p: int = 12, out_col: str = "approx_distinct"
+    ds: Dataset,
+    key: str,
+    col: str,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+    hash_fn: str = "pandas",
 ) -> Dataset:
     """Per-``key`` approximate distinct count of ``col``.
 
@@ -128,7 +166,7 @@ def grouped_approx_distinct(
                 {key: t[key], "reg": pa.array([], pa.binary())}
             )
         keys = t[key].to_numpy(zero_copy_only=False)
-        h = _key_hash64(t[col])
+        h = _hashes(t[col], hash_fn)
         codes, uniques = pd.factorize(keys, use_na_sentinel=True)
         order = np.argsort(codes, kind="stable")
         cs, hs = codes[order], h[order]

@@ -167,3 +167,34 @@ class TestRepetitionFilter:
 
     def test_q57_twin(self):
         _twin_check("q57_repetition_filter")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHllSplitmix:
+    """The SQL-replicable splitmix64 hash path added for q49's twin: same
+    error-bound and partition-independence laws as the pandas-hash path,
+    plus the twin comparison itself (register-level HUGEINT re-derivation)."""
+
+    def test_error_bound(self):
+        import numpy as np
+
+        from ner_ray.stages.sketches import approx_distinct
+
+        vals = np.arange(20_000, dtype=np.int64) % 7_500
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(6)
+        est = approx_distinct(ds, "v", p=14, hash_fn="splitmix")
+        assert abs(est - 7_500) / 7_500 < 0.03
+
+    def test_partition_independence(self):
+        import numpy as np
+
+        from ner_ray.stages.sketches import approx_distinct
+
+        vals = np.arange(5_000, dtype=np.int64) * 13
+        t = pa.table({"v": pa.array(vals)})
+        e1 = approx_distinct(rd.from_arrow(t).repartition(1), "v", p=12, hash_fn="splitmix")
+        e8 = approx_distinct(rd.from_arrow(t).repartition(8), "v", p=12, hash_fn="splitmix")
+        assert e1 == e8
+
+    def test_q49_twin(self):
+        _twin_check("q49_approx_distinct_users")
