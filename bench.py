@@ -95,6 +95,11 @@ def run_bench() -> dict:
         "q15_token_stats",
         "q18_ann_topk",
         "q22_minhash_near_dup",
+        # round-3 additions: sketch, decontamination, retrieval, quality
+        "q49_approx_distinct_users",
+        "q55_decontaminate",
+        "q56_bm25_topk",
+        "q57_repetition_filter",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)
