@@ -2139,6 +2139,50 @@ FROM m
 """
 
 
+_IDX_TERMS = ["spark", "window", "customer"]  # AND-match: 270 docs at sf0.01
+
+
+def q58_inverted_search(sf_dir: str) -> Dataset:
+    """Boolean AND retrieval over a persisted bucket-partitioned inverted
+    index (the IVF layout applied to text, stages/retrieval.py): postings
+    written once as hive-partitioned Parquet by crc32(term) % 64, search
+    reads ONLY the query terms' bucket partitions via pyarrow.fs.  The
+    index caches content-addressed on the documents input identity (the
+    q32 IVF discipline).  The twin re-derives matches from raw text —
+    layout-independence is the point, and is separately a pytest law."""
+    from ner_ray.stages.materialize import input_signature, parquet_files_signature
+    from ner_ray.stages.retrieval import index_build, index_search
+
+    sig = input_signature(parquet_files_signature([_t(sf_dir, "documents")]))[:16]
+    idx = f"/tmp/ner_ray_cache/invidx_{sig}_b64"
+    marker = os.path.join(idx, "_SUCCESS")
+    if not os.path.exists(marker):
+        ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        index_build(ds, idx, num_buckets=64)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return index_search(idx, _IDX_TERMS, mode="and")
+
+
+def _inverted_sql(terms: list[str] | None = None) -> str:
+    """q58 twin: match set + tf sums re-derived from the raw documents
+    table (fully independent of the index layout)."""
+    ts = terms or _IDX_TERMS
+    vals = ", ".join(f"('{t}')" for t in ts)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, t.term, len(list_filter(w, x -> x = t.term))::BIGINT AS tf
+  FROM tok CROSS JOIN (VALUES {vals}) t(term)
+  WHERE len(list_filter(w, x -> x = t.term)) > 0
+)
+SELECT doc_id, count(*)::BIGINT AS n_matched, sum(tf)::BIGINT AS total_tf
+FROM tf GROUP BY doc_id HAVING count(*) = {len(set(ts))}
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2609,6 +2653,7 @@ RAY_QUERIES = {
     "q55_decontaminate": q55_decontaminate,
     "q56_bm25_topk": q56_bm25_topk,
     "q57_repetition_filter": q57_repetition_filter,
+    "q58_inverted_search": q58_inverted_search,
 }
 
 ORACLE_SQL = {
@@ -2659,6 +2704,7 @@ ORACLE_SQL = {
     "q56_bm25_topk": _bm25_sql(),
     "q57_repetition_filter": SQL_Q57,
     "q49_approx_distinct_users": _hll_sql(),
+    "q58_inverted_search": _inverted_sql(),
 }
 
 

@@ -198,3 +198,91 @@ class TestHllSplitmix:
 
     def test_q49_twin(self):
         _twin_check("q49_approx_distinct_users")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInvertedIndex:
+    """Bucket-partitioned inverted index: layout-independence (bucket count
+    must not change results — the IVF law) and genuinely pruned reads
+    (deleting every un-probed bucket partition must not change results,
+    which it would if search scanned the whole index)."""
+
+    def _docs(self):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "text": pa.array(
+                        [
+                            "alpha beta gamma alpha",
+                            "alpha beta",
+                            "beta gamma",
+                            "delta only here",
+                            None,
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+
+    def _build(self, tmpdir, num_buckets):
+        from ner_ray.stages.retrieval import index_build
+
+        d = f"{tmpdir}/idx_b{num_buckets}"
+        index_build(self._docs(), d, num_buckets=num_buckets)
+        return d
+
+    def test_and_or_and_layout_independence(self, tmp_path):
+        from ner_ray.stages.retrieval import index_search
+
+        outs = {}
+        for nb in (1, 7, 64):
+            d = self._build(tmp_path, nb)
+            got = (
+                index_search(d, ["alpha", "beta"], mode="and")
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            outs[nb] = got
+        assert outs[64]["doc_id"].tolist() == [1, 2]
+        assert outs[64]["total_tf"].tolist() == [3, 2]  # alpha x2 + beta x1
+        assert outs[1].equals(outs[64]) and outs[7].equals(outs[64])
+
+        disj = (
+            index_search(self._build(tmp_path, 8), ["alpha", "delta"], mode="or")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert disj["doc_id"].tolist() == [1, 2, 4]
+
+    def test_pruned_read(self, tmp_path):
+        import os
+        import shutil
+
+        from ner_ray.stages.retrieval import _term_bucket, index_search
+
+        d = self._build(tmp_path, 64)
+        keep = {_term_bucket(t, 64) for t in ("alpha", "beta")}
+        data = os.path.join(d, "data")
+        removed = 0
+        for entry in os.listdir(data):
+            b = int(entry.split("=", 1)[1])
+            if b not in keep:
+                shutil.rmtree(os.path.join(data, entry))
+                removed += 1
+        assert removed > 0  # the corpus used other buckets
+        got = (
+            index_search(d, ["alpha", "beta"], mode="and")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # identical results with every un-probed partition gone == the
+        # search never touched them
+        assert got["doc_id"].tolist() == [1, 2]
+
+    def test_q58_twin(self):
+        _twin_check("q58_inverted_search")
