@@ -286,3 +286,53 @@ class TestInvertedIndex:
 
     def test_q58_twin(self):
         _twin_check("q58_inverted_search")
+
+
+class TestSplitmixSqlLaw:
+    """The law the q49 twin rests on: DuckDB's HUGEINT re-derivation of
+    splitmix64 (32-bit-halved multiplies, floor-division shifts, xor)
+    equals numpy's uint64 wraparound implementation bit-for-bit — probed
+    over random int64 keys including negatives and both extremes."""
+
+    def test_hash_equivalence(self):
+        import duckdb
+        import numpy as np
+
+        from ner_ray.stages.sketches import splitmix64
+
+        rng = np.random.default_rng(7)
+        keys = np.concatenate(
+            [
+                rng.integers(-(2**62), 2**62, size=500, dtype=np.int64),
+                np.array([0, 1, -1, 2**63 - 1, -(2**63)], dtype=np.int64),
+            ]
+        )
+        expect = splitmix64(keys)
+
+        t64, t32 = 1 << 64, 1 << 32
+        a0, b1, c1 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+        def mul(x, const):
+            hi, lo = const >> 32, const & (t32 - 1)
+            return (
+                f"((((({x}) // {t32}) * {lo} + (({x}) % {t32}) * {hi}) % {t32}) * {t32}"
+                f" + (({x}) % {t32}) * {lo}) % {t64}::HUGEINT"
+            )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE k(i INTEGER, v BIGINT)")
+        con.executemany(
+            "INSERT INTO k VALUES (?, ?)", [(i, int(v)) for i, v in enumerate(keys)]
+        )
+        got = con.execute(
+            f"""
+WITH z0 AS (SELECT i, ((v::HUGEINT + {a0}::HUGEINT) % {t64}::HUGEINT + {t64}::HUGEINT)
+                       % {t64}::HUGEINT AS z FROM k),
+x1 AS (SELECT i, xor(z, z // {1 << 30}) AS x FROM z0),
+z1 AS (SELECT i, {mul('x', b1)} AS z FROM x1),
+x2 AS (SELECT i, xor(z, z // {1 << 27}) AS x FROM z1),
+z2 AS (SELECT i, {mul('x', c1)} AS z FROM x2)
+SELECT xor(z, z // {1 << 31}) FROM z2 ORDER BY i
+"""
+        ).fetchall()
+        assert [int(r[0]) for r in got] == [int(v) for v in expect]
