@@ -2183,6 +2183,57 @@ FROM tf GROUP BY doc_id HAVING count(*) = {len(set(ts))}
 """
 
 
+def q59_full_outer_join(sf_dir: str) -> Dataset:
+    """Full-outer hash join (every third customer vs per-user event
+    counts): both join directions produce unmatched rows — customers with
+    keys above the user-id range or without events surface with null
+    ``n_events``, users whose key is not ≡0 mod 3 surface with null
+    ``c_name``.  Exercises hash_join's how="full" right-only-group branch;
+    one shuffle, robust to empty partitions (the module's reason to
+    exist)."""
+    from ray.data.aggregate import Count
+
+    from ner_ray.stages.joins import hash_join
+
+    cust = read_parquet_clean(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        ids = t["c_custkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 3 == 0))
+        return pa.table(
+            {"k": pc.cast(t["c_custkey"], pa.int64()), "c_name": t["c_name"]}
+        )
+
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id"])
+
+    def rpart(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(t["user_id"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        )
+
+    return hash_join(
+        cust.map_batches(lpart, batch_format="pyarrow"),
+        ev.groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+        .map_batches(rpart, batch_format="pyarrow"),
+        on="k",
+        how="full",
+        left_schema=pa.schema([("k", pa.int64()), ("c_name", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("n_events", pa.int64())]),
+    )
+
+
+SQL_Q59 = """
+WITH l AS (SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey % 3 = 0),
+r AS (SELECT user_id AS k, count(*)::BIGINT AS n_events FROM events GROUP BY user_id)
+SELECT coalesce(l.k, r.k) AS k, l.c_name, r.n_events
+FROM l FULL OUTER JOIN r ON l.k = r.k
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2654,6 +2705,7 @@ RAY_QUERIES = {
     "q56_bm25_topk": q56_bm25_topk,
     "q57_repetition_filter": q57_repetition_filter,
     "q58_inverted_search": q58_inverted_search,
+    "q59_full_outer_join": q59_full_outer_join,
 }
 
 ORACLE_SQL = {
@@ -2705,6 +2757,7 @@ ORACLE_SQL = {
     "q57_repetition_filter": SQL_Q57,
     "q49_approx_distinct_users": _hll_sql(),
     "q58_inverted_search": _inverted_sql(),
+    "q59_full_outer_join": SQL_Q59,
 }
 
 

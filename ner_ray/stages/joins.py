@@ -38,8 +38,8 @@ def hash_join(
 ) -> Dataset:
     """Join two Datasets on key column(s) via union + groupby.
 
-    ``how``: "inner" | "left" (left-outer).  Non-key column names must be
-    disjoint between the two sides.
+    ``how``: "inner" | "left" (left-outer) | "full" (full-outer).  Non-key
+    column names must be disjoint between the two sides.
 
     Pass ``left_schema`` / ``right_schema`` whenever the side is a LAZY
     chain: ``Dataset.schema()`` on an un-executed plan EXECUTES the whole
@@ -47,10 +47,10 @@ def hash_join(
     hash_joins re-ran a sort+aggregate chain 3x in q22), so schema probing
     must never be the price of a join on a hot path.
     """
-    if how not in ("inner", "left"):
-        # only these two are implemented; anything else would silently get
+    if how not in ("inner", "left", "full"):
+        # only these are implemented; anything else would silently get
         # left-outer semantics from the merge's how=="inner" special-case
-        raise ValueError(f"hash_join: unsupported how={how!r} (inner|left)")
+        raise ValueError(f"hash_join: unsupported how={how!r} (inner|left|full)")
     keys = [on] if isinstance(on, str) else list(on)
     ls = left_schema if left_schema is not None else _arrow_schema(left)
     rs = right_schema if right_schema is not None else _arrow_schema(right)
@@ -97,7 +97,19 @@ def hash_join(
         rt = group.filter(pa.array(~lmask)).select(rcols)
         nl, nr = lt.num_rows, rt.num_rows
         if nl == 0:
-            return out_schema.empty_table()
+            if how != "full":
+                return out_schema.empty_table()
+            # right-only key group: keys come from the right rows (the key
+            # columns are populated by widen() on both sides)
+            rk = group.filter(pa.array(~lmask)).select(keys + rcols)
+            cols = {}
+            for k in keys:
+                cols[k] = rk[k]
+            for c in lcols:
+                cols[c] = pa.nulls(nr, out_schema.field(c).type)
+            for c in rcols:
+                cols[c] = rk[c]
+            return pa.table(cols, schema=out_schema)
         if nr == 0:
             if how == "inner":
                 return out_schema.empty_table()

@@ -288,6 +288,46 @@ class TestInvertedIndex:
         _twin_check("q58_inverted_search")
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestFullOuterJoin:
+    def test_all_three_row_classes(self):
+        """Matched, left-only and right-only keys in one join, including a
+        hot matched key (cross product 2x2)."""
+        from ner_ray.stages.joins import hash_join
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 2, 7], pa.int64()),
+                    "lv": pa.array(["a", "b1", "b2", "g"], pa.string()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([2, 2, 9], pa.int64()),
+                    "rv": pa.array([10, 20, 99], pa.int64()),
+                }
+            )
+        )
+        out = (
+            hash_join(left, right, on="k", how="full")
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        # k=1,7 left-only; k=2 hot: 2x2 cross; k=9 right-only
+        assert len(out) == 2 + 4 + 1
+        assert out[out.k == 9]["lv"].isna().all()
+        assert out[out.k.isin([1, 7])]["rv"].isna().all()
+        assert len(out[out.k == 2]) == 4
+        assert set(out[out.k == 2]["rv"]) == {10, 20}
+
+    def test_q59_twin(self):
+        _twin_check("q59_full_outer_join")
+
+
 class TestSplitmixSqlLaw:
     """The law the q49 twin rests on: DuckDB's HUGEINT re-derivation of
     splitmix64 (32-bit-halved multiplies, floor-division shifts, xor)
