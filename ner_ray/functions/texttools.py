@@ -256,3 +256,42 @@ def repetition_stats(text: str | None) -> tuple[int, float, float]:
         dup = sum(v for v in c3.values() if v > 1)
         dup_tri = math.floor(dup * 1000000 / (n - 2) + 0.5) / 1000000.0
     return n, top_bi, dup_tri
+
+
+# --- frozen linear quality classifier (q63) ------------------------------
+# A fastText-style document quality model reduced to its deployable
+# essence: integer token/char-class features x frozen integer weights.
+# Integer end to end, so the Ray plan and the SQL twin agree bit-exactly
+# with no quantization step.  Swap point for a trained model: replace
+# _LQ_WEIGHTS/_LQ_BIAS with learned (scaled-int) coefficients — the
+# serving plan (stateless vectorized map_batches, weights baked into the
+# task closure; an actor pool only once the weight vector is big enough
+# to be worth loading once per actor) does not change.
+_LQ_WEIGHTS = {"n_stop": 120, "n_uniq": 40, "n_tokens": 8, "n_digit": -30, "n_punct": -50}
+_LQ_BIAS = 0
+_LQ_THRESHOLD = 400
+
+_LQ_DIGIT = re.compile(r"[0-9]")
+_LQ_PUNCT = re.compile(r"[^A-Za-z0-9\s]")
+
+
+def linear_quality_score(text: str | None) -> tuple[int, bool]:
+    """``(score, keep)`` for one document under the frozen linear model.
+
+    Feature classes are pinned to the SQL twin's regex character classes
+    ([0-9] digits; anything outside [A-Za-z0-9\\s] is "punct", so CJK
+    counts as punct on BOTH sides — deliberately NOT ``char_classes``,
+    whose unicode-aware buckets have no cheap SQL equivalent).
+    """
+    if not text:
+        return _LQ_BIAS, _LQ_BIAS >= _LQ_THRESHOLD
+    toks = [t.lower() for t in tokenize_ws(text)]
+    f = {
+        "n_stop": sum(t in _EN_STOP for t in toks),
+        "n_uniq": len(set(toks)),
+        "n_tokens": len(toks),
+        "n_digit": len(_LQ_DIGIT.findall(text)),
+        "n_punct": len(_LQ_PUNCT.findall(text)),
+    }
+    score = _LQ_BIAS + sum(_LQ_WEIGHTS[k] * v for k, v in f.items())
+    return score, score >= _LQ_THRESHOLD

@@ -2234,6 +2234,187 @@ FROM l FULL OUTER JOIN r ON l.k = r.k
 """
 
 
+def q60_window_funcs(sf_dir: str) -> Dataset:
+    """Per-user ordered window functions (row_number / lag / running sum /
+    4-row moving sum) — one hash shuffle on the partition key + per-group
+    mergesort, never a global sort; sums are exact integer micro-units so
+    the twin's window segment-tree addition order cannot diverge."""
+    from ner_ray.stages.window import window_funcs
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+    return window_funcs(
+        ds,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        id_col="event_id",
+        moving_rows=4,
+    )
+
+
+SQL_Q60 = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+  FROM events
+)
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       lag(vm) OVER w AS lag_value_micro,
+       sum(vm) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_value_micro,
+       sum(vm) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_value_micro
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q61_pivot(sf_dir: str) -> Dataset:
+    """Pivot event_type into per-user count + micro-sum columns over a
+    PINNED category list (signup/error fold into ``other``): per-block
+    vectorized pivot partials, then one small groupby-sum — the shuffle
+    carries |users| x |categories| numbers, never event rows."""
+    from ner_ray.stages.window import pivot_agg
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+    return pivot_agg(ds, "user_id", "event_type", ["click", "purchase", "view"], "value")
+
+
+SQL_Q61 = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+  FROM events
+)
+SELECT user_id,
+  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+  coalesce(sum(vm) FILTER (WHERE event_type = 'click'), 0) AS sum_click_micro,
+  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  coalesce(sum(vm) FILTER (WHERE event_type = 'purchase'), 0) AS sum_purchase_micro,
+  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+  coalesce(sum(vm) FILTER (WHERE event_type = 'view'), 0) AS sum_view_micro,
+  count(*) FILTER (WHERE event_type NOT IN ('click', 'purchase', 'view')) AS n_other,
+  coalesce(sum(vm) FILTER (WHERE event_type NOT IN ('click', 'purchase', 'view')), 0) AS sum_other_micro
+FROM e GROUP BY user_id
+"""
+
+
+def q62_set_ops(sf_dir: str) -> Dataset:
+    """INTERSECT / EXCEPT over user sets (clickers vs purchasers), both
+    answers from ONE tagged-union shuffle (the SQL twin needs a full-outer
+    join over two distinct subqueries)."""
+    from ner_ray.stages.window import set_ops
+
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(["user_id"])
+    buys = ev.filter(expr="event_type == 'purchase'").select_columns(["user_id"])
+    return set_ops(clicks, buys, on="user_id")
+
+
+SQL_Q62 = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'both'
+            WHEN c.user_id IS NOT NULL THEN 'left_only'
+            ELSE 'right_only' END AS op
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
+def q63_quality_classifier(sf_dir: str) -> Dataset:
+    """Frozen linear quality classifier (fastText-style integer features x
+    frozen integer weights, stateless vectorized scoring; the twin
+    re-derives every feature and the dot product in exact BIGINT SQL)."""
+    from ner_ray.functions.texttools import linear_quality_score
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        scored = [linear_quality_score(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score": pa.array([s for s, _ in scored], pa.int64()),
+                "keep": pa.array([k for _, k in scored], pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q63 = r"""
+WITH f AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                        t -> lower(t)) AS toks,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+  FROM documents
+), g AS (
+  SELECT doc_id, n_digit, n_punct,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','it','for','on','with','as','at','by','this','that','be','are','was','or','not'))) AS n_stop,
+         len(list_distinct(toks)) AS n_uniq
+  FROM f
+)
+SELECT doc_id,
+       CAST(120 * n_stop + 40 * n_uniq + 8 * n_tokens - 30 * n_digit - 50 * n_punct AS BIGINT) AS score,
+       (120 * n_stop + 40 * n_uniq + 8 * n_tokens - 30 * n_digit - 50 * n_punct) >= 400 AS keep
+FROM g
+"""
+
+
+def q64_salted_join(sf_dir: str) -> Dataset:
+    """Skew-safe salted join: every event row joins its user's total event
+    count; the hottest user's cross-group work is split across 4 salted
+    reducers instead of serializing on one (output row set is identical to
+    the unsalted join — equality pytest-gated)."""
+    from ray.data.aggregate import Count
+
+    from ner_ray.stages.joins import salted_join
+
+    ev = read_parquet_clean(_t(sf_dir, "events"), columns=["event_id", "user_id"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+            }
+        )
+
+    def rpart(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_user_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        )
+
+    right = (
+        ev.groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+        .map_batches(rpart, batch_format="pyarrow")
+    )
+    return salted_join(
+        ev.map_batches(lpart, batch_format="pyarrow"),
+        right,
+        on="user_id",
+        how="left",
+        salt=4,
+        left_schema=pa.schema([("user_id", pa.int64()), ("event_id", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()), ("n_user_events", pa.int64())]),
+    )
+
+
+SQL_Q64 = """
+SELECT e.user_id, e.event_id, r.n_user_events
+FROM events e
+LEFT JOIN (SELECT user_id, count(*)::BIGINT AS n_user_events FROM events GROUP BY user_id) r
+  USING (user_id)
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2706,6 +2887,11 @@ RAY_QUERIES = {
     "q57_repetition_filter": q57_repetition_filter,
     "q58_inverted_search": q58_inverted_search,
     "q59_full_outer_join": q59_full_outer_join,
+    "q60_window_funcs": q60_window_funcs,
+    "q61_pivot": q61_pivot,
+    "q62_set_ops": q62_set_ops,
+    "q63_quality_classifier": q63_quality_classifier,
+    "q64_salted_join": q64_salted_join,
 }
 
 ORACLE_SQL = {
@@ -2758,6 +2944,11 @@ ORACLE_SQL = {
     "q49_approx_distinct_users": _hll_sql(),
     "q58_inverted_search": _inverted_sql(),
     "q59_full_outer_join": SQL_Q59,
+    "q60_window_funcs": SQL_Q60,
+    "q61_pivot": SQL_Q61,
+    "q62_set_ops": SQL_Q62,
+    "q63_quality_classifier": SQL_Q63,
+    "q64_salted_join": SQL_Q64,
 }
 
 

@@ -130,3 +130,64 @@ def hash_join(
         return pa.table(cols, schema=out_schema)
 
     return both.groupby(keys).map_groups(merge, batch_format="pyarrow")
+
+
+_SALT = "__salt__"
+
+
+def salted_join(
+    left: Dataset,
+    right: Dataset,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 8,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> Dataset:
+    """Skew-safe ``hash_join``: split each hot key across ``salt`` reducers.
+
+    ``hash_join`` sends a whole key group to ONE ``map_groups`` task, so a
+    hot key (a high-degree node, a null-ish default id) serializes its whole
+    cross product on one worker.  Here the RIGHT side is replicated ``salt``
+    times (tile + salt column), each LEFT row gets exactly one salt bucket
+    (round-robin within its block — the output row SET is identical for any
+    assignment, so no determinism is owed to it), and the join runs on
+    ``(key, salt)``: the hot key's work lands on ``salt`` reducers instead
+    of one.  The price is shipping the right side ``salt``× through the
+    shuffle — use when the right side is the SMALL one of a skewed join but
+    still too big to broadcast.  ``how`` is "inner" | "left" (each left row
+    lives in exactly one salted group, so left-outer semantics survive);
+    "full" is rejected — right-only rows would surface once PER SALT.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: unsupported how={how!r} (inner|left)")
+    if salt < 1:
+        raise ValueError("salted_join: salt must be >= 1")
+    keys = [on] if isinstance(on, str) else list(on)
+    ls = left_schema if left_schema is not None else _arrow_schema(left)
+    rs = right_schema if right_schema is not None else _arrow_schema(right)
+
+    import numpy as np
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        s = pa.array(np.arange(t.num_rows, dtype=np.int64) % salt)
+        return t.append_column(_SALT, s)
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), salt))
+        rep = t.take(idx)
+        s = pa.array(np.repeat(np.arange(salt, dtype=np.int64), n))
+        return rep.append_column(_SALT, s)
+
+    joined = hash_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(replicate_right, batch_format="pyarrow"),
+        on=keys + [_SALT],
+        how=how,
+        left_schema=ls.append(pa.field(_SALT, pa.int64())),
+        right_schema=rs.append(pa.field(_SALT, pa.int64())),
+    )
+    return joined.map_batches(
+        lambda t: t.drop_columns([_SALT]), batch_format="pyarrow"
+    )

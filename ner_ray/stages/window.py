@@ -1,0 +1,180 @@
+"""Per-key ordered window functions, pivot, and set operations.
+
+Window functions (``row_number`` / ``lag`` / cumulative and moving sums) are
+the classic "ORDER BY inside PARTITION BY" shape: one hash shuffle on the
+partition key, then a per-group mergesort — the same plan DuckDB/Spark run,
+and the only shape that avoids a GLOBAL sort (a per-key window never needs
+cross-key order, so sorting the whole 100 TB stream would be pure waste).
+The partitioning assumption, as with ``sessionize``/``asof_gap_join``: one
+key's rows fit in a worker's heap (per-user event streams; bound upstream if
+a key can be pathological).
+
+Sums are computed over INTEGER micro-units (``floor(x * 1e6 + 0.5)``, the
+``retrieval.py`` idiom) so cumulative addition is exact and order-free
+across engines — a float running sum would disagree with the oracle in the
+last ulp whenever the window segment-tree adds in a different order.
+
+Pivot is a two-level distributive fold: each block pivots locally
+(vectorized pandas groupby over the fixed category list), then ONE small
+``groupby(key)`` sums the partials — the shuffle carries |keys| x |cats|
+numbers, never rows.  Set ops (INTERSECT / EXCEPT over key tuples) are a
+tagged union + per-key flag-OR: both relations stream through a single
+shuffle and both answers fall out of one pass (the SQL twin needs two).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Max, Sum
+
+
+def to_micros(x: np.ndarray) -> np.ndarray:
+    """float64 -> int64 micro-units, identical IEEE ops to the SQL twin's
+    ``CAST(floor(x * 1000000 + 0.5) AS BIGINT)`` (floor(+0.5) rather than
+    round(): DuckDB rounds half-away-from-zero, numpy half-even — floor of
+    the same double is the one idiom both engines compute bit-identically)."""
+    return np.floor(x.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+def window_funcs(
+    ds: Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    id_col: str,
+    moving_rows: int = 4,
+) -> Dataset:
+    """Per-key ordered window: row_number, lag, cumulative sum, moving sum.
+
+    Emits one row per input row: ``(id_col, key_col, rn, lag_value_micro,
+    cum_value_micro, mov_value_micro)`` where ``rn`` is 1-based within the
+    key ordered by ``order_cols`` (which must be a deterministic total order
+    within each key — include a tiebreaker id), ``lag`` is the previous
+    row's value (null for the first), ``cum`` the running sum, and ``mov``
+    the sum of the trailing ``moving_rows`` rows including the current one
+    (SQL ``ROWS BETWEEN moving_rows-1 PRECEDING AND CURRENT ROW``).
+    """
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        v = to_micros(g[value_col].to_numpy())
+        n = len(v)
+        cum = np.cumsum(v)
+        # trailing-window sum from the cumsum: cum[i] - cum[i - W] (max(0,·)
+        # guard: a negative slice stop would wrap for groups smaller than W)
+        shifted = np.concatenate(
+            [np.zeros(min(moving_rows, n), np.int64), cum[: max(0, n - moving_rows)]]
+        )
+        mov = cum - shifted
+        lag = np.empty(n, np.float64)
+        lag[0] = np.nan
+        lag[1:] = v[:-1]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: g[key_col].to_numpy(),
+                "rn": np.arange(1, n + 1, dtype=np.int64),
+                "lag_value_micro": lag,  # NaN-able -> nullable Int64 below
+                "cum_value_micro": cum,
+                "mov_value_micro": mov,
+            }
+        )
+
+    out = ds.groupby(key_col).map_groups(win, batch_format="pandas")
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        # lag rode through pandas as float64-with-NaN; restore nullable int64
+        lag = pc.if_else(
+            pc.is_nan(t["lag_value_micro"]),
+            pa.nulls(t.num_rows, pa.int64()),
+            pc.cast(t["lag_value_micro"], pa.int64(), safe=False),
+        )
+        return t.set_column(t.schema.get_field_index("lag_value_micro"), "lag_value_micro", lag)
+
+    return out.map_batches(fix_types, batch_format="pyarrow")
+
+
+def pivot_agg(
+    ds: Dataset,
+    key_col: str,
+    pivot_col: str,
+    categories: list[str],
+    value_col: str,
+) -> Dataset:
+    """Pivot ``pivot_col`` into per-category count and micro-sum columns.
+
+    ``categories`` is the FIXED output column list (unknown categories fold
+    into ``other``) — a pivot whose columns depend on the data would need a
+    full pre-pass; pinning them keeps this a single streaming fold.  Output:
+    ``(key_col, n_<cat>, sum_<cat>_micro, ...)`` — counts and exact integer
+    micro-sums, distributive, so block partials merge by plain Sum.
+    """
+    cats = list(categories) + ["other"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cat = pd.Categorical(
+            np.where(df[pivot_col].isin(categories), df[pivot_col], "other"),
+            categories=cats,
+        )
+        v = to_micros(df[value_col].to_numpy())
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(), "_c": cat, "_v": v})
+        piv_n = g.pivot_table(index=key_col, columns="_c", values="_v", aggfunc="size", fill_value=0, observed=False)
+        piv_s = g.pivot_table(index=key_col, columns="_c", values="_v", aggfunc="sum", fill_value=0, observed=False)
+        out = pd.DataFrame({key_col: piv_n.index.to_numpy()})
+        for c in cats:
+            out[f"n_{c}"] = piv_n[c].to_numpy().astype(np.int64)
+            out[f"sum_{c}_micro"] = piv_s[c].to_numpy().astype(np.int64)
+        return out
+
+    aggs = []
+    for c in cats:
+        aggs.append(Sum(f"n_{c}", alias_name=f"n_{c}"))
+        aggs.append(Sum(f"sum_{c}_micro", alias_name=f"sum_{c}_micro"))
+    return ds.map_batches(partial, batch_format="pandas").groupby(key_col).aggregate(*aggs)
+
+
+def set_ops(left: Dataset, right: Dataset, on: str | list[str]) -> Dataset:
+    """INTERSECT / EXCEPT (distinct) over key tuples, both in ONE pass.
+
+    Tags each side with a presence flag, unions, and takes per-key flag
+    maxima — one shuffle computes membership in both relations, from which
+    every set op is a filter: output is ``(keys..., op)`` with ``op`` in
+    ``{'both', 'left_only', 'right_only'}`` (INTERSECT = both, EXCEPT =
+    left_only, reverse EXCEPT = right_only).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {k: t[k] for k in keys}
+            cols["_l"] = pa.array(np.full(n, 1 - side, np.int8))
+            cols["_r"] = pa.array(np.full(n, side, np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    flags = both.groupby(keys).aggregate(Max("_l", alias_name="_l"), Max("_r", alias_name="_r"))
+
+    def label(t: pa.Table) -> pa.Table:
+        l = t["max(_l)" if "max(_l)" in t.column_names else "_l"]
+        r = t["max(_r)" if "max(_r)" in t.column_names else "_r"]
+        lb = pc.cast(l, pa.bool_())
+        rb = pc.cast(r, pa.bool_())
+        op = pc.if_else(
+            pc.and_(lb, rb),
+            pa.scalar("both"),
+            pc.if_else(lb, pa.scalar("left_only"), pa.scalar("right_only")),
+        )
+        cols = {k: t[k] for k in keys}
+        cols["op"] = op
+        return pa.table(cols)
+
+    return flags.map_batches(label, batch_format="pyarrow")

@@ -376,3 +376,150 @@ SELECT xor(z, z // {1 << 31}) FROM z2 ORDER BY i
 """
         ).fetchall()
         assert [int(r[0]) for r in got] == [int(v) for v in expect]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindowFuncs:
+    def test_small_groups_and_moving_window(self):
+        """Groups smaller than, equal to, and larger than the moving window;
+        lag null on each group head; exact integer micro sums."""
+        from ner_ray.stages.window import window_funcs
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 1, 1, 2, 2, 3], pa.int64()),
+                "i": pa.array([10, 11, 12, 13, 14, 20, 21, 30], pa.int64()),
+                "o": pa.array([5, 1, 2, 3, 4, 2, 1, 9], pa.int64()),
+                "v": pa.array([1.5, 2.0, 0.25, 1.0, 3.0, 10.0, 4.0, 7.0]),
+            }
+        )
+        out = (
+            window_funcs(
+                rd.from_arrow(t).repartition(4),
+                key_col="k",
+                order_cols=["o", "i"],
+                value_col="v",
+                id_col="i",
+                moving_rows=3,
+            )
+            .to_pandas()
+            .sort_values(["k", "rn"])
+            .reset_index(drop=True)
+        )
+        # key 1 ordered by o: i=11(2.0),12(0.25),13(1.0),14(3.0),10(1.5)
+        g1 = out[out.k == 1]
+        assert list(g1["i"]) == [11, 12, 13, 14, 10]
+        assert list(g1["rn"]) == [1, 2, 3, 4, 5]
+        assert g1["lag_value_micro"].iloc[0] is None or str(g1["lag_value_micro"].iloc[0]) in ("nan", "<NA>")
+        assert list(g1["cum_value_micro"]) == [2000000, 2250000, 3250000, 6250000, 7750000]
+        # moving window of 3: row 4 (i=14) = 0.25+1.0+3.0
+        assert g1["mov_value_micro"].iloc[3] == 4250000
+        # trailing window on the head rows equals the cumsum
+        assert list(g1["mov_value_micro"][:3]) == list(g1["cum_value_micro"][:3])
+        # single-row group: lag null, mov == cum == value
+        g3 = out[out.k == 3]
+        assert len(g3) == 1 and g3["mov_value_micro"].iloc[0] == 7000000
+
+    def test_q60_twin(self):
+        _twin_check("q60_window_funcs")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPivotSetOps:
+    def test_pivot_other_bucket(self):
+        from ner_ray.stages.window import pivot_agg
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2], pa.int64()),
+                "c": pa.array(["x", "x", "zzz", "y"], pa.string()),
+                "v": pa.array([1.0, 2.0, 4.0, 0.5]),
+            }
+        )
+        out = (
+            pivot_agg(rd.from_arrow(t).repartition(3), "k", "c", ["x", "y"], "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        r1 = out[out.k == 1].iloc[0]
+        assert r1["n_x"] == 2 and r1["sum_x_micro"] == 3000000
+        assert r1["n_y"] == 0 and r1["sum_y_micro"] == 0
+        assert r1["n_other"] == 1 and r1["sum_other_micro"] == 4000000
+        r2 = out[out.k == 2].iloc[0]
+        assert r2["n_y"] == 1 and r2["sum_y_micro"] == 500000 and r2["n_other"] == 0
+
+    def test_set_ops_three_classes(self):
+        from ner_ray.stages.window import set_ops
+
+        left = rd.from_arrow(pa.table({"u": pa.array([1, 1, 2, 3], pa.int64())}))
+        right = rd.from_arrow(pa.table({"u": pa.array([2, 4, 4], pa.int64())}))
+        out = set_ops(left, right, on="u").to_pandas().set_index("u")["op"]
+        assert out[1] == "left_only" and out[3] == "left_only"
+        assert out[2] == "both" and out[4] == "right_only"
+        assert len(out) == 4  # distinct semantics
+
+    def test_q61_q62_twins(self):
+        _twin_check("q61_pivot")
+        _twin_check("q62_set_ops")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedJoin:
+    def test_equals_hash_join_with_hot_key(self):
+        """Hot key (100 left x 7 right) + left-only rows: the salted output
+        row MULTISET equals the unsalted hash_join's, inner and left."""
+        import numpy as np
+
+        from ner_ray.stages.joins import hash_join, salted_join
+
+        lk = np.concatenate([np.full(100, 7), np.array([1, 2, 999])])
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(lk, pa.int64()),
+                    "lid": pa.array(np.arange(len(lk)), pa.int64()),
+                }
+            )
+        ).repartition(5)
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([7] * 7 + [1], pa.int64()),
+                    "rv": pa.array(list(range(7)) + [100], pa.int64()),
+                }
+            )
+        ).repartition(3)
+
+        def key(df):
+            return sorted(map(tuple, df.fillna(-1).to_numpy().tolist()))
+
+        for how in ("inner", "left"):
+            a = salted_join(left, right, on="k", how=how, salt=4).to_pandas()
+            b = hash_join(left, right, on="k", how=how).to_pandas()
+            cols = ["k", "lid", "rv"]
+            assert key(a[cols]) == key(b[cols]), how
+
+    def test_full_rejected(self):
+        from ner_ray.stages.joins import salted_join
+
+        with pytest.raises(ValueError):
+            salted_join(None, None, on="k", how="full")
+
+    def test_q64_twin(self):
+        _twin_check("q64_salted_join")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualityClassifier:
+    def test_empty_and_known_doc(self):
+        from ner_ray.functions.texttools import linear_quality_score
+
+        assert linear_quality_score("") == (0, False)
+        assert linear_quality_score(None) == (0, False)
+        # "the the the": n_stop=3, n_uniq=1, n_tokens=3 -> 120*3+40+24 = 424
+        s, keep = linear_quality_score("the the the")
+        assert s == 424 and keep
+
+    def test_q63_twin(self):
+        _twin_check("q63_quality_classifier")
