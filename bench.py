@@ -105,6 +105,7 @@ def run_bench() -> dict:
         "q61_pivot",
         "q63_quality_classifier",
         "q64_salted_join",
+        "q65_dup_ngram_spans",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -2415,6 +2415,100 @@ LEFT JOIN (SELECT user_id, count(*)::BIGINT AS n_user_events FROM events GROUP B
 """
 
 
+def q65_dup_ngram_spans(sf_dir: str) -> Dataset:
+    """Per-doc duplicated token-8-gram position counts (Lee-et-al-style
+    exact-substring dedup signal): positional shingles shuffled as md5
+    digests, one groupby keeps cross-doc duplicates, narrow per-doc counts
+    joined back onto totals."""
+    from ner_ray.stages.text_dedup import duplicate_ngram_spans
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return duplicate_ngram_spans(ds, k=8)
+
+
+SQL_Q65 = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS sh
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+), dup AS (
+  SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_shingles,
+       (count(*) FILTER (WHERE sh IN (SELECT sh FROM dup)))::BIGINT AS n_dup,
+       CAST(floor((count(*) FILTER (WHERE sh IN (SELECT sh FROM dup))) * 1000000.0
+                  / count(*) + 0.5) AS BIGINT) AS dup_frac_micro
+FROM pos GROUP BY doc_id
+"""
+
+
+def q66_shuffle_shards(sf_dir: str) -> Dataset:
+    """Deterministic distributed training shuffle: every doc lands in shard
+    ``splitmix64(doc_id) % 16`` with an in-shard position given by the hash
+    order — the data-loader shuffle that is reproducible across runs and
+    cluster sizes (no RNG state, no global sort: one key shuffle + per-shard
+    mergesort).  The twin re-derives splitmix64 in HUGEINT SQL (the q49
+    idiom) and ranks with a window function."""
+    from ner_ray.stages.sketches import splitmix64
+    from ner_ray.stages.window import rank_in_shard
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def hsh(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shard": pa.array((h % np.uint64(16)).astype(np.int64), pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    return rank_in_shard(
+        ds.map_batches(hsh, batch_format="pyarrow"),
+        shard_col="shard",
+        order_cols=["h", "doc_id"],
+        keep_cols=["doc_id"],
+    )
+
+
+def _q66_sql() -> str:
+    """HUGEINT re-derivation of splitmix64(doc_id) % 16 + in-shard rank
+    (the _hll_sql 32-bit-halved multiply idiom over the documents table)."""
+    t64 = 1 << 64
+    t32 = 1 << 32
+    a0, b1, c1 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mul(x: str, const: int) -> str:
+        hi, lo = const >> 32, const & (t32 - 1)
+        return (
+            f"((((({x}) // {t32}) * {lo} + (({x}) % {t32}) * {hi}) % {t32}) * {t32}"
+            f" + (({x}) % {t32}) * {lo}) % {t64}::HUGEINT"
+        )
+
+    return f"""
+WITH z0 AS (
+  SELECT doc_id,
+         ((doc_id::HUGEINT + {a0}::HUGEINT) % {t64}::HUGEINT + {t64}::HUGEINT)
+           % {t64}::HUGEINT AS z
+  FROM documents
+),
+x1 AS (SELECT doc_id, xor(z, z // {1 << 30}) AS x FROM z0),
+z1 AS (SELECT doc_id, {mul('x', b1)} AS z FROM x1),
+x2 AS (SELECT doc_id, xor(z, z // {1 << 27}) AS x FROM z1),
+z2 AS (SELECT doc_id, {mul('x', c1)} AS z FROM x2),
+h AS (SELECT doc_id, xor(z, z // {1 << 31}) AS h FROM z2)
+SELECT doc_id,
+       CAST(h % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2892,6 +2986,8 @@ RAY_QUERIES = {
     "q62_set_ops": q62_set_ops,
     "q63_quality_classifier": q63_quality_classifier,
     "q64_salted_join": q64_salted_join,
+    "q65_dup_ngram_spans": q65_dup_ngram_spans,
+    "q66_shuffle_shards": q66_shuffle_shards,
 }
 
 ORACLE_SQL = {
@@ -2949,6 +3045,8 @@ ORACLE_SQL = {
     "q62_set_ops": SQL_Q62,
     "q63_quality_classifier": SQL_Q63,
     "q64_salted_join": SQL_Q64,
+    "q65_dup_ngram_spans": SQL_Q65,
+    "q66_shuffle_shards": _q66_sql(),
 }
 
 

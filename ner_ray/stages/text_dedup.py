@@ -606,3 +606,102 @@ def _groups_from_edges(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def duplicate_ngram_spans(
+    ds: Dataset,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Cross-document duplicate n-gram detection (the exact-substring dedup
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", reduced to its shuffle shape): for every document,
+    count how many of its token ``k``-gram positions carry a shingle that
+    also occurs in at least one OTHER document.
+
+    Plan: (1) positional shingles per doc, shuffled as fixed-width md5 hex
+    digests — never the shingle text (a 128-bit digest cannot collide in
+    practice, and the twin groups by the shingle STRING so any collision
+    would be caught as a hash mismatch); (2) one groupby over digests keeps
+    the positions of shingles with >= 2 distinct docs; (3) a narrow
+    per-doc count joined back onto per-doc totals.  Nothing document-sized
+    ever enters a shuffle; the heavy relation is |positions| rows of
+    (doc_id, 32-byte digest).  Tokenization is the corpus-analytics idiom
+    (``[a-z0-9]+`` over ``lower(text)``), so the DuckDB twin re-derives
+    shingles with ``regexp_extract_all`` + list slices.
+
+    Output: ``(id_col, n_shingles, n_dup, dup_frac_micro)`` for every doc
+    with at least one full shingle; ``dup_frac_micro`` uses the shared
+    ``floor(a * 1e6 / b + 0.5)`` idiom.
+    """
+    import hashlib
+    import math
+
+    from ner_ray.stages.decontam import TOKEN_RE
+    from ner_ray.stages.joins import hash_join
+
+    def shingles(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for d, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = TOKEN_RE.findall((txt or "").lower())
+            for i in range(len(toks) - k + 1):
+                ids.append(d)
+                hs.append(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest())
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()), "h": pa.array(hs, pa.string())}
+        )
+
+    pos = ds.map_batches(shingles, batch_format="pyarrow")
+
+    def dup_rows(g: pa.Table) -> pa.Table:
+        d = g[id_col].to_numpy(zero_copy_only=False)
+        if (d != d[0]).any():  # >= 2 distinct docs share this shingle
+            return g.select([id_col])
+        return pa.schema([(id_col, pa.int64())]).empty_table()
+
+    def count_per_doc(name: str):
+        def fn(g: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: g[id_col].slice(0, 1),
+                    name: pa.array([g.num_rows], pa.int64()),
+                }
+            )
+
+        return fn
+
+    totals = pos.groupby(id_col).map_groups(count_per_doc("n_shingles"), batch_format="pyarrow")
+    dups = (
+        pos.groupby("h")
+        .map_groups(dup_rows, batch_format="pyarrow")
+        .groupby(id_col)
+        .map_groups(count_per_doc("n_dup"), batch_format="pyarrow")
+    )
+    joined = hash_join(
+        totals,
+        dups,
+        on=id_col,
+        how="left",
+        left_schema=pa.schema([(id_col, pa.int64()), ("n_shingles", pa.int64())]),
+        right_schema=pa.schema([(id_col, pa.int64()), ("n_dup", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_shingles"].to_numpy(zero_copy_only=False)
+        d = t["n_dup"].to_numpy(zero_copy_only=False)
+        d = np.where(np.isnan(d.astype(np.float64)), 0, d).astype(np.int64)
+        frac = np.array(
+            [math.floor(a * 1000000 / b + 0.5) for a, b in zip(d.tolist(), n.tolist())],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_shingles": t["n_shingles"],
+                "n_dup": pa.array(d, pa.int64()),
+                "dup_frac_micro": pa.array(frac, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

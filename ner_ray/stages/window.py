@@ -98,6 +98,35 @@ def window_funcs(
     return out.map_batches(fix_types, batch_format="pyarrow")
 
 
+def rank_in_shard(
+    ds: Dataset,
+    shard_col: str,
+    order_cols: list[str],
+    keep_cols: list[str],
+) -> Dataset:
+    """Deterministic in-shard positions: one key shuffle on ``shard_col`` +
+    a per-shard mergesort over ``order_cols`` assigns ``pos`` 1..n.  The
+    training data-loader shuffle shape: shards are the unit a loader reads,
+    positions define the reproducible intra-shard order — no RNG state, no
+    global sort (shards never need cross-shard order).  ``order_cols`` must
+    be a total order (include a unique id as tiebreaker).  Per-shard rows
+    must fit a worker's heap: pick shard counts so |rows| / shards does
+    (the same contract as every per-group op here)."""
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        out = {c: g[c].to_numpy() for c in [shard_col] + keep_cols}
+        out["pos"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return pd.DataFrame(out)
+
+    cols = keep_cols + [shard_col, "pos"]
+    return (
+        ds.groupby(shard_col)
+        .map_groups(rank, batch_format="pandas")
+        .select_columns(cols)
+    )
+
+
 def pivot_agg(
     ds: Dataset,
     key_col: str,

@@ -523,3 +523,57 @@ class TestQualityClassifier:
 
     def test_q63_twin(self):
         _twin_check("q63_quality_classifier")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupNgramSpans:
+    def test_toy_semantics(self):
+        """Cross-doc duplicate counted per POSITION; a shingle repeated only
+        WITHIN one doc is not a duplicate; docs under k tokens are absent."""
+        from ner_ray.stages.text_dedup import duplicate_ngram_spans
+
+        shared = "alpha beta gamma delta"  # 4 tokens; k=4 -> one shingle
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        shared + " one two three",
+                        "x y z " + shared,
+                        # within-doc repetition only: not cross-doc
+                        "p q r s p q r s p q r s",
+                        "too short",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = (
+            duplicate_ngram_spans(rd.from_arrow(docs).repartition(3), k=4)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert 4 not in out.index  # 2 tokens < k
+        assert out.loc[1, "n_shingles"] == 4 and out.loc[1, "n_dup"] == 1
+        assert out.loc[2, "n_shingles"] == 4 and out.loc[2, "n_dup"] == 1
+        assert out.loc[3, "n_dup"] == 0
+        assert out.loc[1, "dup_frac_micro"] == 250000
+
+    def test_q65_twin(self):
+        _twin_check("q65_dup_ngram_spans")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleShards:
+    def test_shards_and_positions(self):
+        from ner_ray.pipelines.queries import RAY_QUERIES
+
+        out = RAY_QUERIES["q66_shuffle_shards"](SF).to_pandas()
+        assert set(out.columns) == {"doc_id", "shard", "pos"}
+        assert out["shard"].between(0, 15).all()
+        assert out["doc_id"].is_unique
+        for _, g in out.groupby("shard"):
+            assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+
+    def test_q66_twin(self):
+        _twin_check("q66_shuffle_shards")
