@@ -2509,6 +2509,51 @@ FROM h
 """
 
 
+def q67_sequence_chunks(sf_dir: str) -> Dataset:
+    """Fixed-length training-sequence chunking (GPT-style concat-and-slice,
+    256-token chunks, 4 packing domains): narrow (id, n_tokens) rows
+    shuffle once by domain; each domain lays its docs end-to-end in id
+    order and cuts every 256 tokens, emitting one row per doc x chunk
+    overlap — all vectorized (cumsum + stride intersection)."""
+    from ner_ray.stages.packing import sequence_chunks
+
+    from ner_ray.stages.decontam import TOKEN_RE
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        ns = [len(TOKEN_RE.findall((x or "").lower())) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return sequence_chunks(
+        ds.map_batches(count_tokens, batch_format="pyarrow"),
+        chunk_tokens=256,
+        n_domains=4,
+    )
+
+
+SQL_Q67 = """
+WITH t AS (
+  SELECT doc_id, abs(doc_id) % 4 AS domain,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+  FROM documents
+), o AS (
+  SELECT doc_id, domain, n,
+         CAST((sum(n) OVER (PARTITION BY domain ORDER BY doc_id ROWS UNBOUNDED PRECEDING)) - n AS BIGINT) AS s
+  FROM t WHERE n > 0
+)
+SELECT doc_id, CAST(domain AS BIGINT) AS domain, c AS chunk_id,
+       greatest(s, c * 256) AS tok_start,
+       least(s + n, (c + 1) * 256) AS tok_end
+FROM o, unnest(generate_series(s // 256, (s + n - 1) // 256)) AS u(c)
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2988,6 +3033,7 @@ RAY_QUERIES = {
     "q64_salted_join": q64_salted_join,
     "q65_dup_ngram_spans": q65_dup_ngram_spans,
     "q66_shuffle_shards": q66_shuffle_shards,
+    "q67_sequence_chunks": q67_sequence_chunks,
 }
 
 ORACLE_SQL = {
@@ -3047,6 +3093,7 @@ ORACLE_SQL = {
     "q64_salted_join": SQL_Q64,
     "q65_dup_ngram_spans": SQL_Q65,
     "q66_shuffle_shards": _q66_sql(),
+    "q67_sequence_chunks": SQL_Q67,
 }
 
 

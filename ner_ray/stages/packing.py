@@ -136,3 +136,78 @@ def pack_sequences(
         return batch.append_column("bin_id", pc.cast(bin_id, pa.string()))
 
     return packed.map_batches(finish, batch_format="pyarrow")
+
+
+def sequence_chunks(
+    ds: Dataset,
+    chunk_tokens: int,
+    n_domains: int = 4,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> Dataset:
+    """Fixed-length training-sequence chunking (the GPT-2/3 "concatenate
+    and slice" layout): documents are laid end-to-end in id order and the
+    stream is cut every ``chunk_tokens`` tokens; a document straddling a cut
+    yields one output row per chunk it overlaps.
+
+    Same distribution model as next-fit packing above: the sequential unit
+    is a *domain* (``id % n_domains``); each domain concatenates its docs in
+    id order independently, so chunk ids are ``(domain, chunk_id)`` pairs
+    and a domain's narrow rows — ``(id, n_tokens)``, never text — fit a
+    worker at any corpus size by raising ``n_domains``.  Unlike next-fit,
+    the scan here has a vectorized closed form (cumsum + interval/stride
+    intersection), so the per-group cost is pure numpy.
+
+    Output: ``(id_col, domain, chunk_id, tok_start, tok_end)`` with
+    domain-global token offsets; a doc's rows partition ``[start, end)``.
+    Docs with zero tokens are absent (they occupy no stream positions).
+    """
+
+    def chunk_group(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = df[tokens_col].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        dom = np.int64(df["domain"].iloc[0])
+        end = np.cumsum(n)
+        start = end - n
+        first = start // chunk_tokens
+        last = (end - 1) // chunk_tokens
+        reps = (last - first + 1).astype(np.int64)
+        doc_ix = np.repeat(np.arange(len(n), dtype=np.int64), reps)
+        # per-row chunk id: first[doc] + offset within the doc's chunk range
+        base = np.repeat(first, reps)
+        offs = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        chunk = base + offs
+        ts = np.maximum(start[doc_ix], chunk * chunk_tokens)
+        te = np.minimum(end[doc_ix], (chunk + 1) * chunk_tokens)
+        return pd.DataFrame(
+            {
+                id_col: ids[doc_ix],
+                "domain": np.full(len(doc_ix), dom, np.int64),
+                "chunk_id": chunk,
+                "tok_start": ts,
+                "tok_end": te,
+            }
+        )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t[id_col], pa.int64())
+        toks = pc.cast(t[tokens_col], pa.int64())
+        keep = pc.greater(toks, 0)
+        tt = pa.table({id_col: ids, tokens_col: toks}).filter(keep)
+        # numpy % on the abs value: non-negative domain even for a stray
+        # negative id (Python/numpy % of a negative differs from SQL's)
+        dom = np.abs(tt[id_col].to_numpy(zero_copy_only=False)) % n_domains
+        return tt.append_column("domain", pa.array(dom.astype("int64")))
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("domain")
+        .map_groups(chunk_group, batch_format="pandas")
+    )

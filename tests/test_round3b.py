@@ -577,3 +577,40 @@ class TestShuffleShards:
 
     def test_q66_twin(self):
         _twin_check("q66_shuffle_shards")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSequenceChunks:
+    def test_toy_layout(self):
+        """Doc straddling several chunks emits one row per overlap; the
+        rows partition [start, end); zero-token docs are absent; domains
+        lay out independently."""
+        from ner_ray.stages.packing import sequence_chunks
+
+        # domain 0: ids 0,4,8 (n=3,10,2); domain 1: id 1 (n=5); id 2 has 0
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 4, 8, 1, 2], pa.int64()),
+                "n_tokens": pa.array([3, 10, 2, 5, 0], pa.int64()),
+            }
+        )
+        out = (
+            sequence_chunks(rd.from_arrow(t).repartition(2), chunk_tokens=4, n_domains=4)
+            .to_pandas()
+            .sort_values(["domain", "doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        assert 2 not in set(out["doc_id"])
+        d0 = out[out.domain == 0]
+        # stream: doc0 [0,3), doc4 [3,13), doc8 [13,15); chunks of 4
+        rows4 = d0[d0.doc_id == 4]
+        assert list(rows4["chunk_id"]) == [0, 1, 2, 3]
+        assert list(rows4["tok_start"]) == [3, 4, 8, 12]
+        assert list(rows4["tok_end"]) == [4, 8, 12, 13]
+        rows8 = d0[d0.doc_id == 8]
+        assert list(rows8["tok_start"]) == [13] and list(rows8["tok_end"]) == [15]
+        d1 = out[out.domain == 1]
+        assert list(d1["tok_start"]) == [0, 4] and list(d1["tok_end"]) == [4, 5]
+
+    def test_q67_twin(self):
+        _twin_check("q67_sequence_chunks")
