@@ -2554,6 +2554,23 @@ FROM o, unnest(generate_series(s // 256, (s + n - 1) // 256)) AS u(c)
 """
 
 
+def q68_bpe_tokenize(sf_dir: str) -> Dataset:
+    """Train 64 BPE merges on the corpus (distributed word counts + the
+    vocabulary-sized driver merge loop) and apply them corpus-wide through
+    an actor-pool encoder — per-doc subword statistics.  Rows-only: the
+    merge loop is iterative, not SQL-expressible; the stage is gated by
+    pytest equality against a single-process reference encoder and a
+    hand-computed classic training fixture."""
+    from ner_ray.stages.tokenizer import bpe_tokenize, bpe_train
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=64)
+    return bpe_tokenize(
+        read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"]),
+        merges,
+    )
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -3034,6 +3051,7 @@ RAY_QUERIES = {
     "q65_dup_ngram_spans": q65_dup_ngram_spans,
     "q66_shuffle_shards": q66_shuffle_shards,
     "q67_sequence_chunks": q67_sequence_chunks,
+    "q68_bpe_tokenize": q68_bpe_tokenize,
 }
 
 ORACLE_SQL = {

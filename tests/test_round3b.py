@@ -614,3 +614,77 @@ class TestSequenceChunks:
 
     def test_q67_twin(self):
         _twin_check("q67_sequence_chunks")
+
+
+class TestBpeTrain:
+    def test_classic_sennrich_fixture(self):
+        """Hand-computed merges on the canonical {low, lower, newest,
+        widest} corpus (Sennrich et al. 2016, Fig. 1 counts)."""
+        from ner_ray.functions.bpe import train_merges
+
+        wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        merges = train_merges(wc, 5)
+        # pair counts round 1: (e,s)=9 (w,e)=8... ties deterministic
+        assert merges[0] == ("e", "s")
+        assert merges[1] == ("es", "t")
+        assert merges[2] == ("est", "</w>")
+        assert merges[3] == ("l", "o")
+        assert merges[4] == ("lo", "w")
+
+    def test_word_pieces_greedy_rank_order(self):
+        from ner_ray.functions.bpe import train_merges, word_pieces
+
+        wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        ranks = {p: i for i, p in enumerate(train_merges(wc, 10))}
+        assert "".join(word_pieces("lowest", ranks)) == "lowest</w>"
+        # unseen characters survive as singletons
+        assert word_pieces("xyz", {}) == ["x", "y", "z", "</w>"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeStage:
+    def test_distributed_equals_reference(self):
+        """Actor-pool encoder + distributed-trained merges equal the
+        single-process reference on every doc."""
+        from ner_ray.functions.bpe import TOKEN_RE, encode_reference
+        from ner_ray.stages.tokenizer import bpe_tokenize, bpe_train, bpe_word_counts
+
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        ds = rd.from_arrow(docs).repartition(6)
+        # distributed word counts == driver Counter
+        from collections import Counter
+
+        ref_wc = Counter()
+        for x in docs["text"].to_pylist():
+            ref_wc.update(TOKEN_RE.findall((x or "").lower()))
+        assert bpe_word_counts(ds) == dict(ref_wc)
+
+        merges = bpe_train(ds, n_merges=32)
+        out = (
+            bpe_tokenize(ds, merges)
+            .to_pandas()
+            .set_index("doc_id")["n_pieces"]
+            .to_dict()
+        )
+        for d, x in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            assert out[d] == len(encode_reference(x, merges)), d
+        # merging must compress: pieces < raw characters for real text
+        total_chars = sum(len(w) + 1 for x in docs["text"].to_pylist()
+                          for w in TOKEN_RE.findall((x or "").lower()))
+        assert sum(out.values()) < total_chars
+
+    def test_vocab_truncation_deterministic(self):
+        from ner_ray.stages.tokenizer import bpe_word_counts
+
+        t = pa.table(
+            {
+                "text": pa.array(
+                    ["aa bb cc dd", "aa bb cc", "aa bb", "aa"], pa.string()
+                )
+            }
+        )
+        ds = rd.from_arrow(t).repartition(2)
+        top2 = bpe_word_counts(ds, max_vocab_words=2)
+        assert top2 == {"aa": 4, "bb": 3}
