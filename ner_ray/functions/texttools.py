@@ -220,6 +220,49 @@ def redact_pii_array(arr):
     return cur, n
 
 
+# --- Unicode text normalization (the first cleaning pass) ------------------
+#
+# NFC + control-char strip + whitespace collapse — the canonical hygiene
+# stage every web-scale corpus runs before anything else.  The regex stages
+# are shared-subset RE2 (identical in pyarrow.compute and DuckDB); the
+# control-class pattern below is embedded verbatim in the SQL twin.
+NORM_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"  # C0 minus \t\n\r, + DEL
+_NORM_WS_RE = r"[ \t\r\n]+"
+
+
+def normalize_text_array(arr):
+    """``(norm, n_chars)`` over a pyarrow string array/chunked array.
+
+    Pipeline (order pinned, mirrored by the SQL twin): NFC-compose, strip
+    control characters (``NORM_CONTROL_RE``), collapse ``[ \\t\\r\\n]+`` runs
+    to one space, trim edge spaces; ``n_chars`` = codepoint length of the
+    result (DuckDB ``length()`` semantics).
+
+    NFC parity constraint: this environment's pyarrow (16.1) build of
+    ``utf8_normalize(form='NFC')`` only DEcomposes — measured in-session,
+    NFC of ``'e'+U+0301`` comes back still decomposed — while DuckDB's
+    ``nfc_normalize`` and CPython's ``unicodedata`` both canonically
+    compose.  Composition therefore runs through ``unicodedata.normalize``
+    (a single C call per row, no per-char Python); the strip / collapse /
+    trim / length stages stay fully vectorized Arrow RE2 kernels.
+    """
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    composed = pa.array(
+        [None if s is None else unicodedata.normalize("NFC", s) for s in arr.to_pylist()],
+        pa.string(),
+    )
+    stripped = pc.replace_substring_regex(composed, pattern=NORM_CONTROL_RE, replacement="")
+    collapsed = pc.replace_substring_regex(stripped, pattern=_NORM_WS_RE, replacement=" ")
+    out = pc.utf8_trim(collapsed, characters=" ")
+    return out, pc.utf8_length(out)
+
+
 # --- Gopher-style repetition statistics (Rae et al. 2021, §A1.1) -----------
 #
 # Excess-repetition filters: a document dominated by one repeated n-gram or

@@ -2571,6 +2571,45 @@ def q68_bpe_tokenize(sf_dir: str) -> Dataset:
     )
 
 
+def q69_normalize_text(sf_dir: str) -> Dataset:
+    """Unicode text normalization — NFC + control-strip + whitespace
+    collapse, the canonical first cleaning pass of a training-data pipeline.
+
+    The fixture corpus is clean ASCII, so the query first DERIVES a dirty
+    text deterministically per row (decomposed accents, bell controls keyed
+    by ``doc_id % 3``, tab / newline / double-space runs — the same ``||``
+    construction the SQL twin builds with ``chr()``), then normalizes with
+    ``texttools.normalize_text_array``.  The strip/collapse/trim/length
+    stages are shared-subset RE2 on both engines; NFC composition runs
+    through C ``unicodedata`` because this pyarrow build's
+    ``utf8_normalize`` never recomposes (see the kernel docstring)."""
+    from ner_ray.functions.texttools import normalize_text_array
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _mod(x, n):  # pyarrow.compute has no modulo kernel
+        return pc.subtract(x, pc.multiply(pc.divide(x, n), n))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        bells = pc.binary_repeat("\x07", pc.cast(_mod(t["doc_id"], 3), pa.int32()))
+        # " hdr\tcafé" / "  Åe-" are NON-raw literals: actual
+        # tab + combining marks, matching the twin's chr(9)/chr(769)/chr(778)
+        aug = pc.binary_join_element_wise(
+            t["text"], " hdr\tcafé", bells, "  Åe-", ids, " \n", ""
+        )
+        norm, n_chars = normalize_text_array(aug)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": pc.cast(norm, pa.string()),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -2932,6 +2971,33 @@ def kg_order_restore(sf_dir: str) -> Dataset:
     return sort_conversations(tx)
 
 
+# NFC-compose, strip controls, collapse whitespace, trim, count codepoints —
+# the exact stage order of texttools.normalize_text_array; the dirty text is
+# re-derived with chr() so the twin is independent of the engine's literals.
+def _sql_q69() -> str:
+    from ner_ray.functions.texttools import NORM_CONTROL_RE
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' hdr' || chr(9) || 'cafe' || chr(769) ||
+         repeat(chr(7), CAST(doc_id % 3 AS INTEGER)) ||
+         '  A' || chr(778) || 'e-' || doc_id || ' ' || chr(10) AS t
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(nfc_normalize(t),
+              '{NORM_CONTROL_RE}', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g')) AS norm_text
+  FROM aug
+)
+SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars FROM n
+"""
+
+
+SQL_Q69 = _sql_q69()
+
+
 # ---------------------------------------------------------------------------
 
 # Priority-ordered: every oracle-backed query first (these carry the
@@ -3052,6 +3118,7 @@ RAY_QUERIES = {
     "q66_shuffle_shards": q66_shuffle_shards,
     "q67_sequence_chunks": q67_sequence_chunks,
     "q68_bpe_tokenize": q68_bpe_tokenize,
+    "q69_normalize_text": q69_normalize_text,
 }
 
 ORACLE_SQL = {
@@ -3112,6 +3179,7 @@ ORACLE_SQL = {
     "q65_dup_ngram_spans": SQL_Q65,
     "q66_shuffle_shards": _q66_sql(),
     "q67_sequence_chunks": SQL_Q67,
+    "q69_normalize_text": SQL_Q69,
 }
 
 

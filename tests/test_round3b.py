@@ -688,3 +688,30 @@ class TestBpeStage:
         ds = rd.from_arrow(t).repartition(2)
         top2 = bpe_word_counts(ds, max_vocab_words=2)
         assert top2 == {"aa": 4, "bb": 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNormalizeText:
+    def test_kernel_semantics(self):
+        from ner_ray.functions.texttools import normalize_text_array
+
+        arr = pa.array(
+            [
+                "café \t Å",   # decomposed é / Å must compose
+                "a\x00b\x07c\x1fd\x7fe",    # C0 controls + DEL stripped
+                "  x \n\n y\tz  ",          # ws runs collapse, edges trim
+                None,
+                "",
+            ],
+            pa.string(),
+        )
+        norm, n = normalize_text_array(arr)
+        assert norm.to_pylist() == ["café Å", "abcde", "x y z", None, ""]
+        # composed forms are single codepoints: é=U+00E9, Å=U+00C5
+        assert [ord(c) for c in norm[0].as_py()] == [
+            0x63, 0x61, 0x66, 0xE9, 0x20, 0xC5,
+        ]
+        assert n.to_pylist() == [6, 5, 5, None, 0]
+
+    def test_q69_twin(self):
+        _twin_check("q69_normalize_text")
