@@ -2610,6 +2610,68 @@ def q69_normalize_text(sf_dir: str) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q70_domain_rollup(sf_dir: str) -> pd.DataFrame:
+    """URL domain extraction + per-domain rollup — the source/domain filter
+    stage of a web-corpus pipeline (domain allow/deny lists, per-domain
+    byte budgets).  The fixture text carries no URLs, so one is derived
+    deterministically per row (the same ``||`` construction the SQL twin
+    uses — the read stays pruned to ``doc_id, n_chars``; ``text`` is never
+    loaded), the domain is pulled with the vectorized RE2 ``extract_regex``
+    kernel, and the rollup uses the no-shuffle combiner
+    (``grouped_agg_partial``: 55 distinct domains, far under its
+    low-cardinality contract)."""
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def _mod(x, n):  # pyarrow.compute has no modulo kernel
+        return pc.subtract(x, pc.multiply(pc.divide(x, n), n))
+
+    def fn(t: pa.Table) -> pa.Table:
+        aug = pc.binary_join_element_wise(
+            "see https://sub",
+            pc.cast(_mod(t["doc_id"], 5), pa.string()),
+            ".host",
+            pc.cast(_mod(t["doc_id"], 11), pa.string()),
+            ".example/p",
+            pc.cast(t["doc_id"], pa.string()),
+            " tail",
+            "",
+        )
+        dom = pc.struct_field(
+            pc.extract_regex(aug, pattern=r"https?://(?P<domain>[^/\s]+)"), "domain"
+        )
+        return pa.table(
+            {"domain": dom, "n_chars": t["n_chars"], "doc_id": t["doc_id"]}
+        )
+
+    return grouped_agg_partial(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        keys=["domain"],
+        sums={"sum_chars": "n_chars"},
+        count_col="n_docs",
+        mins={"min_doc": "doc_id"},
+    )
+
+
+SQL_Q70 = r"""
+WITH aug AS (
+  SELECT doc_id, n_chars,
+         'see https://sub' || (doc_id % 5) || '.host' || (doc_id % 11) ||
+         '.example/p' || doc_id || ' tail' AS t
+  FROM documents
+),
+d AS (
+  SELECT doc_id, n_chars,
+         regexp_extract(t, 'https?://([^/\s]+)', 1) AS domain
+  FROM aug
+)
+SELECT domain, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(*) AS n_docs, min(doc_id) AS min_doc
+FROM d GROUP BY domain
+"""
+
+
 def kg_degree_stats(sf_dir: str) -> pd.DataFrame:
     """Graph analytics over the emitted KG: per-entity degrees."""
     from ner_ray.stages.graph import degree_stats
@@ -3119,6 +3181,7 @@ RAY_QUERIES = {
     "q67_sequence_chunks": q67_sequence_chunks,
     "q68_bpe_tokenize": q68_bpe_tokenize,
     "q69_normalize_text": q69_normalize_text,
+    "q70_domain_rollup": q70_domain_rollup,
 }
 
 ORACLE_SQL = {
@@ -3180,6 +3243,7 @@ ORACLE_SQL = {
     "q66_shuffle_shards": _q66_sql(),
     "q67_sequence_chunks": SQL_Q67,
     "q69_normalize_text": SQL_Q69,
+    "q70_domain_rollup": SQL_Q70,
 }
 
 

@@ -715,3 +715,8 @@ class TestNormalizeText:
 
     def test_q69_twin(self):
         _twin_check("q69_normalize_text")
+
+
+class TestDomainRollup:
+    def test_q70_twin(self):
+        _twin_check("q70_domain_rollup")
