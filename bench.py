@@ -106,6 +106,9 @@ def run_bench() -> dict:
         "q63_quality_classifier",
         "q64_salted_join",
         "q65_dup_ngram_spans",
+        # final round-3 additions: text hygiene + domain rollup
+        "q69_normalize_text",
+        "q70_domain_rollup",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)
