@@ -109,6 +109,9 @@ def run_bench() -> dict:
         # final round-3 additions: text hygiene + domain rollup
         "q69_normalize_text",
         "q70_domain_rollup",
+        # round-4 additions: LM perplexity filter + domain quota sampling
+        "q71_lm_perplexity",
+        "q72_domain_quota_sample",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -2654,6 +2654,169 @@ def q70_domain_rollup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_QUOTA_PER_DOMAIN = 5
+
+
+def q72_domain_quota_sample(sf_dir: str) -> Dataset:
+    """Per-domain quota sampling — the per-source byte/doc budget step of a
+    web-corpus pipeline (composes over q70's domain extraction): keep at
+    most Q docs per domain, chosen by splitmix64(doc_id) hash order so the
+    sample is reproducible across runs, cluster sizes, and input
+    partitionings (no RNG state, no global sort).  Distributed shape:
+    ``top_n_per_group(ascending=True)`` — a per-block bottom-N pre-combiner
+    bounds every domain's shuffle contribution at Q rows per block, so a
+    mega-domain (the web's hottest host) lands a bounded group on its
+    reducer.  The twin re-derives splitmix64 in HUGEINT SQL (the q66 idiom)
+    and ranks with an ASC window."""
+    from ner_ray.stages.relational import top_n_per_group
+    from ner_ray.stages.sketches import splitmix64
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def _mod(x, n):  # pyarrow.compute has no modulo kernel
+        return pc.subtract(x, pc.multiply(pc.divide(x, n), n))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        dom = pc.binary_join_element_wise(
+            "sub",
+            pc.cast(_mod(t["doc_id"], 5), pa.string()),
+            ".host",
+            pc.cast(_mod(t["doc_id"], 11), pa.string()),
+            ".example",
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "domain": dom,
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    out = top_n_per_group(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        key_col="domain",
+        order_col="h",
+        n=_QUOTA_PER_DOMAIN,
+        tiebreak_col="doc_id",
+        rank_col="pos",
+        ascending=True,
+    )
+    return out.select_columns(["doc_id", "domain", "pos"])
+
+
+def _q72_sql(q: int = _QUOTA_PER_DOMAIN) -> str:
+    """HUGEINT re-derivation of splitmix64(doc_id) (the _q66_sql idiom) +
+    the q70 domain construction + an ASC row_number quota."""
+    t64 = 1 << 64
+    t32 = 1 << 32
+    a0, b1, c1 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mul(x: str, const: int) -> str:
+        hi, lo = const >> 32, const & (t32 - 1)
+        return (
+            f"((((({x}) // {t32}) * {lo} + (({x}) % {t32}) * {hi}) % {t32}) * {t32}"
+            f" + (({x}) % {t32}) * {lo}) % {t64}::HUGEINT"
+        )
+
+    return f"""
+WITH z0 AS (
+  SELECT doc_id,
+         ((doc_id::HUGEINT + {a0}::HUGEINT) % {t64}::HUGEINT + {t64}::HUGEINT)
+           % {t64}::HUGEINT AS z
+  FROM documents
+),
+x1 AS (SELECT doc_id, xor(z, z // {1 << 30}) AS x FROM z0),
+z1 AS (SELECT doc_id, {mul('x', b1)} AS z FROM x1),
+x2 AS (SELECT doc_id, xor(z, z // {1 << 27}) AS x FROM z1),
+z2 AS (SELECT doc_id, {mul('x', c1)} AS z FROM x2),
+h AS (
+  SELECT doc_id, xor(z, z // {1 << 31}) AS h,
+         'sub' || (doc_id % 5) || '.host' || (doc_id % 11) || '.example' AS domain
+  FROM z2
+),
+ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS pos
+  FROM h
+)
+SELECT doc_id, domain, CAST(pos AS BIGINT) AS pos FROM ranked WHERE pos <= {q}
+"""
+
+
+SQL_Q72 = _q72_sql()
+
+
+_LM_THRESHOLD_MICROS = -3_444_000  # fixture p10 ≈ -3.444 nats/token
+
+
+def q71_lm_perplexity(sf_dir: str) -> Dataset:
+    """Bigram-LM perplexity filter (CCNet-style quality signal): train a
+    stupid-backoff bigram model on the corpus (distributed (gram, c)
+    combiner, min_count prune inside the plan, vocab-sized broadcast), then
+    score every doc's average token log-prob in one stateless pass and flag
+    the low-likelihood tail (threshold at the fixture p10 so the flag is
+    exercised).  Per-token log-probs quantize to integer micros BEFORE the
+    per-doc sum (the q56 idiom) so the twin's arbitrary-order BIGINT
+    addition is exact; the flag compares pure integers."""
+    from ner_ray.stages.lm import lm_perplexity_filter
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return lm_perplexity_filter(ds, threshold_micros=_LM_THRESHOLD_MICROS)
+
+
+def _lm_sql(min_count: int = 2, thr: int = _LM_THRESHOLD_MICROS) -> str:
+    """q71 twin: DuckDB re-derives the unigram/bigram counts, the pruning,
+    and every per-token stupid-backoff log-prob with the same association
+    order as stages/lm.py, then folds the same integer micros."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+uni AS (
+  SELECT g, count(*)::BIGINT AS c
+  FROM (SELECT unnest(w) AS g FROM tok) GROUP BY g
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+bic AS (
+  SELECT g, count(*)::BIGINT AS c
+  FROM (SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        FROM tok)
+  GROUP BY g HAVING count(*) >= {min_count}
+),
+seq AS (
+  SELECT doc_id, w[i] AS tk, CASE WHEN i > 1 THEN w[i-1] END AS prev
+  FROM tok, unnest(generate_series(1, len(w))) AS s(i)
+),
+scored AS (
+  SELECT seq.doc_id,
+         CASE
+           WHEN seq.prev IS NULL THEN ln(CAST(u.c AS DOUBLE) / (SELECT t FROM tot))
+           WHEN b.c IS NOT NULL THEN ln(CAST(b.c AS DOUBLE) / CAST(up.c AS DOUBLE))
+           ELSE ln(0.4 * CAST(u.c AS DOUBLE) / (SELECT t FROM tot))
+         END AS lnp
+  FROM seq
+  JOIN uni u ON u.g = seq.tk
+  LEFT JOIN uni up ON up.g = seq.prev
+  LEFT JOIN bic b ON b.g = seq.prev || ' ' || seq.tk
+),
+m AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CAST(floor(lnp * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_lp_micros
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_lp_micros,
+       (sum_lp_micros / 1000000.0) / n_tokens AS avg_logprob,
+       CASE WHEN sum_lp_micros < {thr} * n_tokens THEN 1 ELSE 0 END::BIGINT AS flagged
+FROM m
+"""
+
+
+SQL_Q71 = _lm_sql()
+
+
 SQL_Q70 = r"""
 WITH aug AS (
   SELECT doc_id, n_chars,
@@ -3182,6 +3345,8 @@ RAY_QUERIES = {
     "q68_bpe_tokenize": q68_bpe_tokenize,
     "q69_normalize_text": q69_normalize_text,
     "q70_domain_rollup": q70_domain_rollup,
+    "q71_lm_perplexity": q71_lm_perplexity,
+    "q72_domain_quota_sample": q72_domain_quota_sample,
 }
 
 ORACLE_SQL = {
@@ -3244,6 +3409,8 @@ ORACLE_SQL = {
     "q67_sequence_chunks": SQL_Q67,
     "q69_normalize_text": SQL_Q69,
     "q70_domain_rollup": SQL_Q70,
+    "q71_lm_perplexity": SQL_Q71,
+    "q72_domain_quota_sample": SQL_Q72,
 }
 
 

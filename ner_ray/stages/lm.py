@@ -1,0 +1,239 @@
+"""N-gram language-model perplexity filter (the CCNet / KenLM-style quality
+signal): score every document by the average log-probability of its tokens
+under a bigram stupid-backoff model trained on the corpus itself, and flag
+the low-likelihood tail (boilerplate, gibberish, lorem-ipsum, non-text).
+
+Wenzek et al. 2020 (CCNet) filter Common Crawl with a KenLM 5-gram model;
+the distributed *shape* is what matters here, reproduced for a bigram
+stupid-backoff model (Brants et al. 2007) small enough to train on the
+corpus under test.  Reference repo has no equivalent (confirmed-by-absence,
+SURVEY §2 Part B preamble); this is one of the beyond-reference
+LLM-pipeline operators the engine adds.
+
+Scale shape
+-----------
+Training is the TF-IDF/DF combiner pattern (queries.q43): each block folds
+its token stream into *narrow* ``(gram, c)`` partial-count rows (a Counter
+per block — one row per distinct gram per block, never the token stream),
+one vocabulary-keyed ``groupby().sum`` combines them, and the model prunes
+**inside the distributed plan** before anything reaches the driver: bigrams
+below ``min_count`` are dropped (they back off to unigrams anyway), and an
+optional ``max_bigrams`` cap keeps the highest-count bigrams with a
+deterministic ``(count desc, gram asc)`` tie-break — truncation is LOGGED,
+never silent.  What the driver collects and ``ray.put``-broadcasts is the
+pruned vocabulary-sized model (the same contract as the q43 IDF broadcast
+and the linker alias dict), NOT anything corpus-sized.
+
+Scoring is a stateless ``map_batches`` pass with zero shuffle: token and
+bigram strings map through the broadcast count dicts via vectorized pandas
+hash lookups, and the per-doc fold is a ``bincount`` over the flattened
+token stream.
+
+Cross-engine exactness (the q56/BM25 idiom): every per-token log-prob is
+floor-quantized to integer micros BEFORE the per-doc sum, so the DuckDB
+twin's arbitrary-order BIGINT addition is exact; the flag compares
+``sum_micros < threshold_micros * n_tokens`` in pure integers.  The model
+probabilities divide BIGINT counts cast to DOUBLE with the same
+association order on both sides.
+
+Tokenization is the corpus-analytics idiom shared with q43/q44/q55:
+``[a-z0-9]+`` over ``lower(text)``.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from ner_ray.stages.decontam import TOKEN_RE
+
+logger = logging.getLogger(__name__)
+
+BACKOFF = 0.4  # Brants et al. 2007 stupid-backoff constant
+
+
+def train_bigram_lm(
+    ds: Dataset,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_bigrams: int | None = None,
+) -> tuple[dict[str, int], dict[str, int], float]:
+    """Count unigrams and bigrams over the corpus and return
+    ``(unigram_counts, bigram_counts, total_tokens)``.
+
+    Unigrams keep every token (the backoff denominator needs them all and
+    the table is vocabulary-sized); bigrams prune at ``min_count`` inside
+    the distributed plan and optionally cap at ``max_bigrams``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for x in t[text_col].to_pylist():
+            if x is None:
+                continue
+            toks = TOKEN_RE.findall(x.lower())
+            uni.update(toks)
+            # the space separator is unambiguous: unigrams never contain one
+            bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        grams = list(uni.keys()) + list(bi.keys())
+        cs = list(uni.values()) + list(bi.values())
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_bi = pc.match_substring(t["gram"], " ")
+        keep = pc.or_(pc.invert(is_bi), pc.greater_equal(t["c"], min_count))
+        return t.filter(keep)
+
+    pruned = counts.map_batches(prune, batch_format="pyarrow").to_pandas()
+    is_bi = pruned["gram"].str.contains(" ", regex=False)
+    uni_tbl, bi_tbl = pruned[~is_bi], pruned[is_bi]
+    if max_bigrams is not None and len(bi_tbl) > max_bigrams:
+        logger.warning(
+            "bigram model truncated %d -> %d (count desc, gram asc)",
+            len(bi_tbl),
+            max_bigrams,
+        )
+        bi_tbl = bi_tbl.sort_values(
+            ["c", "gram"], ascending=[False, True], kind="mergesort"
+        ).head(max_bigrams)
+    uni = dict(zip(uni_tbl["gram"], uni_tbl["c"].astype(int)))
+    bi = dict(zip(bi_tbl["gram"], bi_tbl["c"].astype(int)))
+    total = float(sum(uni.values()))
+    return uni, bi, total
+
+
+def score_tokens(
+    toks: list[str],
+    uni: dict[str, int],
+    bi: dict[str, int],
+    total: float,
+) -> list[float]:
+    """Pure per-token log-prob kernel (pytest reference for the vectorized
+    path): first token scores ``ln(c_w / T)``; a token whose ``(prev, w)``
+    bigram survives pruning scores ``ln(c_bi / c_prev)``; otherwise stupid
+    backoff ``ln(0.4 * c_w / T)``."""
+    import math
+
+    out = []
+    for i, w in enumerate(toks):
+        if i == 0:
+            out.append(math.log(float(uni[w]) / total))
+            continue
+        g = f"{toks[i - 1]} {w}"
+        if g in bi:
+            out.append(math.log(float(bi[g]) / float(uni[toks[i - 1]])))
+        else:
+            out.append(math.log(BACKOFF * float(uni[w]) / total))
+    return out
+
+
+def lm_perplexity_filter(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_bigrams: int | None = None,
+    threshold_micros: int = -7_000_000,
+) -> Dataset:
+    """Score every doc's average token log-prob under the corpus bigram LM
+    and flag docs below ``threshold_micros`` (micros of nats/token).
+
+    Output: ``(doc_id, n_tokens, sum_lp_micros, avg_logprob, flagged)`` —
+    one row per document with at least one token.  ``avg_logprob`` derives
+    from the integers on both engine sides (``sum/1e6/n``), so the hash
+    comparison stays exact.
+    """
+    import ray as _ray
+
+    uni, bi, total = train_bigram_lm(
+        ds, text_col=text_col, min_count=min_count, max_bigrams=max_bigrams
+    )
+    uni_ref, bi_ref = _ray.put(uni), _ray.put(bi)
+
+    def score(t: pa.Table) -> pa.Table:
+        uni_m = _ray.get(uni_ref)
+        bi_m = _ray.get(bi_ref)
+        doc_ids: list[int] = []
+        toks_all: list[str] = []
+        prev_all: list[str | None] = []
+        doc_idx: list[int] = []
+        n_toks: list[int] = []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = TOKEN_RE.findall(x.lower()) if x is not None else []
+            if not toks:
+                continue
+            j = len(doc_ids)
+            doc_ids.append(did)
+            n_toks.append(len(toks))
+            toks_all.extend(toks)
+            prev_all.append(None)
+            prev_all.extend(toks[:-1])
+            doc_idx.extend([j] * len(toks))
+        if not doc_ids:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "sum_lp_micros": pa.array([], pa.int64()),
+                    "avg_logprob": pa.array([], pa.float64()),
+                    "flagged": pa.array([], pa.int64()),
+                }
+            )
+        tok_s = pd.Series(toks_all, dtype=object)
+        prev_s = pd.Series(prev_all, dtype=object)
+        c_w = tok_s.map(uni_m).to_numpy(dtype=np.float64)
+        has_prev = prev_s.notna().to_numpy()
+        c_prev = prev_s.map(uni_m).to_numpy(dtype=np.float64, na_value=np.nan)
+        # "\x00" never tokenizes, so first-token sentinels cannot hit a real
+        # bigram key (and object-dtype None + str would raise in pandas)
+        big = prev_s.fillna("\x00") + " " + tok_s
+        c_bi = big.map(bi_m).to_numpy(dtype=np.float64, na_value=np.nan)
+        hit = has_prev & ~np.isnan(c_bi)
+        # association order mirrors the SQL twin exactly:
+        #   hit:      ln(CAST(c_bi AS DOUBLE) / CAST(c_prev AS DOUBLE))
+        #   backoff:  ln(0.4 * c_w / T)   (left-assoc in numpy and SQL)
+        #   first:    ln(c_w / T)
+        lnp = np.empty(len(tok_s), dtype=np.float64)
+        lnp[hit] = np.log(c_bi[hit] / c_prev[hit])
+        miss = has_prev & ~hit
+        lnp[miss] = np.log(BACKOFF * c_w[miss] / total)
+        first = ~has_prev
+        lnp[first] = np.log(c_w[first] / total)
+        micros = np.floor(lnp * 1e6 + 0.5).astype(np.int64)
+        sums = np.bincount(doc_idx, weights=micros, minlength=len(doc_ids)).astype(
+            np.int64
+        )
+        n = np.asarray(n_toks, dtype=np.int64)
+        avg = (sums / 1e6) / n
+        flagged = (sums < threshold_micros * n).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "sum_lp_micros": pa.array(sums, pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+                "flagged": pa.array(flagged, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

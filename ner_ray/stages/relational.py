@@ -160,7 +160,12 @@ def grouped_agg_partial(
 
 
 def _block_topn(
-    batch: pa.Table, key_col: str, order_col: str, n: int, tiebreak_col: str
+    batch: pa.Table,
+    key_col: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str,
+    ascending: bool = False,
 ) -> pa.Table:
     """Per-block per-key top-N in Arrow (the shuffle pre-combiner of
     ``top_n_per_group``): sort the block, then keep the first N rows of each
@@ -168,7 +173,11 @@ def _block_topn(
     if batch.num_rows <= n:
         return batch
     t = batch.sort_by(
-        [(key_col, "ascending"), (order_col, "descending"), (tiebreak_col, "ascending")]
+        [
+            (key_col, "ascending"),
+            (order_col, "ascending" if ascending else "descending"),
+            (tiebreak_col, "ascending"),
+        ]
     )
     key = t[key_col]
     if isinstance(key, pa.ChunkedArray):
@@ -188,9 +197,12 @@ def top_n_per_group(
     n: int,
     tiebreak_col: str,
     rank_col: str = "rn",
+    ascending: bool = False,
 ) -> Dataset:
     """Per-group top-N with a deterministic rank (DuckDB twin:
-    ``row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie)``).
+    ``row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie)``;
+    ``ascending=True`` flips the order column to ASC — the bottom-N /
+    quota-sampling form — with the same pre-combine exactness argument).
 
     Scale shape: a per-block Arrow PRE-COMBINER keeps only the top-N rows per
     key per block before the hash shuffle, so the groupby moves at most
@@ -200,11 +212,11 @@ def top_n_per_group(
     per-block top-Ns (min/max distributivity)."""
 
     def precombine(batch: pa.Table) -> pa.Table:
-        return _block_topn(batch, key_col, order_col, n, tiebreak_col)
+        return _block_topn(batch, key_col, order_col, n, tiebreak_col, ascending)
 
     def head(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
-            [order_col, tiebreak_col], ascending=[False, True], kind="mergesort"
+            [order_col, tiebreak_col], ascending=[ascending, True], kind="mergesort"
         ).head(n)
         g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
