@@ -151,8 +151,13 @@ def _tags_table(conv, turn, texts, spans_per_row) -> pa.Table:
 class NeuralTagger:
     """BiLSTM-CRF inference actor (reference M1-M5 machinery, numpy).
 
-    Model state arrives one of three ways:
+    Model state arrives one of four ways (first match wins):
 
+    - ``weights_path`` (str): load a TRAINED checkpoint from
+      ``state.checkpoint`` layout (weights.npz + meta.json on shared
+      storage).  A plain string keeps the actor restartable — the restarted
+      actor just re-reads the path (no ObjectRef in the task spec,
+      ray#53727); on a real cluster this is NFS/S3 via pyarrow.fs.
     - ``model_spec`` (dict of ``FrozenBiLSTM.create`` kwargs): the model is
       REBUILT deterministically inside ``__init__`` — constructor args stay
       plain values, so Ray can restart a lost actor from the task spec alone
@@ -161,7 +166,7 @@ class NeuralTagger:
     - ``model_ref`` (``ray.ObjectRef`` from ``ray.put``): one shared
       object-store copy — the pattern for a real multi-GB trained checkpoint
       that cannot be rebuilt per actor (accepting the restart caveat).
-    - neither: build the default frozen model in-actor.
+    - none of the above: build the default frozen model in-actor.
 
     Long turns are processed in segments of ``max_seq_len`` and the decoded
     tags stitched (chunk-and-stitch; the reference instead TRUNCATES at
@@ -176,8 +181,13 @@ class NeuralTagger:
         output: str = "mentions",
         max_seq_len: int = 256,
         strict_reference_mode: bool = False,
+        weights_path: str | None = None,
     ):
-        if model_spec is not None:
+        if weights_path is not None:
+            from ner_ray.state.checkpoint import load_bilstm
+
+            self.model = load_bilstm(weights_path)
+        elif model_spec is not None:
             self.model = FrozenBiLSTM.create(**model_spec)
         elif model_ref is not None:
             import ray
@@ -303,9 +313,11 @@ class BertTagger:
     char spans via token offsets (E1).
 
     Same actor-pool interface as the other taggers; model state arrives via
-    ``model_spec`` (``FrozenTinyBert.create`` kwargs, rebuilt in-actor —
-    restart-safe, see ``NeuralTagger``), ``model_ref`` (one object-store copy
-    for a real non-rebuildable checkpoint), or neither (frozen default).
+    ``weights_path`` (a TRAINED ``state.checkpoint`` directory on shared
+    storage — restart-safe, see ``NeuralTagger``), ``model_spec``
+    (``FrozenTinyBert.create`` kwargs, rebuilt in-actor — restart-safe),
+    ``model_ref`` (one object-store copy for a real non-rebuildable
+    checkpoint), or none of them (frozen default).
     """
 
     def __init__(
@@ -316,10 +328,15 @@ class BertTagger:
         max_seq_length: int = 128,
         strict_reference_mode: bool = False,
         decode: str = "crf",  # "crf" (BLSTM_CRF head, Viterbi) | "softmax" (argmax)
+        weights_path: str | None = None,
     ):
         from ner_ray.state.bert import BERT_LABELS, FrozenTinyBert, bert_bio_transitions
 
-        if model_spec is not None:
+        if weights_path is not None:
+            from ner_ray.state.checkpoint import load_bert
+
+            self.model = load_bert(weights_path)
+        elif model_spec is not None:
             self.model = FrozenTinyBert.create(**model_spec)
         elif model_ref is not None:
             import ray

@@ -16,8 +16,9 @@ trained weights, no TF/torch and no network, so the neural path ships a
   Chinese corpora).
 
 Everything is a pure function of the seed: same weights in every actor, every
-run.  Real trained weights would be dropped in by replacing ``create`` with a
-checkpoint loader; the actor/stage plumbing is identical.
+run.  Real trained weights drop in through ``state.checkpoint``
+(``save_bilstm`` / ``load_bilstm``; taggers take ``weights_path=``) — the
+actor/stage plumbing is identical.
 """
 
 from __future__ import annotations

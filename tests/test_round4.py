@@ -187,3 +187,101 @@ class TestDomainQuota:
 
     def test_q72_twin(self):
         _twin_check("q72_domain_quota_sample")
+
+
+def _mk_batch(texts, conv="c1"):
+    return pa.table(
+        {
+            "conv_id": pa.array([conv] * len(texts), pa.string()),
+            "turn_idx": pa.array(range(len(texts)), pa.int32()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+_CKPT_TEXTS = ["Alice Chen works at Acme Corp.", "张伟在南京大学。"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckpoint:
+    def test_bilstm_roundtrip_bit_equal(self, tmp_path):
+        from ner_ray.stages.tagger import NeuralTagger
+        from ner_ray.state.checkpoint import load_bilstm, save_bilstm
+        from ner_ray.state.model import FrozenBiLSTM
+
+        m = FrozenBiLSTM.create()
+        p = str(tmp_path / "bilstm_ckpt")
+        save_bilstm(m, p)
+        m2 = load_bilstm(p)
+        np.testing.assert_array_equal(m.embed, m2.embed)
+        np.testing.assert_array_equal(m.transitions, m2.transitions)
+        assert m.word2id == m2.word2id
+        base = NeuralTagger()(_mk_batch(_CKPT_TEXTS)).to_pylist()
+        loaded = NeuralTagger(weights_path=p)(_mk_batch(_CKPT_TEXTS)).to_pylist()
+        assert loaded == base and len(base) > 0
+
+    def test_bert_roundtrip_bit_equal(self, tmp_path):
+        from ner_ray.stages.tagger import BertTagger
+        from ner_ray.state.bert import FrozenTinyBert
+        from ner_ray.state.checkpoint import load_bert, save_bert
+
+        m = FrozenTinyBert.create()
+        p = str(tmp_path / "bert_ckpt")
+        save_bert(m, p)
+        m2 = load_bert(p)
+        np.testing.assert_array_equal(m.word_emb, m2.word_emb)
+        assert m.vocab_list == m2.vocab_list
+        for lw, lw2 in zip(m.layers, m2.layers):
+            np.testing.assert_array_equal(lw["wq"], lw2["wq"])
+        base = BertTagger()(_mk_batch(_CKPT_TEXTS)).to_pylist()
+        loaded = BertTagger(weights_path=p)(_mk_batch(_CKPT_TEXTS)).to_pylist()
+        assert loaded == base and len(base) > 0
+
+    def test_trained_weights_actually_consumed(self, tmp_path):
+        """A checkpoint with different learned knowledge (prior zeroed) must
+        change the decode — proves weights_path feeds the forward pass."""
+        from ner_ray.stages.tagger import NeuralTagger
+        from ner_ray.state.checkpoint import save_bilstm
+        from ner_ray.state.model import FrozenBiLSTM
+
+        m = FrozenBiLSTM.create()
+        m.prior = np.zeros_like(m.prior)
+        p = str(tmp_path / "ablated_ckpt")
+        save_bilstm(m, p)
+        base = NeuralTagger()(_mk_batch(_CKPT_TEXTS)).to_pylist()
+        ablated = NeuralTagger(weights_path=p)(_mk_batch(_CKPT_TEXTS)).to_pylist()
+        assert ablated != base
+
+    def test_actor_pool_stage_takes_weights_path(self, tmp_path):
+        from ner_ray.stages.tagger import tag_transcripts
+        from ner_ray.state.bert import FrozenTinyBert
+        from ner_ray.state.checkpoint import save_bert
+
+        p = str(tmp_path / "pool_ckpt")
+        save_bert(FrozenTinyBert.create(), p)
+        ds = rd.from_arrow(_mk_batch(_CKPT_TEXTS * 4))
+        base = (
+            tag_transcripts(ds, tagger="bert", concurrency=2)
+            .to_pandas()
+            .sort_values(["turn_idx", "start"])
+            .reset_index(drop=True)
+        )
+        loaded = (
+            tag_transcripts(ds, tagger="bert", concurrency=2, weights_path=p)
+            .to_pandas()
+            .sort_values(["turn_idx", "start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(loaded, base)
+        assert len(base) > 0
+
+    def test_torn_or_wrong_format_rejected(self, tmp_path):
+        from ner_ray.state.checkpoint import load_bert, load_bilstm, save_bilstm
+        from ner_ray.state.model import FrozenBiLSTM
+
+        with pytest.raises(FileNotFoundError):
+            load_bilstm(str(tmp_path / "nope"))
+        p = str(tmp_path / "fmt")
+        save_bilstm(FrozenBiLSTM.create(), p)
+        with pytest.raises(ValueError):
+            load_bert(p)
