@@ -285,3 +285,44 @@ class TestCheckpoint:
         save_bilstm(FrozenBiLSTM.create(), p)
         with pytest.raises(ValueError):
             load_bert(p)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTaggerEvalGolden:
+    """Hard value gates for the one non-SQL flagship row (kg_tagger_eval):
+    the E2 P/R/F1 report AND the raw BERT mention set are pinned as frozen
+    goldens at sf0.001 — any drift anywhere in the neural path (wordpiece,
+    encoder, decode, BIO fold, the conlleval combiner) breaks them."""
+
+    def test_eval_report_matches_golden(self):
+        import json
+
+        from ner_ray.pipelines.queries import kg_tagger_eval
+
+        got = kg_tagger_eval("/root/testdata/sf0.001")
+        with open("tests/golden/golden_tagger_eval_sf0001.json") as f:
+            exp = pd.DataFrame(json.load(f))
+        pd.testing.assert_frame_equal(
+            got.sort_values("type").reset_index(drop=True),
+            exp.sort_values("type").reset_index(drop=True),
+            check_dtype=False,
+        )
+        # the substitute BERT path must stay an exact reproduction of the
+        # rule gold on the fixture corpus (P=R=F1=1.0 across all rows)
+        assert (got[["precision", "recall", "f1"]] == 1.0).all().all()
+
+    def test_bert_mentions_match_golden(self):
+        import pyarrow.parquet as pq
+
+        from ner_ray.pipelines.queries import kg_bert_mentions
+
+        got = (
+            kg_bert_mentions("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx", "start", "end", "type"])
+            .reset_index(drop=True)
+        )
+        exp = pq.read_table(
+            "tests/golden/golden_bert_mentions_sf0001.parquet"
+        ).to_pandas()
+        pd.testing.assert_frame_equal(got, exp)
