@@ -109,9 +109,13 @@ def run_bench() -> dict:
         # final round-3 additions: text hygiene + domain rollup
         "q69_normalize_text",
         "q70_domain_rollup",
-        # round-4 additions: LM perplexity filter + domain quota sampling
+        # round-4 additions: LM perplexity, quota sampling, conv stats,
+        # weighted sampling, watermark late-data
         "q71_lm_perplexity",
         "q72_domain_quota_sample",
+        "q73_conv_stats",
+        "q74_weighted_sample",
+        "q75_late_events",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -2654,6 +2654,219 @@ def q70_domain_rollup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q73_conv_stats(sf_dir: str) -> Dataset:
+    """Conversation-level rollup over the flagship TRANSCRIPTS table (the
+    BASELINE.json input_hint shape): per conv_id — turn count, distinct
+    roles, tool-call count, total chars, first-to-last-turn span.  Narrow
+    rows only enter the shuffle (lengths/epochs are computed in a stateless
+    pre-pass; the wide ``text`` column never leaves the read stage), then
+    ONE ``groupby(conv_id).map_groups`` under the engine's standing
+    partitioning contract (a conversation fits a worker — the same bound
+    order_restore salts against for mega-convs).  Dynamic twin over the
+    generated fixture path (the kg_order_restore pattern)."""
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(
+        path, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "role": t["role"],
+                "is_tool": pc.cast(
+                    pc.and_kleene(pc.is_valid(t["tool"]), pc.not_equal(t["tool"], "")),
+                    pa.int64(),
+                ),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_turns": np.array([len(g)], np.int64),
+                "n_roles": np.array([g["role"].nunique()], np.int64),
+                "n_tool_calls": np.array([g["is_tool"].sum()], np.int64),
+                "total_chars": np.array([g["n_chars"].sum()], np.int64),
+                "span_us": np.array(
+                    [g["ts_us"].max() - g["ts_us"].min()], np.int64
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("conv_id")
+        .map_groups(stats, batch_format="pandas")
+    )
+
+
+_WS_K = 50
+
+
+def q74_weighted_sample(sf_dir: str) -> Dataset:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res): every doc draws u = splitmix64(doc_id)
+    mapped into (0, 1], keys by ln(u)/w (w = n_chars — longer docs
+    proportionally likelier), and the global top-K keys win.  Reproducible
+    across runs, cluster sizes, and partitionings (no RNG state).  Scale
+    shape: a per-block top-K pre-combiner (``_block_topn``) bounds the
+    final sort's input at K rows per block — the all-to-all moves K·blocks
+    rows, never the corpus.  Keys floor-quantize to micros so the twin's
+    HUGEINT-re-derived hash + the same IEEE double chain rank identically."""
+    from ner_ray.stages.relational import _block_topn
+    from ner_ray.stages.sketches import splitmix64
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        h = splitmix64(ids.astype(np.uint64))
+        # (h >> 11) + 1 in (0, 2^53]: exact in double; * 2^-53 is an exact
+        # power-of-two scale, so u is the identical double the twin computes
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
+        k = np.log(u) / w
+        tbl = pa.table(
+            {
+                "_g": pa.array(np.zeros(len(ids), np.int64)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "weight": pa.array(w.astype(np.int64), pa.int64()),
+                "key_micros": pa.array(
+                    np.floor(k * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        return _block_topn(tbl, "_g", "key_micros", _WS_K, "doc_id")
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .sort(["key_micros", "doc_id"], descending=[True, False])
+        .limit(_WS_K)
+        .select_columns(["doc_id", "weight", "key_micros"])
+    )
+
+
+def _q74_sql(k: int = _WS_K) -> str:
+    t64 = 1 << 64
+    t32 = 1 << 32
+    a0, b1, c1 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mul(x: str, const: int) -> str:
+        hi, lo = const >> 32, const & (t32 - 1)
+        return (
+            f"((((({x}) // {t32}) * {lo} + (({x}) % {t32}) * {hi}) % {t32}) * {t32}"
+            f" + (({x}) % {t32}) * {lo}) % {t64}::HUGEINT"
+        )
+
+    return f"""
+WITH d AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+z0 AS (
+  SELECT doc_id, n_chars,
+         ((doc_id::HUGEINT + {a0}::HUGEINT) % {t64}::HUGEINT + {t64}::HUGEINT)
+           % {t64}::HUGEINT AS z
+  FROM d
+),
+x1 AS (SELECT doc_id, n_chars, xor(z, z // {1 << 30}) AS x FROM z0),
+z1 AS (SELECT doc_id, n_chars, {mul('x', b1)} AS z FROM x1),
+x2 AS (SELECT doc_id, n_chars, xor(z, z // {1 << 27}) AS x FROM z1),
+z2 AS (SELECT doc_id, n_chars, {mul('x', c1)} AS z FROM x2),
+h AS (SELECT doc_id, n_chars, xor(z, z // {1 << 31}) AS h FROM z2),
+keyed AS (
+  SELECT doc_id, n_chars AS weight,
+         CAST(floor(ln(CAST(h // 2048 + 1 AS DOUBLE) * pow(2.0, -53))
+              / CAST(n_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS key_micros
+  FROM h
+)
+SELECT doc_id, weight, key_micros FROM keyed
+ORDER BY key_micros DESC, doc_id LIMIT {k}
+"""
+
+
+SQL_Q74 = _q74_sql()
+
+
+_LATE_MOD = 11
+_LATE_STEP_US = 900 * 1_000_000  # deterministic event-time jitter (q70 idiom)
+_LATE_DELAY_US = 120 * 1_000_000  # allowed-lateness watermark delay
+
+
+def q75_late_events(sf_dir: str) -> Dataset:
+    """Event-time watermark + late-data flagging (the Beam/Flink allowed-
+    lateness semantic over a batch table): arrival order = event_id; the
+    watermark before each event is the running max event-time of everything
+    already arrived in its user partition; an event is LATE when its
+    event-time falls more than the allowed delay behind that watermark.
+    The fixture's events arrive perfectly time-ordered, so event-time gets
+    a deterministic jitter derived from event_id (the q69/q70 fixture-
+    augmentation idiom — both engines apply the identical formula).  One
+    narrow key shuffle + per-group mergesort (the window.py plan); the
+    running max is a vectorized accumulate."""
+    ds = read_parquet_clean(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        jit = ts_us - (ids % _LATE_MOD) * _LATE_STEP_US
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pa.array(jit, pa.int64()),
+            }
+        )
+
+    def wm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        run = np.maximum.accumulate(ts)
+        wm_us = np.empty(len(ts), np.int64)
+        wm_us[0] = -1  # no watermark before the first arrival (SQL: NULL -> -1)
+        wm_us[1:] = run[:-1]
+        late = ((wm_us != -1) & (ts < wm_us - _LATE_DELAY_US)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts_us": ts,
+                "wm_us": wm_us,
+                "late": late,
+            }
+        )
+
+    return (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(wm, batch_format="pandas")
+    )
+
+
+SQL_Q75 = f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - (event_id % {_LATE_MOD}) * {_LATE_STEP_US} AS ts_us
+  FROM events
+),
+w AS (
+  SELECT *, max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM e
+)
+SELECT event_id, user_id, ts_us,
+       COALESCE(wm, -1)::BIGINT AS wm_us,
+       CASE WHEN wm IS NOT NULL AND ts_us < wm - {_LATE_DELAY_US}
+            THEN 1 ELSE 0 END::BIGINT AS late
+FROM w
+"""
+
+
 _QUOTA_PER_DOMAIN = 5
 
 
@@ -3347,6 +3560,9 @@ RAY_QUERIES = {
     "q70_domain_rollup": q70_domain_rollup,
     "q71_lm_perplexity": q71_lm_perplexity,
     "q72_domain_quota_sample": q72_domain_quota_sample,
+    "q73_conv_stats": q73_conv_stats,
+    "q74_weighted_sample": q74_weighted_sample,
+    "q75_late_events": q75_late_events,
 }
 
 ORACLE_SQL = {
@@ -3411,6 +3627,8 @@ ORACLE_SQL = {
     "q70_domain_rollup": SQL_Q70,
     "q71_lm_perplexity": SQL_Q71,
     "q72_domain_quota_sample": SQL_Q72,
+    "q74_weighted_sample": SQL_Q74,
+    "q75_late_events": SQL_Q75,
 }
 
 
@@ -3936,6 +4154,18 @@ def oracle_sql_catalog() -> dict[str, str]:
         "SELECT conv_id, turn_idx, role, text, tool, ts "
         f"FROM read_parquet('{path}/*.parquet')"
     )
+    # Twin of q73_conv_stats: per-conversation rollup over the same fixture.
+    sql["q73_conv_stats"] = f"""
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       count(DISTINCT role)::BIGINT AS n_roles,
+       sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END)::BIGINT
+         AS n_tool_calls,
+       sum(length(text))::BIGINT AS total_chars,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS span_us
+FROM read_parquet('{path}/*.parquet')
+GROUP BY conv_id
+"""
     # Twin of kg_vocab (P2): char counts -> finalize_vocab id assignment.
     # Mirrors state/vocab.py: digits -> <NUM>, ASCII letters -> <ENG>
     # (normalize_char; '0'..'9' covers this fixture — it contains no

@@ -189,6 +189,121 @@ class TestDomainQuota:
         _twin_check("q72_domain_quota_sample")
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestConvStats:
+    def test_toy_semantics(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ner_ray.pipelines import queries as q
+
+        t = pa.table(
+            {
+                "conv_id": pa.array(["a", "a", "a", "b"], pa.string()),
+                "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+                "role": pa.array(["user", "assistant", "tool", "user"], pa.string()),
+                "text": pa.array(["hi", "hello!", "ok", "solo"], pa.string()),
+                "tool": pa.array(["", "", "search", ""], pa.string()),
+                "ts": pa.array([1_000_000, 3_000_000, 9_000_000, 5], pa.timestamp("us")),
+            }
+        )
+        d = tmp_path / "tx"
+        d.mkdir()
+        pq.write_table(t, str(d / "part-0.parquet"))
+        (d / "_SUCCESS").write_text("ok")
+        orig = q.transcripts_path_for
+        q.transcripts_path_for = lambda sf: str(d)
+        try:
+            out = (
+                q.q73_conv_stats("ignored")
+                .to_pandas()
+                .set_index("conv_id")
+                .sort_index()
+            )
+        finally:
+            q.transcripts_path_for = orig
+        assert out.loc["a"].tolist() == [3, 3, 1, 10, 8_000_000]
+        assert out.loc["b"].tolist() == [1, 1, 0, 4, 0]
+
+    def test_q73_twin(self):
+        _twin_check("q73_conv_stats")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedSample:
+    def test_matches_brute_force_and_partition_free(self):
+        """The distributed top-K (pre-combined per block) equals the exact
+        single-process Efraimidis-Spirakis ranking, regardless of input
+        partitioning."""
+        import duckdb
+
+        from ner_ray.pipelines.queries import RAY_QUERIES, _WS_K
+        from ner_ray.stages.sketches import splitmix64
+
+        docs = duckdb.connect().execute(
+            f"SELECT doc_id, n_chars FROM read_parquet('{SF}/documents.parquet')"
+            " WHERE n_chars > 0"
+        ).df()
+        ids = docs["doc_id"].to_numpy().astype(np.int64)
+        w = docs["n_chars"].to_numpy().astype(np.float64)
+        h = splitmix64(ids.astype(np.uint64))
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
+        key = np.floor(np.log(u) / w * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, -key))[:_WS_K]
+        exp = set(ids[order].tolist())
+        got = RAY_QUERIES["q74_weighted_sample"](SF).to_pandas()
+        assert set(got["doc_id"]) == exp and len(got) == _WS_K
+
+    def test_q74_twin(self):
+        _twin_check("q74_weighted_sample")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLateEvents:
+    def test_toy_watermark_semantics(self):
+        """Hand-built stream: running-max watermark, -1 before the first
+        arrival, late only when beyond the allowed delay."""
+        from ner_ray.pipelines import queries as q
+        from ner_ray.stages.relational import Dataset  # noqa: F401 (import check)
+
+        step, delay = q._LATE_STEP_US, q._LATE_DELAY_US
+        # event_ids all ≡ 0 (mod 11) so the jitter is zero and ts_us == ts
+        base = 1_000_000_000
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 11, 22, 33], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+                "ts": pa.array(
+                    [base, base + 10 * delay, base + delay, base - 1], pa.timestamp("us")
+                ),
+            }
+        )
+        import ray.data as rd2
+
+        orig = q.read_parquet_clean
+        q.read_parquet_clean = lambda path, columns=None, **kw: rd2.from_arrow(t)
+        try:
+            out = (
+                q.q75_late_events("ignored")
+                .to_pandas()
+                .sort_values("event_id")
+                .reset_index(drop=True)
+            )
+        finally:
+            q.read_parquet_clean = orig
+        assert out["wm_us"].tolist() == [
+            -1,
+            base,
+            base + 10 * delay,
+            base + 10 * delay,
+        ]
+        # third event trails the watermark by 9*delay -> late; fourth trails
+        # by 10*delay+1 -> late; second advances the watermark -> on time
+        assert out["late"].tolist() == [0, 0, 1, 1]
+
+    def test_q75_twin(self):
+        _twin_check("q75_late_events")
+
+
 def _mk_batch(texts, conv="c1"):
     return pa.table(
         {
