@@ -116,6 +116,7 @@ def run_bench() -> dict:
         "q73_conv_stats",
         "q74_weighted_sample",
         "q75_late_events",
+        "q76_dsir_select",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -2867,6 +2867,103 @@ FROM w
 """
 
 
+_DSIR_TARGET_LANG = "en"
+
+
+def q76_dsir_select(sf_dir: str) -> Dataset:
+    """DSIR-style importance selection (Xie et al. 2023): score every doc
+    by the log-likelihood ratio between a bigram LM trained on the TARGET
+    slice (lang = 'en') and one trained on the whole corpus; positive
+    ratio = more target-like than background.  Two distributed count
+    passes, two vocab-sized broadcasts, one stateless scoring pass — zero
+    shuffle on the corpus side (stages/lm.py).  Both models' per-token
+    log-probs quantize to micros before differencing, so the twin's
+    arbitrary-order BIGINT sum is exact."""
+    from ner_ray.stages.lm import dsir_select
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def tgt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["lang"], _DSIR_TARGET_LANG))
+
+    target = ds.map_batches(tgt, batch_format="pyarrow")
+    return dsir_select(
+        ds.select_columns(["doc_id", "text"]),
+        target.select_columns(["doc_id", "text"]),
+    )
+
+
+def _dsir_sql(min_count: int = 2, lang: str = _DSIR_TARGET_LANG) -> str:
+    """q76 twin: DuckDB re-derives BOTH stupid-backoff models (target slice
+    + raw corpus) and every per-token log-prob pair with the exact
+    association order of stages/lm.logprob_micros, then folds the micro
+    differences.  OOV under the target model scores with the 0.5
+    pseudo-count (COALESCE), matching lm.OOV_COUNT."""
+    bigrams = "unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])"
+
+    def case(u: str, up: str, b: str, tot: str, coalesce: bool) -> str:
+        cu = f"COALESCE(CAST({u}.c AS DOUBLE), 0.5)" if coalesce else f"CAST({u}.c AS DOUBLE)"
+        return f"""CASE
+           WHEN seq.prev IS NULL THEN ln({cu} / (SELECT t FROM {tot}))
+           WHEN {b}.c IS NOT NULL THEN ln(CAST({b}.c AS DOUBLE) / CAST({up}.c AS DOUBLE))
+           ELSE ln(0.4 * {cu} / (SELECT t FROM {tot}))
+         END"""
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+),
+uni_r AS (
+  SELECT g, count(*)::BIGINT AS c
+  FROM (SELECT unnest(w) AS g FROM tok) GROUP BY g
+),
+tot_r AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni_r),
+bic_r AS (
+  SELECT g, count(*)::BIGINT AS c
+  FROM (SELECT {bigrams} AS g FROM tok) GROUP BY g HAVING count(*) >= {min_count}
+),
+ttok AS (SELECT * FROM tok WHERE lang = '{lang}'),
+uni_t AS (
+  SELECT g, count(*)::BIGINT AS c
+  FROM (SELECT unnest(w) AS g FROM ttok) GROUP BY g
+),
+tot_t AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni_t),
+bic_t AS (
+  SELECT g, count(*)::BIGINT AS c
+  FROM (SELECT {bigrams} AS g FROM ttok) GROUP BY g HAVING count(*) >= {min_count}
+),
+seq AS (
+  SELECT doc_id, w[i] AS tk, CASE WHEN i > 1 THEN w[i-1] END AS prev
+  FROM tok, unnest(generate_series(1, len(w))) AS s(i)
+),
+scored AS (
+  SELECT seq.doc_id,
+         {case('u_t', 'up_t', 'b_t', 'tot_t', True)} AS lt,
+         {case('u_r', 'up_r', 'b_r', 'tot_r', False)} AS lr
+  FROM seq
+  LEFT JOIN uni_t u_t ON u_t.g = seq.tk
+  LEFT JOIN uni_t up_t ON up_t.g = seq.prev
+  LEFT JOIN bic_t b_t ON b_t.g = seq.prev || ' ' || seq.tk
+  JOIN uni_r u_r ON u_r.g = seq.tk
+  LEFT JOIN uni_r up_r ON up_r.g = seq.prev
+  LEFT JOIN bic_r b_r ON b_r.g = seq.prev || ' ' || seq.tk
+),
+m AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CAST(floor(lt * 1000000 + 0.5) AS BIGINT)
+             - CAST(floor(lr * 1000000 + 0.5) AS BIGINT))::BIGINT AS dsir_micros
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, dsir_micros,
+       (dsir_micros / 1000000.0) / n_tokens AS avg_llr,
+       CASE WHEN dsir_micros > 0 THEN 1 ELSE 0 END::BIGINT AS selected
+FROM m
+"""
+
+
+SQL_Q76 = _dsir_sql()
+
+
 _QUOTA_PER_DOMAIN = 5
 
 
@@ -3563,6 +3660,7 @@ RAY_QUERIES = {
     "q73_conv_stats": q73_conv_stats,
     "q74_weighted_sample": q74_weighted_sample,
     "q75_late_events": q75_late_events,
+    "q76_dsir_select": q76_dsir_select,
 }
 
 ORACLE_SQL = {
@@ -3629,6 +3727,7 @@ ORACLE_SQL = {
     "q72_domain_quota_sample": SQL_Q72,
     "q74_weighted_sample": SQL_Q74,
     "q75_late_events": SQL_Q75,
+    "q76_dsir_select": SQL_Q76,
 }
 
 

@@ -147,6 +147,74 @@ def score_tokens(
     return out
 
 
+def _flatten_tokens(
+    t: pa.Table, id_col: str, text_col: str
+) -> tuple[list, list[int], pd.Series, pd.Series, np.ndarray, np.ndarray]:
+    """Flatten a batch's token streams: returns (doc_ids, n_tokens_per_doc,
+    token Series, bigram-key Series, has_prev mask, doc index per token).
+    Docs with zero tokens are skipped (the SQL twins' inner-join shape)."""
+    doc_ids: list = []
+    toks_all: list[str] = []
+    prev_all: list[str | None] = []
+    doc_idx: list[int] = []
+    n_toks: list[int] = []
+    for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+        toks = TOKEN_RE.findall(x.lower()) if x is not None else []
+        if not toks:
+            continue
+        j = len(doc_ids)
+        doc_ids.append(did)
+        n_toks.append(len(toks))
+        toks_all.extend(toks)
+        prev_all.append(None)
+        prev_all.extend(toks[:-1])
+        doc_idx.extend([j] * len(toks))
+    tok_s = pd.Series(toks_all, dtype=object)
+    prev_s = pd.Series(prev_all, dtype=object)
+    has_prev = prev_s.notna().to_numpy() if len(prev_s) else np.zeros(0, bool)
+    return doc_ids, n_toks, tok_s, prev_s, has_prev, np.asarray(doc_idx, np.int64)
+
+
+OOV_COUNT = 0.5  # pseudo-count for tokens unseen by a model (DSIR scoring
+# of out-of-domain text; never reached when the model trained on the same
+# corpus it scores, as in lm_perplexity_filter)
+
+
+def logprob_micros(
+    tok_s: pd.Series,
+    prev_s: pd.Series,
+    has_prev: np.ndarray,
+    uni: dict[str, int],
+    bi: dict[str, int],
+    total: float,
+) -> np.ndarray:
+    """Vectorized per-token stupid-backoff log-prob, floor-quantized to
+    integer micros (the cross-engine-exact unit both SQL twins fold).
+    Association order mirrors the SQL exactly:
+      bigram hit: ln(CAST(c_bi AS DOUBLE) / CAST(c_prev AS DOUBLE))
+      backoff:    ln(0.4 * cu(w) / T)    (left-assoc in numpy and SQL)
+      first:      ln(cu(w) / T)
+    where cu(w) = count if in the model else the 0.5 OOV pseudo-count
+    (SQL: COALESCE(CAST(u.c AS DOUBLE), 0.5))."""
+    if len(tok_s) == 0:
+        return np.zeros(0, np.int64)
+    c_w = tok_s.map(uni).to_numpy(dtype=np.float64, na_value=np.nan)
+    c_w = np.where(np.isnan(c_w), OOV_COUNT, c_w)
+    c_prev = prev_s.map(uni).to_numpy(dtype=np.float64, na_value=np.nan)
+    # "\x00" never tokenizes, so first-token sentinels cannot hit a real
+    # bigram key (and object-dtype None + str would raise in pandas)
+    big = prev_s.fillna("\x00") + " " + tok_s
+    c_bi = big.map(bi).to_numpy(dtype=np.float64, na_value=np.nan)
+    hit = has_prev & ~np.isnan(c_bi)
+    lnp = np.empty(len(tok_s), dtype=np.float64)
+    lnp[hit] = np.log(c_bi[hit] / c_prev[hit])
+    miss = has_prev & ~hit
+    lnp[miss] = np.log(BACKOFF * c_w[miss] / total)
+    first = ~has_prev
+    lnp[first] = np.log(c_w[first] / total)
+    return np.floor(lnp * 1e6 + 0.5).astype(np.int64)
+
+
 def lm_perplexity_filter(
     ds: Dataset,
     text_col: str = "text",
@@ -173,22 +241,9 @@ def lm_perplexity_filter(
     def score(t: pa.Table) -> pa.Table:
         uni_m = _ray.get(uni_ref)
         bi_m = _ray.get(bi_ref)
-        doc_ids: list[int] = []
-        toks_all: list[str] = []
-        prev_all: list[str | None] = []
-        doc_idx: list[int] = []
-        n_toks: list[int] = []
-        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            toks = TOKEN_RE.findall(x.lower()) if x is not None else []
-            if not toks:
-                continue
-            j = len(doc_ids)
-            doc_ids.append(did)
-            n_toks.append(len(toks))
-            toks_all.extend(toks)
-            prev_all.append(None)
-            prev_all.extend(toks[:-1])
-            doc_idx.extend([j] * len(toks))
+        doc_ids, n_toks, tok_s, prev_s, has_prev, doc_idx = _flatten_tokens(
+            t, id_col, text_col
+        )
         if not doc_ids:
             return pa.table(
                 {
@@ -199,27 +254,7 @@ def lm_perplexity_filter(
                     "flagged": pa.array([], pa.int64()),
                 }
             )
-        tok_s = pd.Series(toks_all, dtype=object)
-        prev_s = pd.Series(prev_all, dtype=object)
-        c_w = tok_s.map(uni_m).to_numpy(dtype=np.float64)
-        has_prev = prev_s.notna().to_numpy()
-        c_prev = prev_s.map(uni_m).to_numpy(dtype=np.float64, na_value=np.nan)
-        # "\x00" never tokenizes, so first-token sentinels cannot hit a real
-        # bigram key (and object-dtype None + str would raise in pandas)
-        big = prev_s.fillna("\x00") + " " + tok_s
-        c_bi = big.map(bi_m).to_numpy(dtype=np.float64, na_value=np.nan)
-        hit = has_prev & ~np.isnan(c_bi)
-        # association order mirrors the SQL twin exactly:
-        #   hit:      ln(CAST(c_bi AS DOUBLE) / CAST(c_prev AS DOUBLE))
-        #   backoff:  ln(0.4 * c_w / T)   (left-assoc in numpy and SQL)
-        #   first:    ln(c_w / T)
-        lnp = np.empty(len(tok_s), dtype=np.float64)
-        lnp[hit] = np.log(c_bi[hit] / c_prev[hit])
-        miss = has_prev & ~hit
-        lnp[miss] = np.log(BACKOFF * c_w[miss] / total)
-        first = ~has_prev
-        lnp[first] = np.log(c_w[first] / total)
-        micros = np.floor(lnp * 1e6 + 0.5).astype(np.int64)
+        micros = logprob_micros(tok_s, prev_s, has_prev, uni_m, bi_m, total)
         sums = np.bincount(doc_idx, weights=micros, minlength=len(doc_ids)).astype(
             np.int64
         )
@@ -233,6 +268,77 @@ def lm_perplexity_filter(
                 "sum_lp_micros": pa.array(sums, pa.int64()),
                 "avg_logprob": pa.array(avg, pa.float64()),
                 "flagged": pa.array(flagged, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select(
+    ds: Dataset,
+    target: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_bigrams: int | None = None,
+) -> Dataset:
+    """DSIR-style data selection (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every raw-corpus doc by the
+    log-likelihood RATIO between a bigram LM trained on the TARGET domain
+    and one trained on the RAW corpus; docs whose text looks more like the
+    target than like the background get positive scores.  (DSIR uses hashed
+    n-gram features; same estimator family, here with the engine's exact
+    stupid-backoff bigram models.)
+
+    Scale shape: two ``train_bigram_lm`` passes (each the distributed
+    (gram, c) combiner; the target is typically a small slice), both pruned
+    models broadcast once, then ONE stateless scoring pass over the corpus
+    computes both log-probs per token from the same flattened stream —
+    zero shuffle, nothing document-sized moves.
+
+    Output: ``(doc_id, n_tokens, dsir_micros, avg_llr, selected)`` where
+    ``dsir_micros = Σ_token (micros_target - micros_raw)`` (each side
+    floor-quantized exactly as the q71 twin folds) and ``selected = 1``
+    when the average ratio is positive."""
+    import ray as _ray
+
+    uni_t, bi_t, total_t = train_bigram_lm(
+        target, text_col=text_col, min_count=min_count, max_bigrams=max_bigrams
+    )
+    uni_r, bi_r, total_r = train_bigram_lm(
+        ds, text_col=text_col, min_count=min_count, max_bigrams=max_bigrams
+    )
+    refs = [_ray.put(x) for x in (uni_t, bi_t, uni_r, bi_r)]
+
+    def score(t: pa.Table) -> pa.Table:
+        ut, bt, ur, br = (_ray.get(r) for r in refs)
+        doc_ids, n_toks, tok_s, prev_s, has_prev, doc_idx = _flatten_tokens(
+            t, id_col, text_col
+        )
+        if not doc_ids:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "dsir_micros": pa.array([], pa.int64()),
+                    "avg_llr": pa.array([], pa.float64()),
+                    "selected": pa.array([], pa.int64()),
+                }
+            )
+        m_t = logprob_micros(tok_s, prev_s, has_prev, ut, bt, total_t)
+        m_r = logprob_micros(tok_s, prev_s, has_prev, ur, br, total_r)
+        diff = np.bincount(
+            doc_idx, weights=m_t - m_r, minlength=len(doc_ids)
+        ).astype(np.int64)
+        n = np.asarray(n_toks, dtype=np.int64)
+        avg = (diff / 1e6) / n
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "dsir_micros": pa.array(diff, pa.int64()),
+                "avg_llr": pa.array(avg, pa.float64()),
+                "selected": pa.array((diff > 0).astype(np.int64), pa.int64()),
             }
         )
 

@@ -138,6 +138,48 @@ class TestLMPerplexity:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestDsirSelect:
+    def test_target_slice_scores_higher(self):
+        """Importance ratio must separate the target domain: docs drawn
+        from the target slice select at a far higher rate than background
+        docs (the DSIR premise), and OOV-heavy background text scores
+        negative."""
+        import duckdb
+
+        from ner_ray.pipelines.queries import RAY_QUERIES, _DSIR_TARGET_LANG
+
+        out = RAY_QUERIES["q76_dsir_select"](SF).to_pandas()
+        langs = duckdb.connect().execute(
+            f"SELECT doc_id, lang FROM read_parquet('{SF}/documents.parquet')"
+        ).df()
+        m = out.merge(langs, on="doc_id")
+        rate = m.groupby(m["lang"] == _DSIR_TARGET_LANG)["selected"].mean()
+        assert rate[True] > 0.5 and rate[False] < 0.2
+
+    def test_oov_pseudocount_kernel(self):
+        """A token absent from the model scores ln(0.4 * 0.5 / T) after a
+        context, ln(0.5 / T) first — the COALESCE(…, 0.5) twin branch."""
+        import math
+
+        from ner_ray.stages.lm import logprob_micros
+
+        uni, bi, total = {"a": 3}, {}, 3.0
+        tok_s = pd.Series(["zzz", "zzz"], dtype=object)
+        prev_s = pd.Series([None, "zzz"], dtype=object)
+        got = logprob_micros(
+            tok_s, prev_s, prev_s.notna().to_numpy(), uni, bi, total
+        )
+        exp = [
+            math.floor(math.log(0.5 / 3.0) * 1e6 + 0.5),
+            math.floor(math.log(0.4 * 0.5 / 3.0) * 1e6 + 0.5),
+        ]
+        assert got.tolist() == exp
+
+    def test_q76_twin(self):
+        _twin_check("q76_dsir_select")
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDomainQuota:
     def test_bottom_n_with_hot_key(self):
         """ascending=True keeps the SMALLEST-order rows per key, exactly,
