@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--out", required=True, help="output root (stage checkpoints + graph)")
     ap.add_argument("--tagger", default="rule", choices=["rule", "bilstm", "bert"])
+    ap.add_argument(
+        "--weights-path",
+        default=None,
+        help="trained-checkpoint dir for the neural taggers "
+        "(state/checkpoint.py layout; part of the resume signature)",
+    )
     ap.add_argument("--window", type=int, default=3)
     ap.add_argument("--chunk-turns", type=int, default=256)
     ap.add_argument("--link-tau", type=float, default=0.6)
@@ -52,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
 
         cfg = KGConfig(
             tagger=args.tagger,
+            tagger_weights_path=args.weights_path,
             window=args.window,
             chunk_turns=args.chunk_turns,
             link_tau=args.link_tau,

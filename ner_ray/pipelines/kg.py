@@ -64,6 +64,11 @@ class KGConfig:
     # GPUs per tagger actor (north-star deployment: BERT encoding on GPU
     # actor pools; e.g. 0.25 packs 4 actors/device).  None = CPU-only.
     tagger_num_gpus: float | None = None
+    # Trained-checkpoint directory for the neural taggers
+    # (state/checkpoint.py layout).  A plain string, so it participates in
+    # sig() — swapping weights correctly invalidates resumable stage
+    # checkpoints — and keeps the actors restartable (ray#53727).
+    tagger_weights_path: str | None = None
     graph_partitions: int = 16  # hash(subj) partitions of the final graph
     rewrite: str = "broadcast"  # or "join" for non-broadcastable mappings
     uf_rounds: int = 8
@@ -311,6 +316,11 @@ def build_kg(
 
     cfg = cfg or KGConfig()
     alias_table = alias_table if alias_table is not None else make_alias_table()
+    if cfg.tagger_weights_path is not None:
+        tagger_kwargs = {
+            **(tagger_kwargs or {}),
+            "weights_path": cfg.tagger_weights_path,
+        }
 
     from ner_ray.utils import heavy_pool_size
 
@@ -421,6 +431,11 @@ def run_kg(
             batch_size=cfg.tagger_batch_size,
             concurrency=cfg.tagger_concurrency,
             num_gpus=cfg.tagger_num_gpus,
+            **(
+                {"weights_path": cfg.tagger_weights_path}
+                if cfg.tagger_weights_path is not None
+                else {}
+            ),
         ),
     )
     linked = stage(
@@ -552,6 +567,11 @@ def update_kg(
                 batch_size=cfg.tagger_batch_size,
                 concurrency=cfg.tagger_concurrency,
                 num_gpus=cfg.tagger_num_gpus,
+                **(
+                    {"weights_path": cfg.tagger_weights_path}
+                    if cfg.tagger_weights_path is not None
+                    else {}
+                ),
             ),
         )
         linked, m1 = run_stage(

@@ -2964,6 +2964,36 @@ FROM m
 SQL_Q76 = _dsir_sql()
 
 
+_MG_K, _MG_CAPACITY = 20, 512
+
+
+def q77_mg_top_terms(sf_dir: str) -> pd.DataFrame:
+    """EXACT corpus-wide top-20 terms via a Misra-Gries mergeable
+    heavy-hitter sketch + exact verify pass (stages/sketches.py
+    ``mg_top_terms_exact``): bounded-memory candidate discovery over an
+    open vocabulary (where q35's exact combiner would not bound memory at
+    100 TB), then exact counting of only the provable-superset candidates.
+    The capacity is set BELOW the fixture's distinct-term count so the
+    sketch path (reduction + guarantee threshold) is actually exercised;
+    the runtime assert makes a silent capacity shortfall impossible.  Twin
+    = plain exact SQL top-k (the sketch is an execution strategy, not a
+    semantics change)."""
+    from ner_ray.stages.sketches import mg_top_terms_exact
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return mg_top_terms_exact(ds, "text", k=_MG_K, capacity=_MG_CAPACITY).to_pandas()
+
+
+SQL_Q77 = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+),
+c AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term),
+r AS (SELECT *, row_number() OVER (ORDER BY n DESC, term) AS rn FROM c)
+SELECT term, n, rn::BIGINT AS rank FROM r WHERE rn <= {_MG_K}
+"""
+
+
 _QUOTA_PER_DOMAIN = 5
 
 
@@ -3661,6 +3691,7 @@ RAY_QUERIES = {
     "q74_weighted_sample": q74_weighted_sample,
     "q75_late_events": q75_late_events,
     "q76_dsir_select": q76_dsir_select,
+    "q77_mg_top_terms": q77_mg_top_terms,
 }
 
 ORACLE_SQL = {
@@ -3728,6 +3759,7 @@ ORACLE_SQL = {
     "q74_weighted_sample": SQL_Q74,
     "q75_late_events": SQL_Q75,
     "q76_dsir_select": SQL_Q76,
+    "q77_mg_top_terms": SQL_Q77,
 }
 
 

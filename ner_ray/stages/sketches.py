@@ -274,3 +274,144 @@ def cms_estimate(mat: np.ndarray, keys: np.ndarray, width_bits: int = 6) -> np.n
     cells = cms_cells(np.asarray(keys, dtype=np.int64), width_bits)
     ests = np.stack([mat[i, cells[i]] for i in range(len(CMS_PARAMS))])
     return ests.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitter summaries (sketch -> exact verify)
+
+
+def mg_summary(counts: dict, capacity: int) -> dict:
+    """Reduce an exact ``item -> count`` map to a Misra-Gries summary of at
+    most ``capacity`` counters (Misra & Gries 1982): subtract the
+    (capacity+1)-th largest count from everything and drop the non-positive
+    remainder.  Guarantee: ``true - err <= c(x) <= true`` with the summary's
+    total error ``err <= N / (capacity + 1)``; any item with frequency above
+    that threshold SURVIVES.  Deterministic — no sampling, no hashing."""
+    if len(counts) <= capacity:
+        return dict(counts)
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # (capacity+1)-th largest via one O(n) partition, not a full sort
+    kth = np.partition(vals, len(vals) - (capacity + 1))[len(vals) - (capacity + 1)]
+    return {k: v - int(kth) for k, v in counts.items() if v > kth}
+
+
+def mg_merge(a: dict, b: dict, capacity: int) -> dict:
+    """Merge two MG summaries (Agarwal et al. 2012, "Mergeable Summaries"):
+    pointwise sum, then the same (capacity+1)-th-largest reduction.  Errors
+    add, so a fold over B blocks keeps the global ``N / (capacity + 1)``
+    bound regardless of how the stream was partitioned."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    return mg_summary(out, capacity)
+
+
+def mg_top_terms_exact(
+    ds: Dataset,
+    text_col: str,
+    k: int,
+    capacity: int = 4096,
+) -> pa.Table:
+    """EXACT top-k terms by total occurrences via the sketch-then-verify
+    plan (the Bloom-semi-join discipline applied to heavy hitters):
+
+    1. Each block folds its token stream into an exact Counter, reduced to
+       a Misra-Gries summary of ``capacity`` counters — bounded memory no
+       matter how large the vocabulary grows (the reason q35's exact
+       combiner can't be used on an open token stream at 100 TB).  Each
+       partial also carries its block's token total as a sentinel row
+       (term "" — the tokenizer can never emit it).
+    2. Partials combine by POINTWISE SUM + one final MG reduction —
+       associative, commutative, and therefore partition-order-free (no
+       block identity needed).  Per Agarwal et al.'s mergeability plus the
+       final reduction, the combined error is <= 2N/(capacity+1).
+    3. The candidate set = surviving keys, which PROVABLY contains every
+       term with frequency > 2N/(capacity+1).  A second stateless pass
+       exact-counts ONLY the candidates (broadcast set, narrow partials),
+       so the result is exact whenever the true k-th count clears that
+       threshold — asserted at runtime, so a silent capacity shortfall is
+       impossible.
+
+    Returns ``(term, n, rank)`` sorted by (n desc, term)."""
+    import ray as _ray
+
+    from ner_ray.stages.decontam import TOKEN_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        n = 0
+        for x in t[text_col].to_pylist():
+            if x is None:
+                continue
+            toks = TOKEN_RE.findall(x.lower())
+            n += len(toks)
+            c.update(toks)
+        s = mg_summary(c, capacity)
+        # sentinels the tokenizer can never emit: "" = block token total,
+        # "\x01" = this block's summary was lossy (distinct > capacity)
+        terms = list(s.keys()) + [""] + (["\x01"] if len(c) > capacity else [])
+        cs = list(s.values()) + [n] + ([1] if len(c) > capacity else [])
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term", sort=False)["c"]
+        .sum()
+    )
+    total_n = int(parts.get("", 0))
+    lossy = bool(parts.get("\x01", 0)) or len(parts) - 2 > capacity
+    parts = parts.drop(labels=["", "\x01"], errors="ignore")
+    summary = mg_summary(dict(zip(parts.index, parts.astype(int))), capacity)
+    # exact when no block (and no final reduction) ever dropped a counter;
+    # otherwise the 2N/(capacity+1) mergeability bound applies
+    threshold = 2.0 * total_n / (capacity + 1) if lossy else -1.0
+    candidates = set(summary)
+
+    ref = _ray.put(candidates)
+
+    def verify(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cand = _ray.get(ref)
+        c: Counter = Counter()
+        for x in t[text_col].to_pylist():
+            if x is None:
+                continue
+            c.update(w for w in TOKEN_RE.findall(x.lower()) if w in cand)
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(verify, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    if lossy and (
+        len(exact) < k or (len(exact) and float(exact["n"].iloc[-1]) <= threshold)
+    ):
+        raise ValueError(
+            f"MG capacity {capacity} too small for exact top-{k}: "
+            f"{len(exact)} candidates, k-th count "
+            f"{exact['n'].iloc[-1] if len(exact) else 0} vs guarantee "
+            f"threshold {threshold:.1f}; raise capacity"
+        )
+    exact["rank"] = np.arange(1, len(exact) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(exact, preserve_index=False)

@@ -180,6 +180,77 @@ class TestDsirSelect:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestMisraGries:
+    def test_summary_guarantee_bounds(self):
+        """c(x) in [true - N/(m+1), true] and every item above the
+        threshold survives, on a Zipfian stream."""
+        from collections import Counter
+
+        from ner_ray.stages.sketches import mg_summary
+
+        rng = np.random.default_rng(11)
+        items = (rng.zipf(1.3, size=20000) % 997).astype(str)
+        true = Counter(items.tolist())
+        m = 64
+        s = mg_summary(true, m)
+        assert len(s) <= m
+        thr = len(items) / (m + 1)
+        for x, c in s.items():
+            assert c <= true[x] and true[x] - c <= thr
+        for x, c in true.items():
+            if c > thr:
+                assert x in s
+
+    def test_merge_keeps_bound(self):
+        from collections import Counter
+
+        from ner_ray.stages.sketches import mg_merge, mg_summary
+
+        rng = np.random.default_rng(12)
+        a_items = (rng.zipf(1.4, size=8000) % 499).astype(str).tolist()
+        b_items = (rng.zipf(1.4, size=12000) % 499).astype(str).tolist()
+        m = 48
+        merged = mg_merge(
+            mg_summary(Counter(a_items), m), mg_summary(Counter(b_items), m), m
+        )
+        true = Counter(a_items + b_items)
+        thr = 20000 / (m + 1)
+        for x, c in merged.items():
+            assert c <= true[x] and true[x] - c <= 2 * thr
+        for x, c in true.items():
+            if c > 2 * thr:
+                assert x in merged
+
+    def test_exact_result_and_lossy_path(self):
+        """The sketch-then-verify pipeline returns the EXACT top-k (vs a
+        brute-force count) even with a capacity far below the vocabulary,
+        and raises rather than silently degrading when capacity is absurd."""
+        from collections import Counter
+
+        import duckdb
+
+        from ner_ray.stages.decontam import TOKEN_RE
+        from ner_ray.pipelines.queries import RAY_QUERIES, read_parquet_clean
+        from ner_ray.stages.sketches import mg_top_terms_exact
+
+        texts = duckdb.connect().execute(
+            f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+        ).df()["text"]
+        true = Counter()
+        for x in texts:
+            true.update(TOKEN_RE.findall(x.lower()))
+        exp = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = RAY_QUERIES["q77_mg_top_terms"](SF)
+        assert list(zip(got["term"], got["n"])) == exp
+        ds = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        with pytest.raises(ValueError, match="capacity"):
+            mg_top_terms_exact(ds, "text", k=20, capacity=4)
+
+    def test_q77_twin(self):
+        _twin_check("q77_mg_top_terms")
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDomainQuota:
     def test_bottom_n_with_hot_key(self):
         """ascending=True keeps the SMALLEST-order rows per key, exactly,
@@ -428,6 +499,44 @@ class TestCheckpoint:
             .to_pandas()
             .sort_values(["turn_idx", "start"])
             .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(loaded, base)
+        assert len(base) > 0
+
+    def test_kgconfig_plumbs_weights_and_signs_them(self, tmp_path):
+        """cfg.tagger_weights_path must (a) reach the flagship tagger actor
+        through build_kg and (b) appear in the resumable-checkpoint
+        signature, so swapping weights invalidates cached stages."""
+        import ray.data as rd3
+
+        from ner_ray.pipelines.kg import KGConfig, build_kg
+        from ner_ray.state.bert import FrozenTinyBert
+        from ner_ray.state.checkpoint import save_bert
+
+        p = str(tmp_path / "kg_ckpt")
+        save_bert(FrozenTinyBert.create(), p)
+        assert KGConfig(tagger_weights_path=p).sig()["tagger_weights_path"] == p
+        assert KGConfig().sig()["tagger_weights_path"] is None
+
+        tx = rd3.from_arrow(_mk_batch(_CKPT_TEXTS * 6))
+        base = (
+            build_kg(tx, KGConfig(tagger="bert", tagger_concurrency=2))
+            .triples.to_pandas()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+            .drop(columns=["conv_ids"])
+        )
+        loaded = (
+            build_kg(
+                tx,
+                KGConfig(
+                    tagger="bert", tagger_concurrency=2, tagger_weights_path=p
+                ),
+            )
+            .triples.to_pandas()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+            .drop(columns=["conv_ids"])
         )
         pd.testing.assert_frame_equal(loaded, base)
         assert len(base) > 0
