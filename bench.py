@@ -117,6 +117,8 @@ def run_bench() -> dict:
         "q74_weighted_sample",
         "q75_late_events",
         "q76_dsir_select",
+        "q77_mg_top_terms",
+        "q78_url_dedup",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

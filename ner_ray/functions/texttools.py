@@ -338,3 +338,38 @@ def linear_quality_score(text: str | None) -> tuple[int, bool]:
     }
     score = _LQ_BIAS + sum(_LQ_WEIGHTS[k] * v for k, v in f.items())
     return score, score >= _LQ_THRESHOLD
+
+
+# --- URL canonicalization (the crawl-dedup normalization pass) -------------
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonical_url(url: str | None) -> str | None:
+    """Normalize a URL for crawl deduplication: lowercase scheme + host,
+    strip the scheme's default port, drop the fragment, drop ``utm_*``
+    tracking params, sort the remaining query params (by their joined
+    ``k=v`` string — the same total order the SQL twin's ``list_sort``
+    uses), and strip one trailing path slash (keeping a bare ``/`` root).
+    Pure kernel (pytest + twin law); applied per batch in ``map_batches``."""
+    if url is None:
+        return None
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url.strip())
+    scheme = p.scheme.lower()
+    host = p.netloc.lower()
+    if ":" in host:
+        h, _, port = host.rpartition(":")
+        if port == _DEFAULT_PORTS.get(scheme):
+            host = h
+    path = p.path
+    if path.endswith("/") and len(path) > 1:
+        path = path[:-1]
+    params = sorted(
+        kv for kv in p.query.split("&") if kv and not kv.startswith("utm_")
+    )
+    out = f"{scheme}://{host}{path}"
+    if params:
+        out += "?" + "&".join(params)
+    return out

@@ -2994,6 +2994,110 @@ SELECT term, n, rn::BIGINT AS rank FROM r WHERE rn <= {_MG_K}
 """
 
 
+def q78_url_dedup(sf_dir: str) -> Dataset:
+    """URL canonicalization + dedup — the crawl-frontier normalization pass
+    (lowercase scheme/host, strip default port, drop fragment, drop utm_*
+    tracking params, sort query params, strip trailing slash) followed by a
+    group-by-canonical dedup.  The fixture carries no URLs, so each row
+    derives one of FOUR deterministic messy variants of its group's URL
+    (doc_id%4: unsorted params / upper+explicit :443 / trailing slash+utm /
+    fragment — the q70 construction idiom, mirrored verbatim in the twin);
+    the canonicalizer itself is the general kernel
+    ``texttools.canonical_url`` (urlsplit-based, C tokenizer; param order =
+    the twin's ``list_sort`` law).  Dedup is ONE narrow groupby over
+    (canon_url, doc_id) — the canonical exact-dedup shuffle shape."""
+    from ray.data.aggregate import Min, Sum
+
+    from ner_ray.functions.texttools import canonical_url
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def mess(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gid, v = ids // 4, ids % 4
+        host = [f"sub{g % 5}.host{g % 11}.example" for g in gid]
+        urls = []
+        for g, vv, h in zip(gid, v, host):
+            if vv == 0:
+                urls.append(f"https://{h}/p/{g}?b=2&a=1")
+            elif vv == 1:
+                urls.append(f"HTTPS://{h.upper()}:443/p/{g}?a=1&b=2")
+            elif vv == 2:
+                urls.append(f"https://{h}/p/{g}/?a=1&b=2&utm_source=feed")
+            else:
+                urls.append(f"https://{h}/p/{g}?a=1&b=2#frag")
+        return pa.table(
+            {
+                "canon_url": pa.array(
+                    [canonical_url(u) for u in urls], pa.string()
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "_one": pa.array(np.ones(len(ids), np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(mess, batch_format="pyarrow")
+        .groupby("canon_url")
+        .aggregate(
+            Sum("_one", alias_name="n_dups"), Min("doc_id", alias_name="min_doc")
+        )
+    )
+
+
+SQL_Q78 = r"""
+WITH mess AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://sub' || ((doc_id // 4) % 5) || '.host' ||
+                       ((doc_id // 4) % 11) || '.example/p/' || (doc_id // 4) ||
+                       '?b=2&a=1'
+           WHEN 1 THEN 'HTTPS://SUB' || ((doc_id // 4) % 5) || '.HOST' ||
+                       ((doc_id // 4) % 11) || '.EXAMPLE:443/p/' || (doc_id // 4) ||
+                       '?a=1&b=2'
+           WHEN 2 THEN 'https://sub' || ((doc_id // 4) % 5) || '.host' ||
+                       ((doc_id // 4) % 11) || '.example/p/' || (doc_id // 4) ||
+                       '/?a=1&b=2&utm_source=feed'
+           ELSE 'https://sub' || ((doc_id // 4) % 5) || '.host' ||
+                ((doc_id // 4) % 11) || '.example/p/' || (doc_id // 4) ||
+                '?a=1&b=2#frag'
+         END AS u
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([^:]+)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[^:]+://([^/?#]+)', 1)) AS hostport,
+         regexp_extract(u, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(u, '\?([^#]*)', 1) AS query
+  FROM mess
+),
+norm AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+                THEN regexp_replace(hostport, ':443$', '')
+              WHEN scheme = 'http' AND hostport LIKE '%:80'
+                THEN regexp_replace(hostport, ':80$', '')
+              ELSE hostport END AS host,
+         CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+              THEN regexp_replace(path0, '/$', '') ELSE path0 END AS path,
+         list_sort(list_filter(string_split(query, '&'),
+                               x -> x <> '' AND NOT starts_with(x, 'utm_')))
+           AS params
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path ||
+         CASE WHEN len(params) > 0
+              THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+  FROM norm
+)
+SELECT canon_url, count(*)::BIGINT AS n_dups, min(doc_id) AS min_doc
+FROM canon GROUP BY canon_url
+"""
+
+
 _QUOTA_PER_DOMAIN = 5
 
 
@@ -3692,6 +3796,7 @@ RAY_QUERIES = {
     "q75_late_events": q75_late_events,
     "q76_dsir_select": q76_dsir_select,
     "q77_mg_top_terms": q77_mg_top_terms,
+    "q78_url_dedup": q78_url_dedup,
 }
 
 ORACLE_SQL = {
@@ -3760,6 +3865,7 @@ ORACLE_SQL = {
     "q75_late_events": SQL_Q75,
     "q76_dsir_select": SQL_Q76,
     "q77_mg_top_terms": SQL_Q77,
+    "q78_url_dedup": SQL_Q78,
 }
 
 

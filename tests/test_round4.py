@@ -251,6 +251,38 @@ class TestMisraGries:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestUrlDedup:
+    def test_kernel_rules(self):
+        from ner_ray.functions.texttools import canonical_url as cu
+
+        assert cu(None) is None
+        assert cu("HTTP://Host.Example:80/a") == "http://host.example/a"
+        # non-default and cross-scheme ports survive
+        assert cu("http://h.example:8080/a") == "http://h.example:8080/a"
+        assert cu("http://h.example:443/a") == "http://h.example:443/a"
+        # bare root slash is kept; deeper trailing slash stripped
+        assert cu("https://h.example/") == "https://h.example/"
+        assert cu("https://h.example/a/b/") == "https://h.example/a/b"
+        # params: utm_* dropped, remainder sorted, all-utm query vanishes
+        assert (
+            cu("https://h.example/a?z=9&utm_campaign=x&a=1")
+            == "https://h.example/a?a=1&z=9"
+        )
+        assert cu("https://h.example/a?utm_source=f") == "https://h.example/a"
+        assert cu("https://h.example/a#frag") == "https://h.example/a"
+
+    def test_groups_collapse_exactly(self):
+        from ner_ray.pipelines.queries import RAY_QUERIES
+
+        out = RAY_QUERIES["q78_url_dedup"](SF).to_pandas()
+        assert (out["n_dups"] == 4).all()  # 4 messy variants per canonical
+        assert (out["min_doc"] % 4 == 0).all()  # variant 0 owns the min id
+
+    def test_q78_twin(self):
+        _twin_check("q78_url_dedup")
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDomainQuota:
     def test_bottom_n_with_hot_key(self):
         """ascending=True keeps the SMALLEST-order rows per key, exactly,
