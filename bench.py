@@ -119,6 +119,7 @@ def run_bench() -> dict:
         "q76_dsir_select",
         "q77_mg_top_terms",
         "q78_url_dedup",
+        "q79_length_histogram",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -3098,6 +3098,55 @@ FROM canon GROUP BY canon_url
 """
 
 
+_LEN_BUCKET = 32
+
+
+def q79_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Per-source sequence-length distribution — the batching/packing
+    diagnostic every training pipeline runs before choosing max_seq_len
+    (token counts in fixed width-{bucket} integer buckets; integer division
+    is trivially cross-engine exact).  Narrow stateless pass + the
+    no-shuffle low-cardinality combiner (|sources| x |buckets| partial rows
+    per block)."""
+    from ner_ray.stages.decontam import TOKEN_RE
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ns = np.array(
+            [len(TOKEN_RE.findall((x or "").lower())) for x in t["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "bucket": pa.array(ns // _LEN_BUCKET, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+            }
+        )
+
+    out = grouped_agg_partial(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        keys=["source", "bucket"],
+        sums={"sum_tokens": "n_tokens"},
+        count_col="n_docs",
+    )
+    return out[["source", "bucket", "n_docs", "sum_tokens"]]
+
+
+SQL_Q79 = f"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+  FROM documents
+)
+SELECT source, (n // {_LEN_BUCKET})::BIGINT AS bucket,
+       count(*) AS n_docs, sum(n)::BIGINT AS sum_tokens
+FROM t GROUP BY source, n // {_LEN_BUCKET}
+"""
+
+
 _QUOTA_PER_DOMAIN = 5
 
 
@@ -3797,6 +3846,7 @@ RAY_QUERIES = {
     "q76_dsir_select": q76_dsir_select,
     "q77_mg_top_terms": q77_mg_top_terms,
     "q78_url_dedup": q78_url_dedup,
+    "q79_length_histogram": q79_length_histogram,
 }
 
 ORACLE_SQL = {
@@ -3866,6 +3916,7 @@ ORACLE_SQL = {
     "q76_dsir_select": SQL_Q76,
     "q77_mg_top_terms": SQL_Q77,
     "q78_url_dedup": SQL_Q78,
+    "q79_length_histogram": SQL_Q79,
 }
 
 

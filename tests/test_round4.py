@@ -281,6 +281,76 @@ class TestUrlDedup:
     def test_q78_twin(self):
         _twin_check("q78_url_dedup")
 
+    def test_q79_twin(self):
+        _twin_check("q79_length_histogram")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFaultTolerance:
+    def test_tagger_actor_killed_mid_run_output_identical(self, tmp_path):
+        """North-rule fault-tolerance evidence: SIGKILL a live tagger-pool
+        worker PROCESS while the flagship build is streaming; Ray must
+        restart the actor (constructor args are plain values — the
+        ray#53727 fix) and re-run its lost tasks, and the final triple set
+        must be bit-identical to an unperturbed run.  The kill is asserted
+        to have landed while the run was in flight — a test that never
+        killed anything proves nothing."""
+        import os
+        import signal
+        import threading
+        import time
+
+        # GCS-backed actor table: works with include_dashboard=False, where
+        # ray.util.state's HTTP API does not (test-only use of a private API)
+        import ray._private.state as _state
+
+        from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts
+        from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+
+        path = str(tmp_path / "ft_tx")
+        write_transcripts(path, TranscriptConfig(n_convs=2500, seed=9), shards=8)
+        cfg = KGConfig(tagger="bert", tagger_concurrency=2, tagger_batch_size=512)
+
+        def run() -> pd.DataFrame:
+            df = build_kg(read_transcripts(path), cfg).triples.to_pandas()
+            return (
+                df.drop(columns=["conv_ids"])
+                .sort_values(["subj", "pred", "obj"])
+                .reset_index(drop=True)
+            )
+
+        baseline = run()
+
+        result: dict = {}
+
+        def target():
+            try:
+                result["df"] = run()
+            except Exception as exc:  # surface the failure in the main thread
+                result["err"] = exc
+
+        t = threading.Thread(target=target)
+        t.start()
+        killed_pid = None
+        deadline = time.time() + 60
+        while time.time() < deadline and killed_pid is None and t.is_alive():
+            for info in _state.actors().values():
+                if (
+                    "TaggerFanout" in (info.get("ActorClassName") or "")
+                    and info.get("State") == "ALIVE"
+                    and info.get("Pid")
+                ):
+                    killed_pid = info["Pid"]
+                    os.kill(killed_pid, signal.SIGKILL)
+                    break
+            time.sleep(0.1)
+        t.join(timeout=300)
+        assert not t.is_alive(), "perturbed run hung after actor kill"
+        assert "err" not in result, f"perturbed run failed: {result.get('err')}"
+        assert killed_pid is not None, "no tagger actor was alive to kill"
+        pd.testing.assert_frame_equal(result["df"], baseline)
+        assert len(baseline) > 0
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestDomainQuota:
