@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
@@ -620,63 +621,131 @@ def duplicate_ngram_spans(
     count how many of its token ``k``-gram positions carry a shingle that
     also occurs in at least one OTHER document.
 
-    Plan: (1) positional shingles per doc, shuffled as fixed-width md5 hex
-    digests — never the shingle text (a 128-bit digest cannot collide in
-    practice, and the twin groups by the shingle STRING so any collision
-    would be caught as a hash mismatch); (2) one groupby over digests keeps
-    the positions of shingles with >= 2 distinct docs; (3) a narrow
-    per-doc count joined back onto per-doc totals.  Nothing document-sized
-    ever enters a shuffle; the heavy relation is |positions| rows of
-    (doc_id, 32-byte digest).  Tokenization is the corpus-analytics idiom
-    (``[a-z0-9]+`` over ``lower(text)``), so the DuckDB twin re-derives
-    shingles with ``regexp_extract_all`` + list slices.
+    Plan: (1) positional shingles per doc, shuffled as a 128-bit digest —
+    never the shingle text (two INDEPENDENT 64-bit polynomial hashes over
+    splitmix64-decorrelated token hashes; the twin groups by the shingle
+    STRING, so any collision at test scale would surface as a hash
+    mismatch); (2) one groupby over digests keeps the positions of shingles
+    with >= 2 distinct docs; (3) a narrow per-doc count joined back onto
+    per-doc totals.  Nothing document-sized ever enters a shuffle, and the
+    heavy relation is |distinct (doc, shingle) pairs| rows of (doc_id, two
+    uint64 columns, multiplicity) — pairs pre-aggregate INSIDE the shingle
+    pass (a doc's text is one input row, so its pair multiplicities are
+    block-local and exact), and the >= 2-distinct-docs test runs
+    VECTORIZED per hash bucket (``h1 & (_DUP_BUCKETS-1)`` — the minhash
+    cell-bucketing idiom, ~4k map_groups calls instead of one per distinct
+    shingle).  Tokenization is the
+    corpus-analytics idiom (``[a-z0-9]+`` over ``lower(text)``), so the
+    DuckDB twin re-derives shingles with ``regexp_extract_all`` + list
+    slices.
+
+    Digest construction (fully vectorized — the previous per-position
+    Python md5 dominated this operator's wall time): each distinct token
+    hashes once via the process-stable ``hash_pandas_object`` (C kernel);
+    position p's digest halves are ``sum_j t_j(p+j) * B_i^j mod 2^64`` over
+    two decorrelated token-hash streams ``t_1 = h``, ``t_2 =
+    splitmix64(h ^ C)`` with distinct odd bases ``B_i`` — k vectorized
+    multiply-adds per half, windows never crossing doc boundaries.
 
     Output: ``(id_col, n_shingles, n_dup, dup_frac_micro)`` for every doc
     with at least one full shingle; ``dup_frac_micro`` uses the shared
     ``floor(a * 1e6 / b + 0.5)`` idiom.
     """
-    import hashlib
     import math
 
     from ner_ray.stages.decontam import TOKEN_RE
     from ner_ray.stages.joins import hash_join
+    from ner_ray.stages.sketches import splitmix64
+
+    B1 = np.uint64(0x9E3779B97F4A7C15)  # distinct odd multipliers
+    B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    C2 = np.uint64(0x94D049BB133111EB)
+    _DUP_BUCKETS = 4096  # power of two: bucket = h1 & (B-1)
 
     def shingles(t: pa.Table) -> pa.Table:
-        ids, hs = [], []
-        for d, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+        toks_all: list[str] = []
+        doc_of: list[int] = []
+        for row, txt in enumerate(t[text_col].to_pylist()):
             toks = TOKEN_RE.findall((txt or "").lower())
-            for i in range(len(toks) - k + 1):
-                ids.append(d)
-                hs.append(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest())
+            toks_all.extend(toks)
+            doc_of.extend([row] * len(toks))
+        if len(toks_all) < k:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "h1": pa.array([], pa.uint64()),
+                    "h2": pa.array([], pa.uint64()),
+                }
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pd.util.hash_pandas_object(
+            pd.Series(toks_all, dtype=object), index=False
+        ).to_numpy()  # uint64, content-stable across blocks/processes
+        h2src = splitmix64(h ^ C2)
+        doc = np.asarray(doc_of, dtype=np.int64)
+        n = len(h) - k + 1
+        acc1 = np.zeros(n, dtype=np.uint64)
+        acc2 = np.zeros(n, dtype=np.uint64)
+        # powers precomputed mod 2^64 in Python ints (scalar uint64 overflow
+        # would warn; array ops below wrap silently by definition)
+        pows1 = [np.uint64(pow(int(B1), j, 1 << 64)) for j in range(k)]
+        pows2 = [np.uint64(pow(int(B2), j, 1 << 64)) for j in range(k)]
+        for j in range(k):  # k vectorized multiply-adds, mod-2^64 wraparound
+            acc1 += h[j : j + n] * pows1[j]
+            acc2 += h2src[j : j + n] * pows2[j]
+        valid = doc[:n] == doc[k - 1 :]  # window stays inside one doc
+        vdoc, v1, v2 = doc[:n][valid], acc1[valid], acc2[valid]
+        # A document's text is ONE input row, so every position of a given
+        # (doc, shingle) pair lives in THIS block: per-block aggregation of
+        # the pair multiplicities and of the per-doc totals is already
+        # GLOBAL — totals leave this function needing no shuffle at all,
+        # and the dup relation shrinks from |positions| to |distinct pairs|.
+        pairs = pa.table(
+            {
+                id_col: pa.array(ids[vdoc], pa.int64()),
+                "h1": pa.array(v1, pa.uint64()),
+                "h2": pa.array(v2, pa.uint64()),
+                "cnt": pa.array(np.ones(len(vdoc), np.int64)),
+            }
+        ).group_by([id_col, "h1", "h2"]).aggregate([("cnt", "sum")])
+        bucket = pc.bit_wise_and(pairs["h1"], np.uint64(_DUP_BUCKETS - 1))
         return pa.table(
-            {id_col: pa.array(ids, pa.int64()), "h": pa.array(hs, pa.string())}
+            {
+                id_col: pairs[id_col],
+                "h1": pairs["h1"],
+                "h2": pairs["h2"],
+                "cnt": pc.cast(pairs["cnt_sum"], pa.int64()),
+                "bucket": pc.cast(bucket, pa.int64()),
+            }
         )
 
     pos = ds.map_batches(shingles, batch_format="pyarrow")
 
-    def dup_rows(g: pa.Table) -> pa.Table:
-        d = g[id_col].to_numpy(zero_copy_only=False)
-        if (d != d[0]).any():  # >= 2 distinct docs share this shingle
-            return g.select([id_col])
-        return pa.schema([(id_col, pa.int64())]).empty_table()
+    totals = pos.groupby(id_col).aggregate(Sum("cnt", alias_name="n_shingles"))
 
-    def count_per_doc(name: str):
-        def fn(g: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    id_col: g[id_col].slice(0, 1),
-                    name: pa.array([g.num_rows], pa.int64()),
-                }
-            )
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        """One call per hash BUCKET ((h1 & (B-1)); ~_DUP_BUCKETS calls bound
+        the map_groups dispatch — the minhash cell-bucketing idiom), doing
+        the per-shingle >=2-distinct-docs test VECTORIZED: pair rows are
+        already distinct per (doc, shingle), so after a sort by (h1, h2) a
+        shingle's run length IS its distinct-doc count."""
+        t = g.sort_by([("h1", "ascending"), ("h2", "ascending")])
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        new = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.r_[starts, len(h1)])
+        dup_row = np.repeat(run_len >= 2, run_len)
+        kept = t.filter(pa.array(dup_row))
+        return pa.table(
+            {id_col: kept[id_col], "n_dup": pc.cast(kept["cnt"], pa.int64())}
+        )
 
-        return fn
-
-    totals = pos.groupby(id_col).map_groups(count_per_doc("n_shingles"), batch_format="pyarrow")
     dups = (
-        pos.groupby("h")
-        .map_groups(dup_rows, batch_format="pyarrow")
+        pos.groupby("bucket")
+        .map_groups(bucket_dups, batch_format="pyarrow")
         .groupby(id_col)
-        .map_groups(count_per_doc("n_dup"), batch_format="pyarrow")
+        .aggregate(Sum("n_dup", alias_name="n_dup"))
     )
     joined = hash_join(
         totals,
