@@ -285,6 +285,91 @@ class TestUrlDedup:
         _twin_check("q79_length_histogram")
 
 
+class TestCrashResume:
+    """B10 evidence at the JOB level: SIGKILL the whole `python -m ner_ray`
+    process mid-run (after the first stage's manifest lands, before the run
+    finishes), then rerun the identical command — the rerun must skip the
+    finished stage(s), complete, and produce a graph identical to a clean
+    single-shot run.  Runs outside the session Ray cluster (each subprocess
+    owns its own session, exactly like `ray job submit`)."""
+
+    def test_sigkill_mid_run_rerun_matches_clean(self, tmp_path):
+        import json
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        import duckdb
+
+        from ner_ray.fixtures.transcripts import TranscriptConfig
+
+        tx = str(tmp_path / "tx")
+        # write the fixture in a subprocess-owned session too (keep this
+        # test independent of the pytest session cluster)
+        code = (
+            "from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts;"
+            f"write_transcripts({tx!r}, TranscriptConfig(n_convs=2500, seed=13), shards=8)"
+        )
+        subprocess.run(
+            [sys.executable, "-c", f"import ray; ray.init(address='local', num_cpus=4, include_dashboard=False, logging_level='ERROR'); {code}; ray.shutdown()"],
+            check=True,
+            capture_output=True,
+            cwd="/root/repo",
+            timeout=300,
+        )
+
+        def cmd(out: str) -> list[str]:
+            return [
+                sys.executable, "-m", "ner_ray",
+                "--input", tx, "--out", out,
+                "--tagger", "bert", "--num-cpus", "4",
+            ]
+
+        out_crash, out_clean = str(tmp_path / "crash"), str(tmp_path / "clean")
+        p = subprocess.Popen(
+            cmd(out_crash),
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            cwd="/root/repo",
+        )
+        first_manifest = os.path.join(out_crash, "turn_mentions", "manifest.json")
+        deadline = time.time() + 240
+        while time.time() < deadline and p.poll() is None and not os.path.exists(
+            first_manifest
+        ):
+            time.sleep(0.2)
+        assert os.path.exists(first_manifest), "first stage never materialized"
+        assert p.poll() is None, (
+            "run finished before the kill could land; enlarge the fixture"
+        )
+        os.kill(p.pid, signal.SIGKILL)
+        p.wait(timeout=60)
+
+        rerun = subprocess.run(
+            cmd(out_crash), capture_output=True, text=True, cwd="/root/repo", timeout=600
+        )
+        assert rerun.returncode == 0, rerun.stderr[-2000:]
+        metrics = json.loads(rerun.stdout.strip().splitlines()[-1])
+        assert metrics["stages"]["turn_mentions"]["skipped"] is True
+
+        clean = subprocess.run(
+            cmd(out_clean), capture_output=True, text=True, cwd="/root/repo", timeout=600
+        )
+        assert clean.returncode == 0, clean.stderr[-2000:]
+
+        con = duckdb.connect()
+        q = (
+            "SELECT subj, pred, obj, confidence, n_support "
+            "FROM read_parquet('{}/graph/**/*.parquet') ORDER BY subj, pred, obj"
+        )
+        a = con.execute(q.format(out_crash)).df()
+        b = con.execute(q.format(out_clean)).df()
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestFaultTolerance:
     def test_tagger_actor_killed_mid_run_output_identical(self, tmp_path):
