@@ -285,6 +285,21 @@ class TestUrlDedup:
         _twin_check("q79_length_histogram")
 
 
+class TestCatalogIntegrity:
+    def test_every_twin_names_a_catalog_entry(self):
+        from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+        orphans = [n for n in oracle_sql_catalog() if n not in RAY_QUERIES]
+        assert orphans == [], f"twins without catalog entries: {orphans}"
+
+    def test_new_round4_entries_all_twinned(self):
+        from ner_ray.pipelines.queries import oracle_sql_catalog
+
+        twins = oracle_sql_catalog()
+        for n in [f"q{i}" for i in range(71, 80)]:
+            assert any(k.startswith(n + "_") for k in twins), n
+
+
 class TestCrashResume:
     """B10 evidence at the JOB level: SIGKILL the whole `python -m ner_ray`
     process mid-run (after the first stage's manifest lands, before the run
