@@ -105,6 +105,12 @@ def train_bigram_lm(
         return t.filter(keep)
 
     pruned = counts.map_batches(prune, batch_format="pyarrow").to_pandas()
+    if max_bigrams is None and len(pruned) > 5_000_000:
+        logger.warning(
+            "uncapped LM model collected %d grams to the driver; set "
+            "max_bigrams on an open-vocabulary corpus",
+            len(pruned),
+        )
     is_bi = pruned["gram"].str.contains(" ", regex=False)
     uni_tbl, bi_tbl = pruned[~is_bi], pruned[is_bi]
     if max_bigrams is not None and len(bi_tbl) > max_bigrams:
