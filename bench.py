@@ -120,6 +120,7 @@ def run_bench() -> dict:
         "q77_mg_top_terms",
         "q78_url_dedup",
         "q79_length_histogram",
+        "q80_sft_pairs",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

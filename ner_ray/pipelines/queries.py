@@ -3147,6 +3147,53 @@ FROM t GROUP BY source, n // {_LEN_BUCKET}
 """
 
 
+def q80_sft_pairs(sf_dir: str) -> Dataset:
+    """SFT pair extraction from agent transcripts — THE conversational
+    training-data op: for every assistant turn whose immediately preceding
+    turn (by restored turn order) is a user turn, emit a (prompt, response)
+    row.  One narrow key shuffle on conv_id + per-group mergesort (the
+    order_restore partitioning contract); the turn texts ride through
+    unmodified, so the driver's hash check pins the per-turn text-equality
+    invariant (BASELINE.json input_hint) through the pairing.  Dynamic twin
+    over the fixture path: lag(role)/lag(text) OVER (PARTITION BY conv_id
+    ORDER BY turn_idx)."""
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(path, columns=["conv_id", "turn_idx", "role", "text"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="mergesort")
+        role = g["role"].to_numpy()
+        keep = np.zeros(len(g), dtype=bool)
+        keep[1:] = (role[1:] == "assistant") & (role[:-1] == "user")
+        idx = np.flatnonzero(keep)
+        txt = g["text"].to_numpy()
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy()[idx],
+                "turn_idx": g["turn_idx"].to_numpy()[idx].astype(np.int64),
+                "prompt": txt[idx - 1],
+                "response": txt[idx],
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(pairs, batch_format="pandas")
+
+
+def _q80_sql(path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prev_text
+  FROM read_parquet('{path}/*.parquet')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       prev_text AS prompt, text AS response
+FROM t WHERE role = 'assistant' AND prev_role = 'user'
+"""
+
+
 _QUOTA_PER_DOMAIN = 5
 
 
@@ -3847,6 +3894,7 @@ RAY_QUERIES = {
     "q77_mg_top_terms": q77_mg_top_terms,
     "q78_url_dedup": q78_url_dedup,
     "q79_length_histogram": q79_length_histogram,
+    "q80_sft_pairs": q80_sft_pairs,
 }
 
 ORACLE_SQL = {
@@ -4442,6 +4490,8 @@ def oracle_sql_catalog() -> dict[str, str]:
         "SELECT conv_id, turn_idx, role, text, tool, ts "
         f"FROM read_parquet('{path}/*.parquet')"
     )
+    # Twin of q80_sft_pairs: lag-window pairing over the same fixture.
+    sql["q80_sft_pairs"] = _q80_sql(path)
     # Twin of q73_conv_stats: per-conversation rollup over the same fixture.
     sql["q73_conv_stats"] = f"""
 SELECT conv_id,

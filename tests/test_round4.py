@@ -285,6 +285,50 @@ class TestUrlDedup:
         _twin_check("q79_length_histogram")
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestSftPairs:
+    def test_toy_pairing_semantics(self):
+        """assistant-after-user pairs only; tool turns break the pair; the
+        pairing must hold under a SCRAMBLED input row order (the
+        order-restore invariant)."""
+        import ray.data as rd2
+
+        from ner_ray.pipelines import queries as q
+
+        t = pa.table(
+            {
+                "conv_id": pa.array(["c"] * 5 + ["d"] * 2, pa.string()),
+                "turn_idx": pa.array([3, 1, 0, 2, 4, 1, 0], pa.int32()),
+                "role": pa.array(
+                    # c by turn order: user, assistant, user, tool, assistant
+                    ["tool", "assistant", "user", "user", "assistant",
+                     "assistant", "assistant"],
+                    pa.string(),
+                ),
+                "text": pa.array(["t3", "a1", "u0", "u2", "a4", "x", "y"], pa.string()),
+            }
+        )
+        orig = q.read_parquet_clean
+        q.read_parquet_clean = lambda path, columns=None, **kw: rd2.from_arrow(t)
+        try:
+            out = (
+                q.q80_sft_pairs("ignored")
+                .to_pandas()
+                .sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True)
+            )
+        finally:
+            q.read_parquet_clean = orig
+        # c: turn 1 (assistant after user turn 0) pairs; turn 4 follows a
+        # TOOL turn -> no pair; d: assistant after assistant -> no pair
+        assert out.to_dict("records") == [
+            {"conv_id": "c", "turn_idx": 1, "prompt": "u0", "response": "a1"}
+        ]
+
+    def test_q80_twin(self):
+        _twin_check("q80_sft_pairs")
+
+
 class TestCatalogIntegrity:
     def test_every_twin_names_a_catalog_entry(self):
         from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
