@@ -3160,23 +3160,31 @@ def q80_sft_pairs(sf_dir: str) -> Dataset:
     path = transcripts_path_for(sf_dir)
     ds = read_parquet_clean(path, columns=["conv_id", "turn_idx", "role", "text"])
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="mergesort")
-        role = g["role"].to_numpy()
-        keep = np.zeros(len(g), dtype=bool)
+    def pairs(g: pa.Table) -> pa.Table:
+        # pyarrow group format: a pair-less conversation returns a TYPED
+        # empty table (an empty pandas object column trips Ray's block-size
+        # estimator into per-group error logs)
+        t = g.sort_by([("turn_idx", "ascending")])
+        role = t["role"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(role), dtype=bool)
         keep[1:] = (role[1:] == "assistant") & (role[:-1] == "user")
         idx = np.flatnonzero(keep)
-        txt = g["text"].to_numpy()
-        return pd.DataFrame(
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "conv_id": g["conv_id"].to_numpy()[idx],
-                "turn_idx": g["turn_idx"].to_numpy()[idx].astype(np.int64),
-                "prompt": txt[idx - 1],
-                "response": txt[idx],
+                "conv_id": pa.array(
+                    t["conv_id"].to_numpy(zero_copy_only=False)[idx], pa.string()
+                ),
+                "turn_idx": pa.array(
+                    t["turn_idx"].to_numpy(zero_copy_only=False)[idx].astype(np.int64),
+                    pa.int64(),
+                ),
+                "prompt": pa.array(txt[idx - 1] if len(idx) else [], pa.string()),
+                "response": pa.array(txt[idx] if len(idx) else [], pa.string()),
             }
         )
 
-    return ds.groupby("conv_id").map_groups(pairs, batch_format="pandas")
+    return ds.groupby("conv_id").map_groups(pairs, batch_format="pyarrow")
 
 
 def _q80_sql(path: str) -> str:
