@@ -121,6 +121,7 @@ def run_bench() -> dict:
         "q78_url_dedup",
         "q79_length_histogram",
         "q80_sft_pairs",
+        "q81_conv_dedup",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -3187,6 +3187,60 @@ def q80_sft_pairs(sf_dir: str) -> Dataset:
     return ds.groupby("conv_id").map_groups(pairs, batch_format="pyarrow")
 
 
+def q81_conv_dedup(sf_dir: str) -> Dataset:
+    """Conversation-level exact dedup over the flagship transcripts shape —
+    the pre-KG hygiene pass that drops replayed/duplicated conversations
+    before they inflate triple support counts (the synthetic corpus really
+    contains duplicates: identical template draws).  Per-conv fingerprint =
+    md5 of the RS-joined turn texts in restored turn order (one md5 per
+    conversation, not per turn), then one narrow groupby over fingerprints:
+    (fingerprint, n_dups, keep_conv).  Two key shuffles, both over rows no
+    wider than (id, 32-char hex)."""
+    import hashlib
+
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(path, columns=["conv_id", "turn_idx", "text"])
+
+    def fp(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("turn_idx", "ascending")])
+        joined = "\x1e".join(t["text"].to_pylist())
+        return pa.table(
+            {
+                "h": pa.array([hashlib.md5(joined.encode()).hexdigest()], pa.string()),
+                "conv_id": t["conv_id"].slice(0, 1),
+            }
+        )
+
+    def collapse(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "h": g["h"].slice(0, 1),
+                "n_dups": pa.array([g.num_rows], pa.int64()),
+                "keep_conv": pa.array([_pc.min(g["conv_id"]).as_py()], pa.string()),
+            }
+        )
+
+    return (
+        ds.groupby("conv_id")
+        .map_groups(fp, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(collapse, batch_format="pyarrow")
+    )
+
+
+def _q81_sql(path: str) -> str:
+    return f"""
+WITH c AS (
+  SELECT conv_id, md5(string_agg(text, chr(30) ORDER BY turn_idx)) AS h
+  FROM read_parquet('{path}/*.parquet') GROUP BY conv_id
+)
+SELECT h, count(*)::BIGINT AS n_dups, min(conv_id) AS keep_conv
+FROM c GROUP BY h
+"""
+
+
 def _q80_sql(path: str) -> str:
     return f"""
 WITH t AS (
@@ -3903,6 +3957,7 @@ RAY_QUERIES = {
     "q78_url_dedup": q78_url_dedup,
     "q79_length_histogram": q79_length_histogram,
     "q80_sft_pairs": q80_sft_pairs,
+    "q81_conv_dedup": q81_conv_dedup,
 }
 
 ORACLE_SQL = {
@@ -4500,6 +4555,8 @@ def oracle_sql_catalog() -> dict[str, str]:
     )
     # Twin of q80_sft_pairs: lag-window pairing over the same fixture.
     sql["q80_sft_pairs"] = _q80_sql(path)
+    # Twin of q81_conv_dedup: ordered string_agg + md5 over the same fixture.
+    sql["q81_conv_dedup"] = _q81_sql(path)
     # Twin of q73_conv_stats: per-conversation rollup over the same fixture.
     sql["q73_conv_stats"] = f"""
 SELECT conv_id,

@@ -329,6 +329,42 @@ class TestSftPairs:
         _twin_check("q80_sft_pairs")
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestConvDedup:
+    def test_duplicate_convs_collapse_under_scrambled_order(self):
+        import ray.data as rd2
+
+        from ner_ray.pipelines import queries as q
+
+        t = pa.table(
+            {
+                # convs a and c are identical once turn order is restored;
+                # b differs only in one turn
+                "conv_id": pa.array(["a", "a", "b", "b", "c", "c"], pa.string()),
+                "turn_idx": pa.array([1, 0, 0, 1, 0, 1], pa.int32()),
+                "text": pa.array(["t1", "t0", "t0", "tX", "t0", "t1"], pa.string()),
+            }
+        )
+        orig = q.read_parquet_clean
+        q.read_parquet_clean = lambda path, columns=None, **kw: rd2.from_arrow(t)
+        try:
+            out = q.q81_conv_dedup("ignored").to_pandas()
+        finally:
+            q.read_parquet_clean = orig
+        out = out.sort_values("keep_conv").reset_index(drop=True)
+        assert out["n_dups"].tolist() == [2, 1]
+        assert out["keep_conv"].tolist() == ["a", "b"]
+
+    def test_fixture_really_exercises_collapse(self):
+        from ner_ray.pipelines.queries import RAY_QUERIES
+
+        out = RAY_QUERIES["q81_conv_dedup"](SF).to_pandas()
+        assert (out["n_dups"] > 1).any()  # the corpus contains real dups
+
+    def test_q81_twin(self):
+        _twin_check("q81_conv_dedup")
+
+
 class TestCatalogIntegrity:
     def test_every_twin_names_a_catalog_entry(self):
         from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
