@@ -3241,6 +3241,99 @@ FROM c GROUP BY h
 """
 
 
+_NEG_PER_TRIPLE = 2
+
+
+def q82_kg_negative_samples(sf_dir: str) -> Dataset:
+    """Deterministic negative sampling over the flagship KG — the
+    KG-embedding training-data op (TransE-family corrupted triples): for
+    every canonical triple emit N variants with the object replaced by a
+    hash-chosen other entity (resampled once on self-collision).  Entity
+    vocabulary = distinct subj ∪ obj of the canon triples (entity-sized,
+    broadcast via ``ray.put``); the corruption index derives from
+    ``md5(subj|pred|obj|i)`` so it is reproducible across engines, runs and
+    partitionings — the q34 md5-parity idiom (a production variant would
+    splitmix integer entity ids; md5-per-emitted-row is the oracle-parity
+    form, bounded by output size).  One stateless pass over triples; the
+    twin recomputes the WHOLE flagship build as a CTE plus the same
+    corruption arithmetic."""
+    import hashlib
+
+    import ray as _ray
+
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    triples = build_kg(tx, KGConfig()).triples.select_columns(
+        ["subj", "pred", "obj"]
+    ).materialize()
+    ent_df = (
+        triples.select_columns(["subj"])
+        .union(
+            triples.map_batches(
+                lambda t: pa.table({"subj": t["obj"]}), batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+    )
+    ents = sorted(set(ent_df["subj"]))
+    n_ents = len(ents)
+    ref = _ray.put(ents)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        el = _ray.get(ref)
+        out = {"subj": [], "pred": [], "obj": [], "neg_idx": [], "neg_obj": []}
+        for s, p, o in zip(
+            t["subj"].to_pylist(), t["pred"].to_pylist(), t["obj"].to_pylist()
+        ):
+            for i in range(1, _NEG_PER_TRIPLE + 1):
+                key = f"{s}|{p}|{o}|{i}"
+                idx = int(hashlib.md5(key.encode()).hexdigest()[:12], 16) % n_ents
+                neg = el[idx] if el[idx] != o else el[(idx + 1) % n_ents]
+                out["subj"].append(s)
+                out["pred"].append(p)
+                out["obj"].append(o)
+                out["neg_idx"].append(i)
+                out["neg_obj"].append(neg)
+        return pa.table(
+            {
+                "subj": pa.array(out["subj"], pa.string()),
+                "pred": pa.array(out["pred"], pa.string()),
+                "obj": pa.array(out["obj"], pa.string()),
+                "neg_idx": pa.array(out["neg_idx"], pa.int64()),
+                "neg_obj": pa.array(out["neg_obj"], pa.string()),
+            }
+        )
+
+    return triples.map_batches(corrupt, batch_format="pyarrow")
+
+
+def _q82_sql(canon_sql: str, n_neg: int = _NEG_PER_TRIPLE) -> str:
+    """q82 twin: the full flagship-build twin as a CTE, the same entity
+    ordering (SQL ORDER BY = Python sorted() for these ASCII surfaces), and
+    the same md5 corruption arithmetic."""
+    return f"""
+WITH base AS ({canon_sql}),
+tri AS (SELECT DISTINCT subj, pred, obj FROM base),
+ents AS (
+  SELECT e, row_number() OVER (ORDER BY e) - 1 AS rn
+  FROM (SELECT subj AS e FROM tri UNION SELECT obj AS e FROM tri)
+),
+n AS (SELECT count(*)::BIGINT AS n FROM ents),
+fan AS (
+  SELECT subj, pred, obj, i AS neg_idx,
+         CAST(('0x' || substr(md5(subj || '|' || pred || '|' || obj || '|' || i),
+                              1, 12)) AS BIGINT) % (SELECT n FROM n) AS idx
+  FROM tri, unnest(generate_series(1, {n_neg})) AS s(i)
+)
+SELECT f.subj, f.pred, f.obj, f.neg_idx,
+       CASE WHEN e1.e <> f.obj THEN e1.e ELSE e2.e END AS neg_obj
+FROM fan f
+JOIN ents e1 ON e1.rn = f.idx
+JOIN ents e2 ON e2.rn = (f.idx + 1) % (SELECT n FROM n)
+"""
+
+
 def _q80_sql(path: str) -> str:
     return f"""
 WITH t AS (
@@ -3958,6 +4051,7 @@ RAY_QUERIES = {
     "q79_length_histogram": q79_length_histogram,
     "q80_sft_pairs": q80_sft_pairs,
     "q81_conv_dedup": q81_conv_dedup,
+    "q82_kg_negative_samples": q82_kg_negative_samples,
 }
 
 ORACLE_SQL = {
@@ -4557,6 +4651,8 @@ def oracle_sql_catalog() -> dict[str, str]:
     sql["q80_sft_pairs"] = _q80_sql(path)
     # Twin of q81_conv_dedup: ordered string_agg + md5 over the same fixture.
     sql["q81_conv_dedup"] = _q81_sql(path)
+    # Twin of q82: the flagship-build twin as a CTE + md5 corruption.
+    sql["q82_kg_negative_samples"] = _q82_sql(_kg_canon_triples_sql(path))
     # Twin of q73_conv_stats: per-conversation rollup over the same fixture.
     sql["q73_conv_stats"] = f"""
 SELECT conv_id,

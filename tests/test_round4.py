@@ -365,6 +365,49 @@ class TestConvDedup:
         _twin_check("q81_conv_dedup")
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestKgNegativeSamples:
+    def test_shape_and_independent_recompute(self):
+        """N negatives per canon triple; every negative differs from the
+        true object, lands in the entity vocabulary, and matches an
+        independent from-first-principles md5 recomputation (covering the
+        self-collision resample rule on whichever rows hit it)."""
+        import hashlib
+
+        from ner_ray.pipelines.queries import (
+            RAY_QUERIES,
+            _NEG_PER_TRIPLE,
+        )
+
+        neg = RAY_QUERIES["q82_kg_negative_samples"](SF).to_pandas()
+        tri = neg[["subj", "pred", "obj"]].drop_duplicates()
+        assert len(neg) == len(tri) * _NEG_PER_TRIPLE
+        ents = sorted(set(tri["subj"]) | set(tri["obj"]))
+        n = len(ents)
+        assert (neg["neg_obj"] != neg["obj"]).all()
+        assert set(neg["neg_obj"]) <= set(ents)
+        for _, r in neg.iterrows():
+            key = f"{r.subj}|{r.pred}|{r.obj}|{r.neg_idx}"
+            idx = int(hashlib.md5(key.encode()).hexdigest()[:12], 16) % n
+            exp = ents[idx] if ents[idx] != r.obj else ents[(idx + 1) % n]
+            assert r.neg_obj == exp
+
+    def test_collision_resample_rule(self):
+        """Directly exercise the el[idx] == obj branch of the corruption
+        rule (the fixture may not hit it)."""
+        import hashlib
+
+        ents = ["A", "B", "C"]
+        for i in range(50):
+            key = f"S|P|B|{i}"
+            idx = int(hashlib.md5(key.encode()).hexdigest()[:12], 16) % 3
+            neg = ents[idx] if ents[idx] != "B" else ents[(idx + 1) % 3]
+            assert neg != "B"
+
+    def test_q82_twin(self):
+        _twin_check("q82_kg_negative_samples")
+
+
 class TestCatalogIntegrity:
     def test_every_twin_names_a_catalog_entry(self):
         from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
