@@ -3334,6 +3334,40 @@ JOIN ents e2 ON e2.rn = (f.idx + 1) % (SELECT n FROM n)
 """
 
 
+def q83_kg_triangles(sf_dir: str) -> Dataset:
+    """Per-entity triangle counts over the flagship KG's undirected entity
+    co-occurrence graph (motif counting / clustering primitive;
+    stages/graph.triangle_counts — node-iterator wedges + one wedge-vs-edge
+    hash join, hot-degree guarded).  Twin: the flagship-build twin as a CTE
+    + the classic x<y<z edge self-join."""
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+    from ner_ray.stages.graph import triangle_counts
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return triangle_counts(build_kg(tx, KGConfig()).triples.materialize())
+
+
+def _q83_sql(canon_sql: str) -> str:
+    return f"""
+WITH base AS ({canon_sql}),
+e0 AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM base WHERE subj <> obj
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT entity, count(*)::BIGINT AS n_triangles
+FROM (SELECT x AS entity FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY entity
+"""
+
+
 def _q80_sql(path: str) -> str:
     return f"""
 WITH t AS (
@@ -4052,6 +4086,7 @@ RAY_QUERIES = {
     "q80_sft_pairs": q80_sft_pairs,
     "q81_conv_dedup": q81_conv_dedup,
     "q82_kg_negative_samples": q82_kg_negative_samples,
+    "q83_kg_triangles": q83_kg_triangles,
 }
 
 ORACLE_SQL = {
@@ -4653,6 +4688,8 @@ def oracle_sql_catalog() -> dict[str, str]:
     sql["q81_conv_dedup"] = _q81_sql(path)
     # Twin of q82: the flagship-build twin as a CTE + md5 corruption.
     sql["q82_kg_negative_samples"] = _q82_sql(_kg_canon_triples_sql(path))
+    # Twin of q83: the flagship-build twin as a CTE + x<y<z edge self-join.
+    sql["q83_kg_triangles"] = _q83_sql(_kg_canon_triples_sql(path))
     # Twin of q73_conv_stats: per-conversation rollup over the same fixture.
     sql["q73_conv_stats"] = f"""
 SELECT conv_id,

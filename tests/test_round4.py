@@ -408,6 +408,50 @@ class TestKgNegativeSamples:
         _twin_check("q82_kg_negative_samples")
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestTriangles:
+    def _ds(self, pairs):
+        import ray.data as rd2
+
+        return rd2.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([p[0] for p in pairs], pa.string()),
+                    "obj": pa.array([p[1] for p in pairs], pa.string()),
+                }
+            )
+        )
+
+    def test_toy_motifs(self):
+        from ner_ray.stages.graph import triangle_counts
+
+        # K4 on {a,b,c,d} (4 triangles, every node in 3) + pendant edge d-e
+        # + duplicate/reversed edges + a self-loop (all must be normalized)
+        pairs = [
+            ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+            ("e", "e"), ("c", "a"),
+        ]
+        out = (
+            triangle_counts(self._ds(pairs))
+            .to_pandas()
+            .sort_values("entity")
+            .reset_index(drop=True)
+        )
+        assert out["entity"].tolist() == ["a", "b", "c", "d"]
+        assert out["n_triangles"].tolist() == [3, 3, 3, 3]
+
+    def test_degree_cap_raises(self):
+        from ner_ray.stages.graph import triangle_counts
+
+        star = [("hub", f"n{i}") for i in range(10)]
+        with pytest.raises(Exception, match="max_degree"):
+            triangle_counts(self._ds(star), max_degree=5).to_pandas()
+
+    def test_q83_twin(self):
+        _twin_check("q83_kg_triangles")
+
+
 class TestCatalogIntegrity:
     def test_every_twin_names_a_catalog_entry(self):
         from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
