@@ -3368,6 +3368,48 @@ GROUP BY entity
 """
 
 
+def q84_kg_link_features(sf_dir: str) -> Dataset:
+    """Link-prediction features per KG edge (Liben-Nowell & Kleinberg):
+    endpoint degrees, common-neighbor count, neighborhood Jaccard — the
+    standard KG-completion feature set (stages/graph.link_features: wedge
+    keys = common-neighbor witnesses, one groupby + left joins).  Twin:
+    flagship CTE + adjacency self-joins; Jaccard micros from exact
+    integers."""
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+    from ner_ray.stages.graph import link_features
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return link_features(build_kg(tx, KGConfig()).triples.materialize())
+
+
+def _q84_sql(canon_sql: str) -> str:
+    return f"""
+WITH base AS ({canon_sql}),
+e0 AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM base WHERE subj <> obj
+),
+dirs AS (SELECT a AS c, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT c, count(*)::BIGINT AS d FROM dirs GROUP BY c),
+cn AS (
+  SELECT e.a, e.b, count(*)::BIGINT AS cn
+  FROM e0 e
+  JOIN dirs x ON x.n = e.a
+  JOIN dirs y ON y.n = e.b AND y.c = x.c
+  GROUP BY e.a, e.b
+)
+SELECT e.a, e.b, da.d AS da, db.d AS db,
+       COALESCE(cn.cn, 0) AS common,
+       CAST(floor(COALESCE(cn.cn, 0) * 1000000.0
+            / (da.d + db.d - COALESCE(cn.cn, 0)) + 0.5) AS BIGINT)
+         AS jaccard_micro
+FROM e0 e
+JOIN deg da ON da.c = e.a
+JOIN deg db ON db.c = e.b
+LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+"""
+
+
 def _q80_sql(path: str) -> str:
     return f"""
 WITH t AS (
@@ -4087,6 +4129,7 @@ RAY_QUERIES = {
     "q81_conv_dedup": q81_conv_dedup,
     "q82_kg_negative_samples": q82_kg_negative_samples,
     "q83_kg_triangles": q83_kg_triangles,
+    "q84_kg_link_features": q84_kg_link_features,
 }
 
 ORACLE_SQL = {
@@ -4690,6 +4733,8 @@ def oracle_sql_catalog() -> dict[str, str]:
     sql["q82_kg_negative_samples"] = _q82_sql(_kg_canon_triples_sql(path))
     # Twin of q83: the flagship-build twin as a CTE + x<y<z edge self-join.
     sql["q83_kg_triangles"] = _q83_sql(_kg_canon_triples_sql(path))
+    # Twin of q84: the flagship-build twin as a CTE + adjacency self-joins.
+    sql["q84_kg_link_features"] = _q84_sql(_kg_canon_triples_sql(path))
     # Twin of q73_conv_stats: per-conversation rollup over the same fixture.
     sql["q73_conv_stats"] = f"""
 SELECT conv_id,

@@ -329,6 +329,41 @@ def pagerank(
     )
 
 
+def undirected_edges(triples: Dataset) -> Dataset:
+    """Distinct undirected entity edges ``(a < b)`` from a triple table —
+    per-block Arrow combiner + one vectorized groupby (shared by
+    ``triangle_counts`` and ``link_features``)."""
+    from ray.data.aggregate import Sum
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        s = t["subj"].to_numpy(zero_copy_only=False)
+        o = t["obj"].to_numpy(zero_copy_only=False)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        a = np.minimum(s, o)
+        b = np.maximum(s, o)
+        return (
+            pa.table(
+                {
+                    "a": pa.array(a, pa.string()),
+                    "b": pa.array(b, pa.string()),
+                    "_one": pa.array(np.ones(len(a), np.int64)),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([("_one", "min")])
+            .rename_columns(["a", "b", "w"])
+        )
+
+    return (
+        triples.select_columns(["subj", "obj"])
+        .map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("w", alias_name="_x"))  # distinct edges via the groupby
+        .drop_columns(["_x"])
+    )
+
+
 def triangle_counts(triples: Dataset, max_degree: int = 10_000) -> Dataset:
     """Per-entity triangle counts over the UNDIRECTED entity co-occurrence
     graph (motif counting — the clustering/community primitive; Suri &
@@ -356,34 +391,7 @@ def triangle_counts(triples: Dataset, max_degree: int = 10_000) -> Dataset:
 
     SEP = "\x1e"  # engine-internal join key separator
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        s = t["subj"].to_numpy(zero_copy_only=False)
-        o = t["obj"].to_numpy(zero_copy_only=False)
-        keep = s != o
-        s, o = s[keep], o[keep]
-        a = np.minimum(s, o)
-        b = np.maximum(s, o)
-        return (
-            pa.table(
-                {
-                    "a": pa.array(a, pa.string()),
-                    "b": pa.array(b, pa.string()),
-                    "_one": pa.array(np.ones(len(a), np.int64)),
-                }
-            )
-            .group_by(["a", "b"])
-            .aggregate([("_one", "min")])
-            .rename_columns(["a", "b", "w"])
-        )
-
-    edges = (
-        triples.select_columns(["subj", "obj"])
-        .map_batches(to_edges, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Sum("w", alias_name="_x"))  # distinct edges via the groupby
-        .drop_columns(["_x"])
-        .materialize()
-    )
+    edges = undirected_edges(triples).materialize()
 
     def both_dirs(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -456,3 +464,146 @@ def triangle_counts(triples: Dataset, max_degree: int = 10_000) -> Dataset:
         .groupby("entity")
         .aggregate(Sum("n", alias_name="n_triangles"))
     )
+
+
+def link_features(triples: Dataset, max_degree: int = 10_000) -> Dataset:
+    """Link-prediction features for every existing KG edge: degrees of both
+    endpoints, common-neighbor count, and neighborhood Jaccard
+    ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` (Liben-Nowell & Kleinberg 2003) —
+    the classic features for KG completion / link scoring.
+
+    Shape: the triangle-counting wedge machinery — a wedge centered at c
+    with ends (u, v) witnesses c as a COMMON NEIGHBOR of the pair (u, v) —
+    so common counts are one ``groupby(wedge key).count`` joined (left)
+    back onto the edge set; degrees are one more narrow groupby joined on
+    each endpoint.  Same hot-degree guard as ``triangle_counts``.
+
+    Jaccard quantizes to micros from exact integers on both engine sides:
+    ``floor(cn * 1e6 / (da + db - cn) + 0.5)``.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ner_ray.stages.joins import hash_join
+
+    SEP = "\x1e"
+
+    edges = undirected_edges(triples).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "n": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+                "_one": pa.array(np.ones(2 * t.num_rows, np.int64)),
+            }
+        )
+
+    dirs = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    deg = dirs.groupby("c").aggregate(Sum("_one", alias_name="d"))
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nbrs = sorted(g["n"].to_pylist())
+        d = len(nbrs)
+        if d > max_degree:
+            raise ValueError(
+                f"node {g['c'][0].as_py()!r} has degree {d} > max_degree="
+                f"{max_degree}; split hot nodes before link_features"
+            )
+        if d < 2:
+            return pa.table(
+                {"ek": pa.array([], pa.string()), "_one": pa.array([], pa.int64())}
+            )
+        iu, iv = np.triu_indices(d, k=1)
+        arr = np.asarray(nbrs, dtype=object)
+        return pa.table(
+            {
+                "ek": pa.array(
+                    [f"{u}{SEP}{v}" for u, v in zip(arr[iu], arr[iv])], pa.string()
+                ),
+                "_one": pa.array(np.ones(len(iu), np.int64)),
+            }
+        )
+
+    common = (
+        dirs.groupby("c")
+        .map_groups(wedges, batch_format="pyarrow")
+        .groupby("ek")
+        .aggregate(Sum("_one", alias_name="cn"))
+    )
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ek": pc.binary_join_element_wise(t["a"], t["b"], SEP),
+                "a": t["a"],
+                "b": t["b"],
+            }
+        )
+
+    with_cn = hash_join(
+        edges.map_batches(edge_keys, batch_format="pyarrow"),
+        common,
+        on="ek",
+        how="left",
+        left_schema=pa.schema(
+            [("ek", pa.string()), ("a", pa.string()), ("b", pa.string())]
+        ),
+        right_schema=pa.schema([("ek", pa.string()), ("cn", pa.int64())]),
+    )
+    with_da = hash_join(
+        with_cn.map_batches(
+            lambda t: t.drop_columns(["ek"]), batch_format="pyarrow"
+        ),
+        deg.map_batches(
+            lambda t: pa.table({"a": t["c"], "da": t["d"]}), batch_format="pyarrow"
+        ),
+        on="a",
+        how="left",
+        left_schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("cn", pa.int64())]
+        ),
+        right_schema=pa.schema([("a", pa.string()), ("da", pa.int64())]),
+    )
+    with_db = hash_join(
+        with_da,
+        deg.map_batches(
+            lambda t: pa.table({"b": t["c"], "db": t["d"]}), batch_format="pyarrow"
+        ),
+        on="b",
+        how="left",
+        left_schema=pa.schema(
+            [("a", pa.string()), ("b", pa.string()), ("cn", pa.int64()), ("da", pa.int64())]
+        ),
+        right_schema=pa.schema([("b", pa.string()), ("db", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cn = t["cn"].to_numpy(zero_copy_only=False)
+        cn = np.where(np.isnan(cn.astype(np.float64)), 0, cn).astype(np.int64)
+        da = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["db"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = np.array(
+            [
+                math.floor(c * 1_000_000 / (x + y - c) + 0.5)
+                for c, x, y in zip(cn.tolist(), da.tolist(), db.tolist())
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "da": pa.array(da, pa.int64()),
+                "db": pa.array(db, pa.int64()),
+                "common": pa.array(cn, pa.int64()),
+                "jaccard_micro": pa.array(jac, pa.int64()),
+            }
+        )
+
+    return with_db.map_batches(finish, batch_format="pyarrow")

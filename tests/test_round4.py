@@ -451,6 +451,25 @@ class TestTriangles:
     def test_q83_twin(self):
         _twin_check("q83_kg_triangles")
 
+    def test_link_features_toy(self):
+        from ner_ray.stages.graph import link_features
+
+        # path graph a-b-c plus edge a-c (triangle) and pendant c-d
+        pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        out = (
+            link_features(self._ds(pairs))
+            .to_pandas()
+            .set_index(["a", "b"])
+            .sort_index()
+        )
+        # edge (a,b): N(a)={b,c}, N(b)={a,c} -> common={c}, union size 3
+        assert out.loc[("a", "b")].tolist() == [2, 2, 1, 333333]
+        # edge (c,d): N(c)={a,b,d}, N(d)={c} -> common 0
+        assert out.loc[("c", "d")].tolist() == [3, 1, 0, 0]
+
+    def test_q84_twin(self):
+        _twin_check("q84_kg_link_features")
+
 
 class TestCatalogIntegrity:
     def test_every_twin_names_a_catalog_entry(self):
