@@ -278,6 +278,50 @@ class TestUrlDedup:
         assert (out["n_dups"] == 4).all()  # 4 messy variants per canonical
         assert (out["min_doc"] % 4 == 0).all()  # variant 0 owns the min id
 
+    def test_canonicalization_idempotent_property(self):
+        """canonical_url is a projection: applying it twice equals once —
+        randomized over generated URL shapes (hypothesis)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ner_ray.functions.texttools import canonical_url as cu
+
+        seg = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ09",
+            min_size=1,
+            max_size=8,
+        )
+
+        @st.composite
+        def urls(draw):
+            scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS"]))
+            host = ".".join(draw(st.lists(seg, min_size=1, max_size=3)))
+            port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+            path = "/" + "/".join(draw(st.lists(seg, min_size=0, max_size=3)))
+            slash = draw(st.sampled_from(["", "/"]))
+            params = draw(
+                st.lists(
+                    st.tuples(
+                        st.sampled_from(["a", "b", "z", "utm_x", "utm_source"]),
+                        seg,
+                    ),
+                    max_size=4,
+                )
+            )
+            q = "&".join(f"{k}={v}" for k, v in params)
+            frag = draw(st.sampled_from(["", "#f", "#frag2"]))
+            return f"{scheme}://{host}{port}{path}{slash}" + (
+                f"?{q}" if q else ""
+            ) + frag
+
+        @settings(max_examples=200, deadline=None)
+        @given(urls())
+        def law(u):
+            once = cu(u)
+            assert cu(once) == once
+
+        law()
+
     def test_q78_twin(self):
         _twin_check("q78_url_dedup")
 
