@@ -975,6 +975,31 @@ class TestCheckpoint:
         pd.testing.assert_frame_equal(loaded, base)
         assert len(base) > 0
 
+    def test_weights_path_invalidates_resume_checkpoints(self, tmp_path):
+        """run_kg skips finished stages on an unchanged config but MUST
+        recompute when tagger_weights_path changes — the weights are part
+        of the stage signature (a stale-weights cache hit would silently
+        serve old predictions)."""
+        from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts
+        from ner_ray.pipelines.kg import KGConfig, run_kg
+        from ner_ray.state.bert import FrozenTinyBert
+        from ner_ray.state.checkpoint import save_bert
+
+        tx = str(tmp_path / "tx")
+        write_transcripts(tx, TranscriptConfig(n_convs=40, seed=5), shards=2)
+        p = str(tmp_path / "ckpt")
+        save_bert(FrozenTinyBert.create(), p)
+        out = str(tmp_path / "kg")
+        cfg = KGConfig(tagger="bert", tagger_concurrency=2)
+        m1 = run_kg(tx, out, cfg)
+        assert not m1["stages"]["turn_mentions"]["skipped"]
+        m2 = run_kg(tx, out, cfg)
+        assert m2["stages"]["turn_mentions"]["skipped"]
+        m3 = run_kg(
+            tx, out, KGConfig(tagger="bert", tagger_concurrency=2, tagger_weights_path=p)
+        )
+        assert not m3["stages"]["turn_mentions"]["skipped"]
+
     def test_torn_or_wrong_format_rejected(self, tmp_path):
         from ner_ray.state.checkpoint import load_bert, load_bilstm, save_bilstm
         from ner_ray.state.model import FrozenBiLSTM
