@@ -3410,6 +3410,127 @@ LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
 """
 
 
+def q85_kg_neighbor_agg(sf_dir: str) -> Dataset:
+    """One GNN-style message-passing round over the KG entity graph
+    (stages/graph.neighbor_degree_agg): per entity, the count / sum / max /
+    exact-micro mean of its neighbors' degrees — the feature-propagation
+    primitive of every GNN data pipeline (join features onto adjacency,
+    fold per destination).  Twin: flagship CTE + adjacency/degree joins."""
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+    from ner_ray.stages.graph import neighbor_degree_agg
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return neighbor_degree_agg(build_kg(tx, KGConfig()).triples.materialize())
+
+
+def _q85_sql(canon_sql: str) -> str:
+    return f"""
+WITH base AS ({canon_sql}),
+e0 AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM base WHERE subj <> obj
+),
+dirs AS (SELECT a AS c, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT c, count(*)::BIGINT AS d FROM dirs GROUP BY c)
+SELECT dirs.c AS entity,
+       count(*)::BIGINT AS n_neighbors,
+       sum(nd.d)::BIGINT AS sum_nbr_deg,
+       max(nd.d)::BIGINT AS max_nbr_deg,
+       CAST(floor(sum(nd.d) * 1000000.0 / count(*) + 0.5) AS BIGINT)
+         AS mean_nbr_deg_micro
+FROM dirs JOIN deg nd ON nd.c = dirs.n
+GROUP BY dirs.c
+"""
+
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+def q86_event_funnel(sf_dir: str) -> Dataset:
+    """Funnel analysis over the event stream (the product-analytics
+    sequence-match primitive): for every user, the greedy-first traversal
+    of view -> click -> purchase — the earliest view, the earliest click
+    strictly after it, the earliest purchase strictly after that — and the
+    stage reached.  One key shuffle on user_id; inside each group the
+    chain is three vectorized masked mins (no sort, no pairwise scan).
+    Twin: staged min-joins; absent stages coalesce to -1 (the q75 idiom)."""
+    ds = read_parquet_clean(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    def funnel(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        times = []
+        lo = None
+        for step in _FUNNEL:
+            m = et == step
+            if lo is not None:
+                m &= ts > lo
+            lo = ts[m].min() if m.any() else None
+            times.append(lo)
+            if lo is None:
+                break
+        times += [None] * (len(_FUNNEL) - len(times))
+        reached = sum(1 for x in times if x is not None)
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "reached": pa.array([reached], pa.int64()),
+                "t_view_us": pa.array(
+                    [int(times[0]) if times[0] is not None else -1], pa.int64()
+                ),
+                "t_click_us": pa.array(
+                    [int(times[1]) if times[1] is not None else -1], pa.int64()
+                ),
+                "t_purchase_us": pa.array(
+                    [int(times[2]) if times[2] is not None else -1], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(funnel, batch_format="pyarrow")
+    )
+
+
+SQL_Q86 = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events
+),
+v AS (SELECT user_id, min(tu) AS t1 FROM ev WHERE event_type = '{_FUNNEL[0]}'
+      GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.tu) AS t2
+      FROM ev e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL[1]}' AND e.tu > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.tu) AS t3
+      FROM ev e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL[2]}' AND e.tu > c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       (CASE WHEN p.t3 IS NOT NULL THEN 3
+             WHEN c.t2 IS NOT NULL THEN 2
+             WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS reached,
+       COALESCE(v.t1, -1)::BIGINT AS t_view_us,
+       COALESCE(c.t2, -1)::BIGINT AS t_click_us,
+       COALESCE(p.t3, -1)::BIGINT AS t_purchase_us
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+
 def _q80_sql(path: str) -> str:
     return f"""
 WITH t AS (
@@ -4130,6 +4251,8 @@ RAY_QUERIES = {
     "q82_kg_negative_samples": q82_kg_negative_samples,
     "q83_kg_triangles": q83_kg_triangles,
     "q84_kg_link_features": q84_kg_link_features,
+    "q85_kg_neighbor_agg": q85_kg_neighbor_agg,
+    "q86_event_funnel": q86_event_funnel,
 }
 
 ORACLE_SQL = {
@@ -4198,6 +4321,7 @@ ORACLE_SQL = {
     "q75_late_events": SQL_Q75,
     "q76_dsir_select": SQL_Q76,
     "q77_mg_top_terms": SQL_Q77,
+    "q86_event_funnel": SQL_Q86,
     "q78_url_dedup": SQL_Q78,
     "q79_length_histogram": SQL_Q79,
 }
@@ -4735,6 +4859,8 @@ def oracle_sql_catalog() -> dict[str, str]:
     sql["q83_kg_triangles"] = _q83_sql(_kg_canon_triples_sql(path))
     # Twin of q84: the flagship-build twin as a CTE + adjacency self-joins.
     sql["q84_kg_link_features"] = _q84_sql(_kg_canon_triples_sql(path))
+    # Twin of q85: the flagship-build twin as a CTE + degree joins.
+    sql["q85_kg_neighbor_agg"] = _q85_sql(_kg_canon_triples_sql(path))
     # Twin of q73_conv_stats: per-conversation rollup over the same fixture.
     sql["q73_conv_stats"] = f"""
 SELECT conv_id,

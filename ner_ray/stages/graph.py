@@ -607,3 +607,94 @@ def link_features(triples: Dataset, max_degree: int = 10_000) -> Dataset:
         )
 
     return with_db.map_batches(finish, batch_format="pyarrow")
+
+
+def neighbor_degree_agg(triples: Dataset) -> Dataset:
+    """One message-passing round over the KG entity graph (the GraphSAGE /
+    GNN feature-propagation primitive with degree as the input feature):
+    for every entity, aggregate its neighbors' degrees — count, sum, max,
+    and mean (exact integer micros).
+
+    Shape: distinct undirected edges -> both-direction adjacency rows ->
+    ONE hash join of adjacency against the degree table (message = the
+    neighbor's feature) -> one groupby-fold per node.  This is the
+    canonical "join features onto edges, fold per destination" plan every
+    GNN data pipeline runs; a k-round propagation is k repetitions.
+    """
+    import math
+
+    from ray.data.aggregate import Max, Sum
+
+    from ner_ray.stages.joins import hash_join
+
+    edges = undirected_edges(triples).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "n": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+                "_one": pa.array(np.ones(2 * t.num_rows, np.int64)),
+            }
+        )
+
+    dirs = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    deg = dirs.groupby("c").aggregate(Sum("_one", alias_name="d"))
+
+    msgs = hash_join(
+        dirs.map_batches(
+            lambda t: t.drop_columns(["_one"]), batch_format="pyarrow"
+        ),
+        deg.map_batches(
+            lambda t: pa.table({"n": t["c"], "dn": t["d"]}), batch_format="pyarrow"
+        ),
+        on="n",
+        how="inner",
+        left_schema=pa.schema([("c", pa.string()), ("n", pa.string())]),
+        right_schema=pa.schema([("n", pa.string()), ("dn", pa.int64())]),
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c": t["c"],
+                "dn": t["dn"],
+                "_one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    agg = (
+        msgs.map_batches(ones, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(
+            Sum("_one", alias_name="n_neighbors"),
+            Sum("dn", alias_name="sum_nbr_deg"),
+            Max("dn", alias_name="max_nbr_deg"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_nbr_deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_neighbors"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = np.array(
+            [
+                math.floor(a * 1_000_000 / b + 0.5)
+                for a, b in zip(s.tolist(), n.tolist())
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "entity": t["c"],
+                "n_neighbors": pa.array(n, pa.int64()),
+                "sum_nbr_deg": pa.array(s, pa.int64()),
+                "max_nbr_deg": pc.cast(t["max_nbr_deg"], pa.int64()),
+                "mean_nbr_deg_micro": pa.array(mean, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

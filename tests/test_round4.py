@@ -514,6 +514,75 @@ class TestTriangles:
     def test_q84_twin(self):
         _twin_check("q84_kg_link_features")
 
+    def test_neighbor_agg_toy(self):
+        from ner_ray.stages.graph import neighbor_degree_agg
+
+        # star: hub-x, hub-y, hub-z  (hub deg 3, leaves deg 1)
+        out = (
+            neighbor_degree_agg(self._ds([("hub", "x"), ("hub", "y"), ("hub", "z")]))
+            .to_pandas()
+            .set_index("entity")
+            .sort_index()
+        )
+        assert out.loc["hub"].tolist() == [3, 3, 1, 1_000_000]
+        for leaf in ["x", "y", "z"]:
+            assert out.loc[leaf].tolist() == [1, 3, 3, 3_000_000]
+
+    def test_q85_twin(self):
+        _twin_check("q85_kg_neighbor_agg")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventFunnel:
+    def test_partial_stages_and_strict_order(self):
+        """The fixture corpus completes every funnel (reached=3 for all
+        users — asserted by the twin), so the partial stages and the
+        STRICTLY-AFTER rule are pinned here: a click BEFORE the first view
+        must not count, and each stage constrains the next."""
+        import ray.data as rd2
+
+        from ner_ray.pipelines import queries as q
+
+        rows = [
+            # u1: click(5) precedes view(10) -> that click is dead; the
+            # funnel needs a later click, which exists (20), then purchase(30)
+            (1, "click", 5), (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            # u2: view then purchase but NO click after the view -> reached 1
+            (2, "view", 10), (2, "purchase", 20), (2, "click", 5),
+            # u3: never views -> reached 0
+            (3, "click", 10), (3, "purchase", 20), (3, "error", 1),
+            # u4: view+click, purchase EXACTLY at the click ts (not strictly
+            # after) -> reached 2
+            (4, "view", 1), (4, "click", 2), (4, "purchase", 2),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+        orig = q.read_parquet_clean
+        q.read_parquet_clean = lambda path, columns=None, **kw: rd2.from_arrow(t)
+        try:
+            out = (
+                q.q86_event_funnel("ignored")
+                .to_pandas()
+                .set_index("user_id")
+                .sort_index()
+            )
+        finally:
+            q.read_parquet_clean = orig
+        assert out["reached"].tolist() == [3, 1, 0, 2]
+        assert out.loc[1].tolist() == [3, 10, 20, 30]
+        assert out.loc[2].tolist() == [1, 10, -1, -1]
+        assert out.loc[3].tolist() == [0, -1, -1, -1]
+        assert out.loc[4].tolist() == [2, 1, 2, -1]
+
+    def test_q86_twin(self):
+        _twin_check("q86_event_funnel")
+
 
 class TestCatalogIntegrity:
     def test_every_twin_names_a_catalog_entry(self):
