@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--graph-partitions", type=int, default=16)
     ap.add_argument("--num-cpus", type=int, default=None, help="standalone ray.init size")
     args = ap.parse_args(argv)
+    if args.weights_path and args.tagger == "rule":
+        # fail fast at the CLI: RuleTagger takes no weights_path, and the
+        # combination would otherwise surface late as a TypeError inside a
+        # Ray actor constructor
+        ap.error("--weights-path requires a neural tagger (--tagger bilstm|bert)")
 
     import ray
 

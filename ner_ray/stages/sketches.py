@@ -367,9 +367,16 @@ def mg_top_terms_exact(
         .sum()
     )
     total_n = int(parts.get("", 0))
-    lossy = bool(parts.get("\x01", 0)) or len(parts) - 2 > capacity
+    block_lossy = "\x01" in parts.index
     parts = parts.drop(labels=["", "\x01"], errors="ignore")
-    summary = mg_summary(dict(zip(parts.index, parts.astype(int))), capacity)
+    merged = dict(zip(parts.index, parts.astype(int)))
+    # lossy whenever ANY reduction dropped/decremented a counter: a block
+    # overflow (sentinel) or the final merge itself exceeding capacity.
+    # (Counting "len - 2" regardless of whether the '\x01' sentinel was
+    # present let distinct == capacity+1 slip through as lossy=False while
+    # mg_summary below still dropped a counter.)
+    lossy = block_lossy or len(merged) > capacity
+    summary = mg_summary(merged, capacity)
     # exact when no block (and no final reduction) ever dropped a counter;
     # otherwise the 2N/(capacity+1) mergeability bound applies
     threshold = 2.0 * total_n / (capacity + 1) if lossy else -1.0

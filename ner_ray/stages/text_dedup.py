@@ -670,11 +670,17 @@ def duplicate_ngram_spans(
             toks_all.extend(toks)
             doc_of.extend([row] * len(toks))
         if len(toks_all) < k:
+            # full 5-column schema, matching the normal-path output: blocks
+            # with heterogeneous schemas trip Ray's streaming-executor
+            # schema-unification warning and rely on undefined behavior in
+            # the downstream groupby("bucket") / Sum("cnt")
             return pa.table(
                 {
                     id_col: pa.array([], pa.int64()),
                     "h1": pa.array([], pa.uint64()),
                     "h2": pa.array([], pa.uint64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
                 }
             )
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -42,15 +42,38 @@ _BERT_LAYER_KEYS = (
 
 
 def _write(path: str, arrays: dict[str, np.ndarray], meta: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, "_weights.npz.tmp")
-    with open(tmp, "wb") as f:
+    """Crash-safe save, safe for RE-saves too: the whole checkpoint is staged
+    in a fresh sibling temp dir and swapped in, so new weights are never
+    visible next to old meta (the in-place variant only guaranteed
+    torn-write safety for the FIRST save).  meta embeds a weights digest
+    verified at load, so any torn mix that does survive a crash is rejected
+    rather than silently loaded."""
+    import hashlib
+    import shutil
+
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    stage = f"{path}.tmp.{os.getpid()}"
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    wpath = os.path.join(stage, "weights.npz")
+    with open(wpath, "wb") as f:
         np.savez(f, **arrays)
-    os.replace(tmp, os.path.join(path, "weights.npz"))
-    tmp = os.path.join(path, "_meta.json.tmp")
-    with open(tmp, "w") as f:
+    with open(wpath, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    meta = dict(meta, weights_sha256=digest)
+    with open(os.path.join(stage, "meta.json"), "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    if os.path.exists(path):
+        # uncommit the old checkpoint FIRST (meta.json is the commit
+        # marker), then drop it — at no instant is a mixed old/new pair
+        # loadable
+        old_meta = os.path.join(path, "meta.json")
+        if os.path.exists(old_meta):
+            os.remove(old_meta)
+        shutil.rmtree(path)
+    os.replace(stage, path)
 
 
 def _read(path: str, expect_format: str) -> tuple[dict, dict]:
@@ -66,7 +89,19 @@ def _read(path: str, expect_format: str) -> tuple[dict, dict]:
             f"checkpoint at {path!r} has format {meta.get('format')!r}, "
             f"expected {expect_format!r}"
         )
-    arrays = dict(np.load(os.path.join(path, "weights.npz")))
+    wpath = os.path.join(path, "weights.npz")
+    want = meta.get("weights_sha256")
+    if want is not None:
+        import hashlib
+
+        with open(wpath, "rb") as f:
+            got = hashlib.sha256(f.read()).hexdigest()
+        if got != want:
+            raise ValueError(
+                f"checkpoint at {path!r} is corrupt: weights.npz digest "
+                f"{got[:12]}… != meta.json's {want[:12]}… (torn overwrite)"
+            )
+    arrays = dict(np.load(wpath))
     return arrays, meta
 
 
