@@ -555,6 +555,18 @@ class TestCatalogPriorityOrder:
         for name in list(RAY_QUERIES)[50:]:
             assert callable(RAY_QUERIES[name])
 
+    def test_window_includes_round34_operators(self):
+        """Round-5 rotation: the driver window must stamp the newer operator
+        families, not only the long-stable round-1/2 twins — >= 15 of the
+        first 50 entries are round-3/4 ops (q49+)."""
+        import re
+
+        from ner_ray.pipelines.queries import RAY_QUERIES
+
+        first50 = list(RAY_QUERIES)[:50]
+        promoted = [n for n in first50 if re.match(r"q(49|[5-8][0-9])_", n)]
+        assert len(promoted) >= 15, promoted
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestHyperLogLog:
