@@ -120,6 +120,139 @@ def quality_score(text: str) -> float:
     return round(score, 6)
 
 
+# --- Vectorized batch kernels for the curation hot path --------------------
+#
+# Batch-level equivalents of char_classes / lang_id / quality_score: Arrow
+# RE2 count kernels + numpy segment folds instead of a per-char Python scan
+# per row (the redact_pii_array idiom).  Unicode parity notes: alpha counts
+# \p{L} minus the CJK ranges (== str.isalpha for letter-category chars),
+# digit counts \p{Nd} (== str.isdigit for decimal digits; exotic No digits
+# like superscripts diverge), space adds the Python-isspace extras
+# (\x0b, \x1c-\x1f, \x85, \p{Z}) to RE2's \s.  Exact equality with the
+# per-row forms on ASCII+CJK corpora — the classes the SQL twins pin —
+# and pytest-gated bit-equality on the fixture corpus.
+
+_CJK_RE2 = r"[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]"
+_SPACE_RE2 = r"[\s\x{0B}\x{1C}-\x{1F}\x{85}\p{Z}]"
+
+
+def _as_string_array(arr):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pc.fill_null(pc.cast(arr, pa.string()), "")
+
+
+def char_classes_batch(arr) -> dict:
+    """Vectorized ``char_classes`` over a string array: dict of int64 numpy
+    arrays (n_alpha, n_digit, n_space, n_punct, n_cjk) aligned to rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(arr)
+
+    def cnt(pat: str) -> np.ndarray:
+        return pc.count_substring_regex(arr, pat).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    n = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_cjk = cnt(_CJK_RE2)
+    n_space = cnt(_SPACE_RE2)
+    n_alpha = cnt(r"\p{L}") - n_cjk
+    n_digit = cnt(r"\p{Nd}")
+    n_punct = n - n_cjk - n_space - n_alpha - n_digit
+    return {
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_space": n_space,
+        "n_punct": n_punct,
+        "n_cjk": n_cjk,
+        "n_chars": n,
+    }
+
+
+def _token_segments(arr):
+    """``(parent_row, tokens)`` of the nonempty whitespace tokens of a string
+    array — the flattened form every per-token statistic folds over."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    toks = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return parent[keep_np], flat.filter(keep)
+
+
+def lang_id_batch(arr):
+    """Vectorized ``lang_id`` over a string array -> pyarrow string array."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(arr)
+    cc = char_classes_batch(arr)
+    n_rows = len(arr)
+    total = np.maximum(1, cc["n_chars"] - cc["n_space"]).astype(np.float64)
+
+    parent, flat = _token_segments(pc.utf8_lower(arr))
+    n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    is_stop = pc.is_in(flat, value_set=pa.array(sorted(_EN_STOP))).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.bincount(parent[is_stop], minlength=n_rows).astype(np.int64)
+    stop_ratio = np.divide(
+        n_stop, n_tok, out=np.zeros(n_rows, np.float64), where=n_tok > 0
+    )
+
+    empty = cc["n_chars"] == 0
+    zh = cc["n_cjk"] / total >= 0.25
+    en = (stop_ratio >= 0.08) | (cc["n_alpha"] / total >= 0.6)
+    out = np.select(
+        [empty, zh, n_tok == 0, en], ["unk", "zh", "unk", "en"], default="unk"
+    )
+    return pa.array(out.tolist(), pa.string())
+
+
+def quality_score_batch(arr):
+    """Vectorized ``quality_score`` over a string array -> float64 numpy
+    array (same pinned formula, rounded to 6 digits)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    arr = _as_string_array(arr)
+    cc = char_classes_batch(arr)
+    n_rows = len(arr)
+    n = np.maximum(1, cc["n_chars"]).astype(np.float64)
+
+    parent, flat = _token_segments(arr)
+    n_tok = np.bincount(parent, minlength=n_rows).astype(np.int64)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    len_sum = np.bincount(parent, weights=tok_len, minlength=n_rows)
+    mean_tok = np.divide(
+        len_sum, n_tok, out=np.zeros(n_rows, np.float64), where=n_tok > 0
+    )
+    low = pc.utf8_lower(flat)
+    dedup = pd.DataFrame(
+        {"r": parent, "t": low.to_numpy(zero_copy_only=False)}
+    ).drop_duplicates()
+    n_uniq = np.bincount(dedup["r"].to_numpy(), minlength=n_rows).astype(np.int64)
+    uniq_ratio = np.divide(
+        n_uniq, n_tok, out=np.zeros(n_rows, np.float64), where=n_tok > 0
+    )
+
+    score = np.ones(n_rows, np.float64)
+    score *= np.where(n_tok < 5, 0.3, 1.0)
+    score *= np.where((mean_tok < 2) | (mean_tok > 12), 0.5, 1.0)
+    score *= 1.0 - np.minimum(1.0, 2.0 * cc["n_digit"] / n)
+    score *= 1.0 - np.minimum(1.0, 2.0 * cc["n_punct"] / n)
+    score *= np.where(uniq_ratio < 0.2, 0.5, 1.0)
+    return np.round(score, 6)
+
+
 def normalize_for_fingerprint(text: str) -> str:
     """Pinned to DuckDB ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``."""
     return _WS.sub(" ", text).strip().lower()

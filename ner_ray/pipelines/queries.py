@@ -654,7 +654,7 @@ def q21_lang_id(sf_dir: str) -> Dataset:
     """Heuristic language-ID (SQL twin mirrors the pinned char-class +
     stopword-ratio heuristic; Latin letter class — the fixture corpus is
     ASCII + CJK, matching Python ``str.isalpha`` on it)."""
-    from ner_ray.functions.texttools import lang_id
+    from ner_ray.functions.texttools import lang_id_batch
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
@@ -662,7 +662,7 @@ def q21_lang_id(sf_dir: str) -> Dataset:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "pred_lang": pa.array([lang_id(x) for x in t["text"].to_pylist()], pa.string()),
+                "pred_lang": lang_id_batch(t["text"]),
             }
         )
 
@@ -714,7 +714,7 @@ FROM g
 def q24_quality_scores(sf_dir: str) -> Dataset:
     """Quality scoring (SQL twin pins the exact feature formula: token count,
     mean token length, digit/punct ratios, unique-token ratio)."""
-    from ner_ray.functions.texttools import quality_score
+    from ner_ray.functions.texttools import quality_score_batch
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
@@ -722,9 +722,7 @@ def q24_quality_scores(sf_dir: str) -> Dataset:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "quality": pa.array(
-                    [quality_score(x) for x in t["text"].to_pylist()], pa.float64()
-                ),
+                "quality": pa.array(quality_score_batch(t["text"]), pa.float64()),
             }
         )
 
@@ -1815,9 +1813,9 @@ def q53_curation_pipeline(sf_dir: str) -> Dataset:
     pinned formula its standalone twin proves (q21 lang, q24 quality, q15
     tokens, q13 fingerprint), and the composition has its own SQL twin."""
     from ner_ray.functions.texttools import (
-        lang_id,
+        lang_id_batch,
         md5_fingerprint,
-        quality_score,
+        quality_score_batch,
         tokenize_ws,
     )
     from ner_ray.stages.joins import hash_join
@@ -1830,8 +1828,8 @@ def q53_curation_pipeline(sf_dir: str) -> Dataset:
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
                 "fp": pa.array([md5_fingerprint(x) for x in texts], pa.string()),
-                "pred_lang": pa.array([lang_id(x) for x in texts], pa.string()),
-                "quality": pa.array([quality_score(x) for x in texts], pa.float64()),
+                "pred_lang": lang_id_batch(t["text"]),
+                "quality": pa.array(quality_score_batch(t["text"]), pa.float64()),
                 "n_tokens": pa.array(
                     [len(tokenize_ws(x)) for x in texts], pa.int64()
                 ),

@@ -43,8 +43,6 @@ Tokenization is the corpus-analytics idiom shared with q43/q44/q55:
 from __future__ import annotations
 
 import logging
-from collections import Counter
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -56,40 +54,87 @@ logger = logging.getLogger(__name__)
 
 BACKOFF = 0.4  # Brants et al. 2007 stupid-backoff constant
 
+# Finite default cap on the driver-collected bigram table: an
+# open-vocabulary 100-TB corpus can exceed driver memory even after the
+# min_count prune, and a warning nobody reads is not a bound.  2M grams ≈
+# tens of MB as a dict — comfortably broadcastable — and the truncation is
+# deterministic ((count desc, gram asc)) and logged.  Pass ``None``
+# explicitly to opt out.
+DEFAULT_MAX_BIGRAMS = 2_000_000
+
+
+def _tokenize_flat(arr) -> tuple[np.ndarray, pa.Array]:
+    """Vectorized ``TOKEN_RE.findall(lower(text))`` over a whole column:
+    ``(parent_row int64 ndarray, token StringArray)`` of the flattened
+    stream.  Non-``[a-z0-9]`` runs become separators then whitespace-split —
+    exactly findall's token set for this alphabet — with zero per-row
+    Python."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(pc.cast(arr, pa.string()), ""))
+    sep = pc.replace_substring_regex(low, pattern="[^a-z0-9]+", replacement=" ")
+    toks = pc.utf8_split_whitespace(sep)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return parent[keep_np], flat.filter(keep)
+
 
 def train_bigram_lm(
     ds: Dataset,
     text_col: str = "text",
     min_count: int = 2,
-    max_bigrams: int | None = None,
+    max_bigrams: int | None = DEFAULT_MAX_BIGRAMS,
 ) -> tuple[dict[str, int], dict[str, int], float]:
     """Count unigrams and bigrams over the corpus and return
     ``(unigram_counts, bigram_counts, total_tokens)``.
 
     Unigrams keep every token (the backoff denominator needs them all and
     the table is vocabulary-sized); bigrams prune at ``min_count`` inside
-    the distributed plan and optionally cap at ``max_bigrams``.
+    the distributed plan and cap at ``max_bigrams``
+    (``DEFAULT_MAX_BIGRAMS`` unless overridden; ``None`` disables).
     """
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        uni: Counter = Counter()
-        bi: Counter = Counter()
-        for x in t[text_col].to_pylist():
-            if x is None:
-                continue
-            toks = TOKEN_RE.findall(x.lower())
-            uni.update(toks)
-            # the space separator is unambiguous: unigrams never contain one
-            bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
-        grams = list(uni.keys()) + list(bi.keys())
-        cs = list(uni.values()) + list(bi.values())
-        return pa.table(
-            {
-                "gram": pa.array(grams, pa.string()),
-                "c": pa.array(cs, pa.int64()),
-            }
+        parent, flat = _tokenize_flat(t[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        uni_vc = pc.value_counts(flat)
+        # bigram keys: adjacent tokens within one doc, space-joined (the
+        # space separator is unambiguous: unigrams never contain one)
+        same = parent[1:] == parent[:-1]
+        mask = pa.array(same)
+        big = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1).filter(mask),
+            flat.slice(1).filter(mask),
+            " ",
         )
+        parts = [
+            pa.table(
+                {
+                    "gram": uni_vc.field("values"),
+                    "c": pc.cast(uni_vc.field("counts"), pa.int64()),
+                }
+            )
+        ]
+        if len(big):
+            bi_vc = pc.value_counts(big)
+            parts.append(
+                pa.table(
+                    {
+                        "gram": bi_vc.field("values"),
+                        "c": pc.cast(bi_vc.field("counts"), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -157,28 +202,38 @@ def _flatten_tokens(
     t: pa.Table, id_col: str, text_col: str
 ) -> tuple[list, list[int], pd.Series, pd.Series, np.ndarray, np.ndarray]:
     """Flatten a batch's token streams: returns (doc_ids, n_tokens_per_doc,
-    token Series, bigram-key Series, has_prev mask, doc index per token).
-    Docs with zero tokens are skipped (the SQL twins' inner-join shape)."""
-    doc_ids: list = []
-    toks_all: list[str] = []
-    prev_all: list[str | None] = []
-    doc_idx: list[int] = []
-    n_toks: list[int] = []
-    for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-        toks = TOKEN_RE.findall(x.lower()) if x is not None else []
-        if not toks:
-            continue
-        j = len(doc_ids)
-        doc_ids.append(did)
-        n_toks.append(len(toks))
-        toks_all.extend(toks)
-        prev_all.append(None)
-        prev_all.extend(toks[:-1])
-        doc_idx.extend([j] * len(toks))
-    tok_s = pd.Series(toks_all, dtype=object)
-    prev_s = pd.Series(prev_all, dtype=object)
-    has_prev = prev_s.notna().to_numpy() if len(prev_s) else np.zeros(0, bool)
-    return doc_ids, n_toks, tok_s, prev_s, has_prev, np.asarray(doc_idx, np.int64)
+    token Series, prev-token Series, has_prev mask, doc index per token).
+    Docs with zero tokens are skipped (the SQL twins' inner-join shape).
+    Fully vectorized (``_tokenize_flat`` + numpy segment ops)."""
+    parent, flat = _tokenize_flat(t[text_col])
+    if len(flat) == 0:
+        return (
+            [],
+            [],
+            pd.Series([], dtype=object),
+            pd.Series([], dtype=object),
+            np.zeros(0, bool),
+            np.zeros(0, np.int64),
+        )
+    # np.unique is sorted == input-row order; inverse = compact doc index
+    rows_present, doc_idx = np.unique(parent, return_inverse=True)
+    n_toks = np.bincount(doc_idx).astype(np.int64)
+    ids_all = t[id_col].to_pylist()
+    doc_ids = [ids_all[r] for r in rows_present]
+    toks_np = flat.to_numpy(zero_copy_only=False)
+    same = parent[1:] == parent[:-1]
+    prev_np = np.empty(len(toks_np), dtype=object)
+    prev_np[0] = None
+    prev_np[1:] = np.where(same, toks_np[:-1], None)
+    has_prev = np.r_[False, same]
+    return (
+        doc_ids,
+        list(n_toks),
+        pd.Series(toks_np, dtype=object),
+        pd.Series(prev_np, dtype=object),
+        has_prev,
+        doc_idx.astype(np.int64),
+    )
 
 
 OOV_COUNT = 0.5  # pseudo-count for tokens unseen by a model (DSIR scoring
@@ -226,7 +281,7 @@ def lm_perplexity_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 2,
-    max_bigrams: int | None = None,
+    max_bigrams: int | None = DEFAULT_MAX_BIGRAMS,
     threshold_micros: int = -7_000_000,
 ) -> Dataset:
     """Score every doc's average token log-prob under the corpus bigram LM
@@ -286,7 +341,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 2,
-    max_bigrams: int | None = None,
+    max_bigrams: int | None = DEFAULT_MAX_BIGRAMS,
 ) -> Dataset:
     """DSIR-style data selection (Xie et al. 2023, Data Selection via
     Importance Resampling): score every raw-corpus doc by the

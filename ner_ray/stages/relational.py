@@ -422,28 +422,52 @@ def sessionize(
     ``groupby(key).map_groups`` over ts-sorted groups (the documented Ray Data
     pattern for stream-shaped windows; ordering restored per group)."""
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        gap = g[ts_col].diff().dt.total_seconds()
-        new = (gap.isna() | (gap > gap_seconds)).astype(np.int64)
-        g = g.assign(_sess=new.cumsum())
-        out = (
-            g.groupby("_sess", sort=True)
-            .agg(
-                **{
-                    key_col: (key_col, "first"),
-                    "session_start": (ts_col, "min"),
-                    "n_events": (ts_col, "size"),
-                    "sum_value": (value_col, "sum"),
-                }
-            )
-            .reset_index(drop=True)
-        )
-        out["sum_value"] = out["sum_value"].astype(float).round(4)
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+    # Bucketed Arrow-native kernel (round 5; was groupby(key).map_groups
+    # over pandas frames): keys hash into buckets, one key-shuffle on the
+    # bucket co-locates whole keys, each bucket runs ONE segmented numpy
+    # pass — ~num_buckets dispatches instead of |keys|, no pandas round
+    # trip.  Memory contract: a bucket's rows fit a worker's heap.
+    num_buckets = 1024
 
-    return ds.groupby(key_col).map_groups(sess, batch_format="pandas")
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[key_col].to_numpy(zero_copy_only=False)), index=False
+        ).to_numpy()
+        return t.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    def sess_block(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(g[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        vals = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(keys)
+        newkey = np.r_[True, keys[1:] != keys[:-1]]
+        gap_s = np.empty(n, np.float64)
+        if n:
+            gap_s[0] = np.inf
+            gap_s[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
+        new = newkey | (gap_s > gap_seconds)
+        sess_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        # sequential per-session accumulation == the per-group pandas sum
+        sums = np.bincount(sess_id, weights=vals)
+        counts = np.bincount(sess_id).astype(np.int64)
+        return pa.table(
+            {
+                key_col: g[key_col].take(pa.array(starts)),
+                "session_start": g[ts_col].take(pa.array(starts)),
+                "n_events": pa.array(counts, pa.int64()),
+                "sum_value": pa.array(np.round(sums, 4), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(sess_block, batch_format="pyarrow")
+    )
 
 
 def grouped_quantiles(

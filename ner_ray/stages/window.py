@@ -59,43 +59,59 @@ def window_funcs(
     (SQL ``ROWS BETWEEN moving_rows-1 PRECEDING AND CURRENT ROW``).
     """
 
-    def win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
-        v = to_micros(g[value_col].to_numpy())
+    # Bucketed Arrow-native kernel (round 5; was groupby(key).map_groups
+    # over pandas frames): keys hash into ``num_buckets`` buckets, ONE
+    # key-shuffle on the bucket co-locates whole keys, and each bucket is
+    # processed in a single segmented numpy pass — dispatch is ~num_buckets
+    # calls instead of |keys| calls, and no Arrow→pandas→Arrow round trip.
+    # Memory contract (stronger than the per-key one): a BUCKET's rows fit
+    # a worker's heap — size num_buckets so |rows|/num_buckets does.
+    num_buckets = 1024
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[key_col].to_numpy(zero_copy_only=False)), index=False
+        ).to_numpy()
+        return t.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    sort_keys = [(c, "ascending") for c in [key_col, *order_cols]]
+
+    def win_block(g: pa.Table) -> pa.Table:
+        g = g.sort_by(sort_keys)
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        v = to_micros(g[value_col].to_numpy(zero_copy_only=False))
         n = len(v)
-        cum = np.cumsum(v)
-        # trailing-window sum from the cumsum: cum[i] - cum[i - W] (max(0,·)
-        # guard: a negative slice stop would wrap for groups smaller than W)
-        shifted = np.concatenate(
-            [np.zeros(min(moving_rows, n), np.int64), cum[: max(0, n - moving_rows)]]
-        )
-        mov = cum - shifted
-        lag = np.empty(n, np.float64)
-        lag[0] = np.nan
-        lag[1:] = v[:-1]
-        return pd.DataFrame(
+        pos = np.arange(n, dtype=np.int64)
+        newseg = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(np.where(newseg, pos, 0))
+        rn = pos - seg_start + 1
+        cum_g = np.cumsum(v)
+        base = np.where(seg_start > 0, cum_g[np.maximum(seg_start - 1, 0)], 0)
+        cum = cum_g - base
+        # trailing window: subtract the cumsum just before max(seg_start,
+        # i - W + 1) — the segment guard the per-group form got for free
+        j = np.maximum(seg_start, pos - moving_rows + 1)
+        mov = cum_g - np.where(j > 0, cum_g[np.maximum(j - 1, 0)], 0)
+        lag = np.empty(n, np.int64)
+        if n:
+            lag[0] = 0
+            lag[1:] = v[:-1]
+        return pa.table(
             {
-                id_col: g[id_col].to_numpy(),
-                key_col: g[key_col].to_numpy(),
-                "rn": np.arange(1, n + 1, dtype=np.int64),
-                "lag_value_micro": lag,  # NaN-able -> nullable Int64 below
-                "cum_value_micro": cum,
-                "mov_value_micro": mov,
+                id_col: g[id_col],
+                key_col: g[key_col],
+                "rn": pa.array(rn, pa.int64()),
+                "lag_value_micro": pa.array(lag, pa.int64(), mask=newseg),
+                "cum_value_micro": pa.array(cum, pa.int64()),
+                "mov_value_micro": pa.array(mov, pa.int64()),
             }
         )
 
-    out = ds.groupby(key_col).map_groups(win, batch_format="pandas")
-
-    def fix_types(t: pa.Table) -> pa.Table:
-        # lag rode through pandas as float64-with-NaN; restore nullable int64
-        lag = pc.if_else(
-            pc.is_nan(t["lag_value_micro"]),
-            pa.nulls(t.num_rows, pa.int64()),
-            pc.cast(t["lag_value_micro"], pa.int64(), safe=False),
-        )
-        return t.set_column(t.schema.get_field_index("lag_value_micro"), "lag_value_micro", lag)
-
-    return out.map_batches(fix_types, batch_format="pyarrow")
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(win_block, batch_format="pyarrow")
+    )
 
 
 def rank_in_shard(

@@ -1,0 +1,240 @@
+"""Round-5 additions: vectorized curation kernels (batch lang-ID / quality /
+char classes), the finite bigram-LM cap, the bucketed Arrow window/session
+kernels, and the shared flagship-triples cache."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+EDGE_TEXTS = [
+    "",
+    "   ",
+    None,
+    "the the the",
+    "渐江 省 杭州 市 西湖 这 是 中文 文本 测试",
+    "a" * 40,
+    "12345 67890 11 22 33",
+    "x\ty\nz",
+    "Hello, World! 42",
+    "é ü ñ über café naïve",
+    "mixed 中文 and english the of to in is it for on",
+    "!!! ??? ... ---",
+    "one",
+    "the quick brown fox jumps over the lazy dog again and again",
+]
+
+
+class TestBatchTextKernels:
+    """Bit-equality of the vectorized batch kernels against the per-row
+    reference implementations — on the fixture corpus AND unicode edges."""
+
+    def _texts(self):
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+        return t["text"].to_pylist() + EDGE_TEXTS
+
+    def test_char_classes_parity(self):
+        from ner_ray.functions.texttools import char_classes, char_classes_batch
+
+        texts = self._texts()
+        batch = char_classes_batch(pa.array(texts, pa.string()))
+        for i, x in enumerate(texts):
+            ref = char_classes(x or "")
+            got = {k: int(v[i]) for k, v in batch.items() if k != "n_chars"}
+            assert ref == got, (x, ref, got)
+
+    def test_lang_id_parity(self):
+        from ner_ray.functions.texttools import lang_id, lang_id_batch
+
+        texts = self._texts()
+        got = lang_id_batch(pa.array(texts, pa.string())).to_pylist()
+        ref = [lang_id(x or "") for x in texts]
+        assert got == ref
+
+    def test_quality_score_parity(self):
+        from ner_ray.functions.texttools import quality_score, quality_score_batch
+
+        texts = self._texts()
+        got = quality_score_batch(pa.array(texts, pa.string()))
+        ref = np.array([quality_score(x or "") for x in texts])
+        assert np.array_equal(got, ref)
+
+
+class TestLmCap:
+    def test_default_cap_is_finite(self):
+        import inspect
+
+        from ner_ray.stages.lm import (
+            DEFAULT_MAX_BIGRAMS,
+            dsir_select,
+            lm_perplexity_filter,
+            train_bigram_lm,
+        )
+
+        assert DEFAULT_MAX_BIGRAMS is not None
+        for fn in (train_bigram_lm, lm_perplexity_filter, dsir_select):
+            assert (
+                inspect.signature(fn).parameters["max_bigrams"].default
+                == DEFAULT_MAX_BIGRAMS
+            )
+
+    def test_open_vocabulary_corpus_is_bounded(self, ray_session):
+        """Adversarial open-vocabulary corpus: far more distinct bigrams than
+        the cap, all above min_count — the driver-side model must truncate
+        to exactly max_bigrams with the (count desc, gram asc) tie-break."""
+        from ner_ray.stages.lm import train_bigram_lm
+
+        rng = np.random.default_rng(7)
+        # 2000 docs of random token pairs -> ~thousands of distinct bigrams,
+        # each repeated twice so min_count keeps them all
+        docs = []
+        for _ in range(2000):
+            a, b = rng.integers(0, 200, size=2)
+            docs.append(f"w{a} w{b} w{a} w{b}")
+        ds = rd.from_arrow(pa.table({"text": pa.array(docs * 2, pa.string())}))
+        uni, bi, total = train_bigram_lm(ds, max_bigrams=50)
+        assert len(bi) == 50
+        # deterministic: re-train gives the identical truncated model
+        uni2, bi2, _ = train_bigram_lm(ds, max_bigrams=50)
+        assert bi == bi2
+
+    def test_tokenize_flat_matches_findall(self):
+        from ner_ray.stages.decontam import TOKEN_RE
+        from ner_ray.stages.lm import _tokenize_flat
+
+        texts = EDGE_TEXTS + ["a1-b2_c3", "ONE one oNe", "  spaced   out  "]
+        parent, flat = _tokenize_flat(pa.array(texts, pa.string()))
+        got: dict[int, list[str]] = {}
+        for p, tok in zip(parent, flat.to_pylist()):
+            got.setdefault(int(p), []).append(tok)
+        for i, x in enumerate(texts):
+            assert got.get(i, []) == TOKEN_RE.findall((x or "").lower()), x
+
+
+class TestBucketedGroupKernels:
+    """The bucketed Arrow window/session kernels against brute-force
+    per-key references on synthetic data with ties and single-row keys."""
+
+    def _events(self, n=4000, keys=37, seed=11):
+        rng = np.random.default_rng(seed)
+        uid = rng.integers(0, keys, size=n)
+        base = np.datetime64("2024-01-01", "us")
+        ts = base + np.sort(rng.integers(0, 10**7, size=n)).astype("timedelta64[us]")
+        # shuffle so arrival order is not ts order
+        perm = rng.permutation(n)
+        return pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(uid[perm], pa.int64()),
+                "ts": pa.array(ts[perm]),
+                "value": pa.array(rng.uniform(-5, 5, size=n), pa.float64()),
+            }
+        )
+
+    def test_window_funcs_matches_bruteforce(self, ray_session):
+        from ner_ray.stages.window import to_micros, window_funcs
+
+        t = self._events()
+        out = (
+            window_funcs(
+                rd.from_arrow(t).repartition(8),
+                key_col="user_id",
+                order_cols=["ts", "event_id"],
+                value_col="value",
+                id_col="event_id",
+                moving_rows=4,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        rows = []
+        for uid, g in df.groupby("user_id"):
+            v = to_micros(g["value"].to_numpy())
+            cum = np.cumsum(v)
+            for i in range(len(g)):
+                mov = int(v[max(0, i - 3) : i + 1].sum())
+                rows.append(
+                    {
+                        "event_id": g["event_id"].iloc[i],
+                        "user_id": uid,
+                        "rn": i + 1,
+                        "lag_value_micro": None if i == 0 else int(v[i - 1]),
+                        "cum_value_micro": int(cum[i]),
+                        "mov_value_micro": mov,
+                    }
+                )
+        ref = (
+            pd.DataFrame(rows).sort_values("event_id").reset_index(drop=True)
+        )
+        got = out[ref.columns]
+        assert len(got) == len(ref)
+        for c in ["rn", "cum_value_micro", "mov_value_micro"]:
+            assert np.array_equal(got[c].to_numpy(), ref[c].to_numpy()), c
+        g_lag = got["lag_value_micro"].astype("Int64")
+        r_lag = ref["lag_value_micro"].astype("Int64")
+        assert g_lag.equals(r_lag)
+
+    def test_sessionize_matches_bruteforce(self, ray_session):
+        from ner_ray.stages.relational import sessionize
+
+        t = self._events(n=3000, keys=23, seed=5)
+        out = (
+            sessionize(
+                rd.from_arrow(t.drop_columns(["event_id"])).repartition(8),
+                gap_seconds=600,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        df = t.to_pandas().sort_values(["user_id", "ts"])
+        rows = []
+        for uid, g in df.groupby("user_id"):
+            ts = g["ts"].to_numpy()
+            vals = g["value"].to_numpy()
+            start = 0
+            for i in range(1, len(g) + 1):
+                if i == len(g) or (ts[i] - ts[i - 1]) / np.timedelta64(
+                    1, "s"
+                ) > 600:
+                    rows.append(
+                        {
+                            "user_id": uid,
+                            "session_start": ts[start],
+                            "n_events": i - start,
+                            "sum_value": round(float(vals[start:i].sum()), 4),
+                        }
+                    )
+                    start = i
+        ref = (
+            pd.DataFrame(rows)
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(ref)
+        assert np.array_equal(out["n_events"].to_numpy(), ref["n_events"].to_numpy())
+        assert np.array_equal(
+            out["session_start"].to_numpy(), ref["session_start"].to_numpy()
+        )
+        assert np.allclose(
+            out["sum_value"].to_numpy(), ref["sum_value"].to_numpy(), atol=1e-9
+        )
+
+
+class TestFlagshipCache:
+    def test_cache_reused_within_job(self, ray_session):
+        from ner_ray.pipelines import queries as q
+
+        q._FLAGSHIP_TRIPLES_CACHE.clear()
+        a = q._flagship_triples(SF)
+        assert len(q._FLAGSHIP_TRIPLES_CACHE) == 1
+        b = q._flagship_triples(SF)
+        assert a is b
