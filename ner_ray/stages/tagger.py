@@ -224,7 +224,7 @@ class NeuralTagger:
         ids = np.zeros((len(seg_cps), Lmax), dtype=np.int64)  # 0 == <PAD>
         for i, s in enumerate(seg_cps):
             ids[i, : len(s)] = self.model.ids_for_codepoints(s)
-        logits = self.model.emissions(ids)  # M1-M3 (+prior)
+        logits = self.model.emissions(ids, lengths=lens)  # M1-M3 (+prior)
         paths = viterbi_decode_batch(logits, lens, self.model.transitions)  # M5
         for i, owner in enumerate(seg_owner):
             tags_per_row[owner].extend(self.tag_lookup[paths[i, : lens[i]]].tolist())

@@ -170,12 +170,38 @@ class FrozenBiLSTM:
             hs[:, t, :] = ht
         return hs
 
-    def emissions(self, ids: np.ndarray) -> np.ndarray:
+    def emissions(self, ids: np.ndarray, lengths: np.ndarray | None = None) -> np.ndarray:
         """ids [B, L] -> logits [B, L, T] (padding id 0 rows are junk; callers
-        mask by length)."""
+        mask by length).
+
+        With ``lengths`` the backward LSTM starts at each row's TRUE last
+        character (per-row reversal) instead of at the padded tail, so a
+        row's emissions no longer depend on how the batch was packed —
+        required for trained weights, where pad-state leakage into the
+        backward direction would make decoding batch-composition-dependent
+        (the frozen substitute is prior-dominated, so its decoded tags are
+        unaffected either way)."""
         x = self.embed[ids]  # M1 lookup
         fwd = self._lstm_dir(x, self.wx_f, self.wh_f, self.b_f, reverse=False)
-        bwd = self._lstm_dir(x, self.wx_b, self.wh_b, self.b_b, reverse=True)
+        if lengths is None:
+            bwd = self._lstm_dir(x, self.wx_b, self.wh_b, self.b_b, reverse=True)
+        else:
+            rev = reverse_by_length(x, np.asarray(lengths, dtype=np.int64))
+            bwd_r = self._lstm_dir(rev, self.wx_b, self.wh_b, self.b_b, reverse=False)
+            bwd = reverse_by_length(bwd_r, np.asarray(lengths, dtype=np.int64))
         hcat = np.concatenate([fwd, bwd], axis=2)  # M2 concat
         logits = hcat @ self.proj_w + self.proj_b  # M3 projection
         return logits + self.prior[ids]  # trained-knowledge stand-in
+
+
+def reverse_by_length(x: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flip each row's first ``lengths[b]`` positions of a [B, L, ...] array,
+    leaving the padded tail in place (vectorized take_along_axis)."""
+    B, L = x.shape[0], x.shape[1]
+    idx = np.broadcast_to(np.arange(L, dtype=np.int64), (B, L))
+    lens = lengths[:, None]
+    rev = np.where(idx < lens, lens - 1 - idx, idx)
+    if x.ndim == 3:
+        rev = rev[:, :, None]
+        rev = np.broadcast_to(rev, x.shape)
+    return np.take_along_axis(x, rev, axis=1)

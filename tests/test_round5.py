@@ -229,6 +229,92 @@ class TestBucketedGroupKernels:
         )
 
 
+class TestTrainedBiLSTM:
+    """Round-5 trained-weights path: numpy-SGD BiLSTM-CRF training on the
+    synthetic CJK corpus, checkpoint round-trip through the production
+    loader, and contextual generalization to NEVER-SEEN entity surfaces
+    (the rule tagger's gazetteer recall is ~0 on the held-out split)."""
+
+    @pytest.fixture(scope="class")
+    def trained(self, tmp_path_factory):
+        from ner_ray.state.train import build_trained_checkpoint
+
+        path = str(tmp_path_factory.mktemp("ck") / "bilstm")
+        metrics = build_trained_checkpoint(
+            path, n_train=600, n_eval=200, epochs=6, seed=17
+        )
+        return metrics
+
+    def test_beats_rule_tagger_on_heldout(self, trained):
+        assert trained["rule_heldout_f1"] < 0.05
+        assert trained["heldout_f1"] > trained["rule_heldout_f1"]
+        assert trained["heldout_f1"] >= 0.85, trained
+        assert trained["train_f1"] >= 0.99, trained
+
+    def test_checkpoint_roundtrip_identical_decode(self, trained):
+        from ner_ray.functions.normalize import chars_to_ids
+        from ner_ray.functions.viterbi import viterbi_decode_batch
+        from ner_ray.state.checkpoint import load_bilstm
+        from ner_ray.state.train import make_corpus, make_surface_splits
+
+        model = load_bilstm(trained["path"])
+        held = make_corpus(50, make_surface_splits(seed=17)[1], seed=99)
+        for chars, _tags in held:
+            ids = np.array([chars_to_ids(chars, model.word2id)], np.int64)
+            lens = np.array([len(chars)], np.int64)
+            emis = model.emissions(ids, lengths=lens)
+            p1 = viterbi_decode_batch(emis, lens, model.transitions)
+            p2 = viterbi_decode_batch(
+                load_bilstm(trained["path"]).emissions(ids, lengths=lens),
+                lens,
+                model.transitions,
+            )
+            assert np.array_equal(p1, p2)
+
+    def test_distributed_path_loads_checkpoint(self, trained, ray_session):
+        """The production actor-pool tagger consumes the trained checkpoint
+        via weights_path and reproduces the in-process held-out F1."""
+        import pyarrow as pa_
+
+        from ner_ray.sources.bio_corpus import parse_bio_text, format_bio_text
+        from ner_ray.stages.evaluate import evaluate_tags, tag_bio_corpus
+        from ner_ray.state.train import make_corpus, make_surface_splits
+
+        held = make_corpus(120, make_surface_splits(seed=17)[1], seed=19)
+        t = pa_.table(
+            {
+                "sentence_id": pa_.array(range(len(held)), pa_.int64()),
+                "chars": pa_.array([c for c, _ in held], pa_.list_(pa_.string())),
+                "tags": pa_.array([g for _, g in held], pa_.list_(pa_.string())),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(4)
+        rep = evaluate_tags(
+            tag_bio_corpus(ds, tagger="bilstm", weights_path=trained["path"])
+        )
+        assert rep["overall"]["f1"] >= 0.85, rep
+
+    def test_emissions_batch_composition_invariant(self, trained):
+        """With lengths, a short row's emissions are identical whether it is
+        padded into a long batch or processed alone — the property trained
+        weights need (the old padded-tail backward pass broke it)."""
+        from ner_ray.functions.normalize import chars_to_ids
+        from ner_ray.state.checkpoint import load_bilstm
+
+        model = load_bilstm(trained["path"])
+        short = chars_to_ids(list("赵伟在京市工作"), model.word2id)
+        alone = model.emissions(
+            np.array([short], np.int64), lengths=np.array([len(short)])
+        )[0, : len(short)]
+        padded_ids = np.zeros((2, 30), np.int64)
+        padded_ids[0, : len(short)] = short
+        padded_ids[1, :] = 3  # another full-length row in the same batch
+        both = model.emissions(
+            padded_ids, lengths=np.array([len(short), 30])
+        )[0, : len(short)]
+        assert np.allclose(alone, both, atol=1e-12)
+
+
 class TestFlagshipCache:
     def test_cache_reused_within_job(self, ray_session):
         from ner_ray.pipelines import queries as q
