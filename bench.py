@@ -122,6 +122,9 @@ def run_bench() -> dict:
         "q79_length_histogram",
         "q80_sft_pairs",
         "q81_conv_dedup",
+        # round-5 additions: composed curation mega-pipeline + trained tagger
+        "q87_curation_e2e",
+        "kg_trained_tagger_eval",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

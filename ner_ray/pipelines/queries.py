@@ -1886,6 +1886,273 @@ FROM surv s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.keep_id
 """
 
 
+def q87_curation_e2e(sf_dir: str) -> Dataset:
+    """The round-5 curation MEGA-PIPELINE — the full training-data prep
+    chain a 100-TB user runs, composed as ONE streaming plan:
+
+        normalize (q69 kernel) → lang-ID (q21) → quality (q24) → exact
+        dedup (q13 keeper rule) → MinHash-LSH near-dup (q22) →
+        decontamination vs the benchmark slice (q55, n=3) → fixed-length
+        sequence chunking (q67, 256 tokens × 4 domains)
+
+    Composition rules: the raw ``text`` column is read once and normalized
+    in the FIRST pass; every downstream stage consumes the normalized text
+    or narrow feature rows.  The only materialized sets are the narrow
+    survivor tables that feed two consumers (the q53 pattern) — never the
+    raw corpus.  The SQL twin re-derives the entire chain (normalize CTE →
+    feature CTEs → keeper join → LSH band/verify/closure over the
+    normalized-signature fixture → trigram decontam → chunk fan-out)."""
+    from ray.data.aggregate import Min
+
+    from ner_ray.functions.texttools import (
+        lang_id_batch,
+        md5_fingerprint,
+        normalize_text_array,
+        quality_score_batch,
+    )
+    from ner_ray.stages.decontam import decontaminate
+    from ner_ray.stages.joins import hash_join
+    from ner_ray.stages.lm import _tokenize_flat
+    from ner_ray.stages.packing import sequence_chunks
+    from ner_ray.stages.text_dedup import minhash_near_dup
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        norm, _n_chars = normalize_text_array(t["text"])
+        parent, _flat = _tokenize_flat(norm)
+        n_tok = np.bincount(parent, minlength=len(norm)).astype(np.int64)
+        ids = pc.cast(t["doc_id"], pa.int64())
+        tbl = pa.table(
+            {
+                "doc_id": ids,
+                "text": norm,
+                "fp": pa.array(
+                    [md5_fingerprint(x or "") for x in norm.to_pylist()], pa.string()
+                ),
+                "pred_lang": lang_id_batch(norm),
+                "quality": pa.array(quality_score_batch(norm), pa.float64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+            }
+        )
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        keep = (
+            (ids_np % _DECONTAM_MOD != 0)
+            & pc.equal(tbl["pred_lang"], "en").to_numpy(zero_copy_only=False)
+            & (tbl["quality"].to_numpy(zero_copy_only=False) >= 0.5)
+            & (n_tok > 0)
+        )
+        kept = tbl.filter(pa.array(keep)).select(["doc_id", "text", "fp", "n_tokens"])
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            pd.Series(kept["fp"].to_numpy(zero_copy_only=False)), index=False
+        ).to_numpy()
+        return kept.append_column("_fbkt", pa.array((h % 1024).astype("int64")))
+
+    # exact dedup (q13 keeper rule) as ONE bucketed shuffle: fp hashes into
+    # buckets, each bucket keeps its min-doc_id row per fp segment — this
+    # replaces the keeper-groupby + join-back pair (two shuffles + a
+    # materialize) with a single key shuffle
+    def keep_min(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("fp", "ascending"), ("doc_id", "ascending")])
+        fps = g["fp"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, fps[1:] != fps[:-1]]
+        return g.filter(pa.array(first)).select(["doc_id", "text", "n_tokens"])
+
+    exact = (
+        ds.map_batches(feats, batch_format="pyarrow")
+        .groupby("_fbkt")
+        .map_groups(keep_min, batch_format="pyarrow")
+        .materialize()
+    )
+
+    labels = minhash_near_dup(
+        exact.select_columns(["doc_id", "text"]), threshold=0.7
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], True)), batch_format="pyarrow"
+    )
+    near = hash_join(
+        exact,
+        labels.select_columns(["doc_id", "group_id"]),
+        on="doc_id",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()), ("n_tokens", pa.int64())]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("group_id", pa.int64())]),
+    ).map_batches(
+        lambda t: t.select(["doc_id", "text", "n_tokens"]), batch_format="pyarrow"
+    ).materialize()
+
+    def bench_norm(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        m = ids.to_numpy(zero_copy_only=False) % _DECONTAM_MOD == 0
+        kept = pa.table({"doc_id": ids, "text": t["text"]}).filter(pa.array(m))
+        norm, _ = normalize_text_array(kept["text"])
+        return pa.table({"doc_id": kept["doc_id"], "text": norm})
+
+    bench = ds.map_batches(bench_norm, batch_format="pyarrow")
+    hits = decontaminate(near.select_columns(["doc_id", "text"]), bench, n=3)
+    final = hash_join(
+        near.select_columns(["doc_id", "n_tokens"]),
+        hits,
+        on="doc_id",
+        how="left",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())]),
+    ).map_batches(
+        lambda t: t.filter(pc.is_null(t["n_hits"])).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return sequence_chunks(final, chunk_tokens=256, n_domains=4)
+
+
+def _norm_docs_fixture(docs_path: str) -> str:
+    """Normalized-documents parquet (doc_id, text=normalize_text_array(text))
+    for the q87 twin's MinHash signature fixture: the minhash sketch layer is
+    the shared deterministic stand-in input (the q22 idiom), and q87 hashes
+    the NORMALIZED text, so the signatures must be computed over the same
+    normalized bytes."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        from ner_ray.functions.texttools import normalize_text_array
+
+        t = pq.read_table(docs_path, columns=["doc_id", "text"])
+        norm, _ = normalize_text_array(t["text"])
+        pq.write_table(
+            pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": norm}),
+            os.path.join(d, "part-0.parquet"),
+        )
+
+    return _twin_fixture("normdocs", [docs_path], build)
+
+
+def _q87_sql(mf_dir: str) -> str:
+    """The q87 twin: every stage of the mega-pipeline re-derived in SQL.
+    ``mf_dir`` is the minhash signature fixture computed over the NORMALIZED
+    documents (see _norm_docs_fixture)."""
+    from ner_ray.functions.texttools import NORM_CONTROL_RE
+
+    return rf"""
+WITH RECURSIVE
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              '{NORM_CONTROL_RE}', '', 'g'), '[ \t\r\n]+', ' ', 'g')) AS ntext
+  FROM documents
+),
+f AS (
+  SELECT doc_id, ntext,
+         md5(lower(trim(regexp_replace(ntext, '\s+', ' ', 'g')))) AS fp,
+         length(regexp_replace(ntext, '[^\x{{4E00}}-\x{{9FFF}}\x{{3400}}-\x{{4DBF}}]', '', 'g')) AS n_cjk,
+         length(ntext) - length(regexp_replace(ntext, '\s', '', 'g')) AS n_space,
+         length(regexp_replace(ntext, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(ntext, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(ntext, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         list_filter(string_split_regex(ntext, '\s+'), x -> x <> '') AS wtoks,
+         len(regexp_extract_all(lower(ntext), '[a-z0-9]+'))::BIGINT AS n_tokens
+  FROM norm
+),
+g AS (
+  SELECT doc_id, ntext, fp, n_tokens,
+         length(ntext) AS n_raw,
+         greatest(1, length(ntext) - n_space) AS total,
+         greatest(length(ntext), 1) AS n,
+         n_cjk, n_alpha, n_digit, n_punct,
+         len(wtoks) AS n_wtok,
+         CASE WHEN len(wtoks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(list_transform(wtoks, t -> lower(t)), t -> t IN ('the','a','an','and','of','to','in','is','it','for','on','with','as','at','by','this','that','be','are','was','or','not'))) AS DOUBLE) / len(wtoks) END AS stop_ratio,
+         CASE WHEN len(wtoks) = 0 THEN 0.0
+              ELSE CAST(list_aggregate(list_transform(wtoks, t -> length(t)), 'sum') AS DOUBLE) / len(wtoks) END AS mean_tok,
+         CASE WHEN len(wtoks) = 0 THEN 0.0
+              ELSE CAST(len(list_distinct(list_transform(wtoks, t -> lower(t)))) AS DOUBLE) / len(wtoks) END AS uniq_ratio
+  FROM f
+),
+scored AS (
+  SELECT doc_id, ntext, fp, n_tokens,
+         CASE WHEN n_raw = 0 THEN 'unk'
+              WHEN CAST(n_cjk AS DOUBLE) / total >= 0.25 THEN 'zh'
+              WHEN n_wtok = 0 THEN 'unk'
+              WHEN stop_ratio >= 0.08 OR CAST(n_alpha AS DOUBLE) / total >= 0.6 THEN 'en'
+              ELSE 'unk' END AS pred_lang,
+         round(
+           (CASE WHEN n_wtok < 5 THEN 0.3 ELSE 1.0 END)
+         * (CASE WHEN mean_tok < 2 OR mean_tok > 12 THEN 0.5 ELSE 1.0 END)
+         * (1.0 - least(1.0, 2.0 * n_digit / n))
+         * (1.0 - least(1.0, 2.0 * n_punct / n))
+         * (CASE WHEN uniq_ratio < 0.2 THEN 0.5 ELSE 1.0 END), 6) AS quality
+  FROM g
+),
+surv AS (
+  SELECT doc_id, ntext, fp, n_tokens FROM scored
+  WHERE doc_id % {_DECONTAM_MOD} <> 0 AND pred_lang = 'en'
+        AND quality >= 0.5 AND n_tokens > 0
+),
+keep1 AS (SELECT fp, min(doc_id) AS keep_id FROM surv GROUP BY fp),
+exact AS (
+  SELECT s.doc_id, s.ntext, s.n_tokens
+  FROM surv s JOIN keep1 k ON s.fp = k.fp AND s.doc_id = k.keep_id
+),
+sk AS (
+  SELECT doc_id, sig, keys FROM read_parquet('{mf_dir}/*.parquet')
+  WHERE doc_id IN (SELECT doc_id FROM exact)
+),
+band AS (
+  SELECT doc_id, i AS band, keys[i] AS key FROM sk, range(1, 1 + 32) t(i)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM band x JOIN band y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+edges AS (
+  SELECT a, b FROM cand c
+  JOIN sk sa ON sa.doc_id = c.a
+  JOIN sk sb ON sb.doc_id = c.b
+  WHERE len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))
+        >= 0.7 * len(sa.sig)
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS v, min(b) AS grp FROM reach GROUP BY a),
+nearsurv AS (
+  SELECT e.doc_id, e.ntext, e.n_tokens
+  FROM exact e LEFT JOIN comp c ON c.v = e.doc_id
+  WHERE coalesce(c.grp, e.doc_id) = e.doc_id
+),
+tok AS (SELECT doc_id, regexp_extract_all(lower(ntext), '[a-z0-9]+') AS w FROM norm),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS shingle
+  FROM tok WHERE doc_id % {_DECONTAM_MOD} = 0
+),
+csh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS shingle
+  FROM tok WHERE doc_id IN (SELECT doc_id FROM nearsurv)
+),
+hits AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (shingle)),
+final AS (
+  SELECT doc_id, n_tokens FROM nearsurv
+  WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+),
+o AS (
+  SELECT doc_id, abs(doc_id) % 4 AS domain, n_tokens AS n,
+         CAST((sum(n_tokens) OVER (PARTITION BY abs(doc_id) % 4 ORDER BY doc_id ROWS UNBOUNDED PRECEDING)) - n_tokens AS BIGINT) AS s
+  FROM final
+)
+SELECT doc_id, CAST(domain AS BIGINT) AS domain, c AS chunk_id,
+       greatest(s, c * 256) AS tok_start,
+       least(s + n, (c + 1) * 256) AS tok_end
+FROM o, unnest(generate_series(s // 256, (s + n - 1) // 256)) AS u(c)
+"""
+
+
 def q54_cms_user_counts(sf_dir: str) -> pd.DataFrame:
     """Count-Min sketch frequency estimates (Cormode & Muthukrishnan 2005)
     for a deterministic probe set of users: ONE streaming pass builds the
@@ -4309,6 +4576,10 @@ RAY_QUERIES = {
     "q82_kg_negative_samples": q82_kg_negative_samples,
     "q83_kg_triangles": q83_kg_triangles,
     "q84_kg_link_features": q84_kg_link_features,
+    # round 5: the composed curation mega-pipeline (twinned via
+    # oracle_sql_catalog; past the cap — its components q21/q24/q13/q22/
+    # q55/q67 are all individually in-window or hash-proven)
+    "q87_curation_e2e": q87_curation_e2e,
 }
 
 ORACLE_SQL = {
@@ -5030,6 +5301,13 @@ FROM idx i JOIN read_parquet('{vf}/*.parquet') f
     sql["mm_audio_features"] = (
         "SELECT media_id, sample_rate, n_samples, rms_mean, rms_max, "
         f"zero_cross_rate FROM read_parquet('{auf}/*.parquet')"
+    )
+    # Twin of q87: the full curation mega-pipeline re-derived in SQL; the
+    # minhash signature fixture is computed over the NORMALIZED documents
+    # (the stage q87 actually hashes).
+    nd = _norm_docs_fixture(_t("/root/testdata/sf0.01", "documents"))
+    sql["q87_curation_e2e"] = _q87_sql(
+        _minhash_fixture(os.path.join(nd, "part-0.parquet"))
     )
     # Twin of q37: the hash-embedded document vectors are materialized once
     # (the deterministic encoder stand-in input), and DuckDB re-derives the

@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 _SIDE = "__side__"
+_JBKT = "__jbkt__"  # join bucket: hash(key tuple) % num_buckets
 
 
 def _arrow_schema(ds: Dataset) -> pa.Schema:
@@ -35,11 +36,21 @@ def hash_join(
     how: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    num_buckets: int = 1024,
 ) -> Dataset:
-    """Join two Datasets on key column(s) via union + groupby.
+    """Join two Datasets on key column(s) via union + ONE bucket shuffle.
 
     ``how``: "inner" | "left" (left-outer) | "full" (full-outer).  Non-key
     column names must be disjoint between the two sides.
+
+    Round-5 shape: keys hash into ``num_buckets`` buckets (content-stable
+    across blocks and sides), the shuffle groups by BUCKET, and each bucket
+    merges ALL of its key segments in one vectorized numpy pass — dispatch
+    is ~num_buckets calls instead of |distinct keys| calls (the old
+    per-key ``map_groups(merge)`` paid ~ms of dispatch per key, which at
+    5k keys was most of a small join's wall time and at 10^8 keys would be
+    hours).  Memory contract: one BUCKET's rows (both sides) fit a
+    worker's heap — size ``num_buckets`` accordingly.
 
     Pass ``left_schema`` / ``right_schema`` whenever the side is a LAZY
     chain: ``Dataset.schema()`` on an un-executed plan EXECUTES the whole
@@ -63,20 +74,38 @@ def hash_join(
         [(k, ls.field(k).type) for k in keys]
         + [(c, ls.field(c).type) for c in lcols]
         + [(c, rs.field(c).type) for c in rcols]
-        + [(_SIDE, pa.int8())]
+        + [(_SIDE, pa.int8()), (_JBKT, pa.int64())]
     )
 
     def widen(side: int, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from ner_ray.stages.bloom import _key_hash64
+            from ner_ray.stages.sketches import splitmix64
+
             n = t.num_rows
             cols = {}
             for f in unified:
                 if f.name == _SIDE:
                     cols[_SIDE] = pa.array([side] * n, pa.int8())
+                elif f.name == _JBKT:
+                    continue
                 elif f.name in t.column_names and (f.name in keys or f.name in own):
                     cols[f.name] = pc.cast(t[f.name], f.type)
                 else:
                     cols[f.name] = pa.nulls(n, f.type)
+            # content-stable bucket of the key tuple — identical on both
+            # sides and across any partitioning.  _key_hash64 (not a raw
+            # hash_pandas_object over to_numpy) because a null in a block
+            # upcasts int64 -> float64 and would rehash every OTHER key in
+            # that block into a different bucket (the bloom.py lesson).
+            h = np.zeros(n, dtype=np.uint64)
+            for k in keys:
+                h = splitmix64(h ^ _key_hash64(cols[k]))
+            cols[_JBKT] = pa.array(
+                (h % np.uint64(num_buckets)).astype("int64"), pa.int64()
+            )
             return pa.table(cols, schema=unified)
 
         return fn
@@ -90,46 +119,90 @@ def hash_join(
         + [(c, rs.field(c).type) for c in rcols]
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = group[_SIDE].to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        lt = group.filter(pa.array(lmask)).select(keys + lcols)
-        rt = group.filter(pa.array(~lmask)).select(rcols)
-        nl, nr = lt.num_rows, rt.num_rows
-        if nl == 0:
-            if how != "full":
-                return out_schema.empty_table()
-            # right-only key group: keys come from the right rows (the key
-            # columns are populated by widen() on both sides)
-            rk = group.filter(pa.array(~lmask)).select(keys + rcols)
-            cols = {}
-            for k in keys:
-                cols[k] = rk[k]
-            for c in lcols:
-                cols[c] = pa.nulls(nr, out_schema.field(c).type)
-            for c in rcols:
-                cols[c] = rk[c]
-            return pa.table(cols, schema=out_schema)
-        if nr == 0:
-            if how == "inner":
-                return out_schema.empty_table()
-            cols = {n: lt[n] for n in lt.column_names}
-            for c in rcols:
-                cols[c] = pa.nulls(nl, out_schema.field(c).type)
-            return pa.table(cols, schema=out_schema)
-        # cross product within the key group, vectorized: a hot key (a
-        # high-degree node) can pair 10^4 x 10^2 rows in one group — a
-        # Python list comprehension would build that element by element
+    def merge_block(g: pa.Table) -> pa.Table:
+        """One call per BUCKET: sort by (keys, side), then merge every key
+        segment in one vectorized pass.  The inner cross-product indices
+        for ALL segments come from a single arithmetic construction —
+        segment s with nl·nr pairs emits ``li = seg_start + k // nr``,
+        ``ri = seg_start + nl + k % nr`` for k in [0, nl·nr)."""
         import numpy as np
 
-        li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
-        ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
-        cols = {n: lt[n].take(li) for n in lt.column_names}
-        for c in rcols:
-            cols[c] = rt[c].take(ri)
-        return pa.table(cols, schema=out_schema)
+        g = g.sort_by([(k, "ascending") for k in keys] + [(_SIDE, "ascending")])
+        n = g.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        nullkey = np.zeros(n, dtype=bool)
+        for k in keys:
+            arr = g[k].to_numpy(zero_copy_only=False)
+            new[1:] |= arr[1:] != arr[:-1]
+            nullkey |= np.asarray(pc.is_null(g[k].combine_chunks()))
+        # SQL join semantics: a NULL key matches nothing — force every
+        # null-key row into its own singleton segment (inner drops it,
+        # left/full emit it with the other side nulled), uniformly across
+        # key dtypes (float-NaN would split naturally, object-None would
+        # not)
+        new |= nullkey
+        new[1:] |= nullkey[:-1]
+        seg_id = np.cumsum(new) - 1
+        n_seg = int(seg_id[-1]) + 1
+        seg_start = np.flatnonzero(new).astype(np.int64)
+        nl = np.bincount(seg_id[side == 0], minlength=n_seg).astype(np.int64)
+        nr = np.bincount(seg_id[side == 1], minlength=n_seg).astype(np.int64)
 
-    return both.groupby(keys).map_groups(merge, batch_format="pyarrow")
+        parts = []
+
+        def emit(li: np.ndarray, ri: np.ndarray | None, rk: bool = False) -> None:
+            """Rows taking keys+lcols from li (or keys+rcols from li when
+            rk=True for right-only groups) and rcols from ri (None -> null)."""
+            cnt = len(li)
+            if cnt == 0:
+                return
+            ltake = g.take(pa.array(li))
+            cols = {}
+            for k in keys:
+                cols[k] = ltake[k]
+            if rk:
+                for c in lcols:
+                    cols[c] = pa.nulls(cnt, out_schema.field(c).type)
+                for c in rcols:
+                    cols[c] = ltake[c]
+            else:
+                for c in lcols:
+                    cols[c] = ltake[c]
+                if ri is None:
+                    for c in rcols:
+                        cols[c] = pa.nulls(cnt, out_schema.field(c).type)
+                else:
+                    rtake = g.take(pa.array(ri))
+                    for c in rcols:
+                        cols[c] = rtake[c]
+            parts.append(pa.table(cols, schema=out_schema))
+
+        # inner cross products (segments with both sides present)
+        out_cnt = nl * nr
+        m = int(out_cnt.sum())
+        if m:
+            seg_rep = np.repeat(np.arange(n_seg, dtype=np.int64), out_cnt)
+            out_start = np.cumsum(out_cnt) - out_cnt
+            k_local = np.arange(m, dtype=np.int64) - np.repeat(out_start, out_cnt)
+            nr_rep = nr[seg_rep]
+            li = seg_start[seg_rep] + k_local // nr_rep
+            ri = seg_start[seg_rep] + nl[seg_rep] + k_local % nr_rep
+            emit(li, ri)
+        if how in ("left", "full"):
+            lonly = (nr[seg_id] == 0) & (side == 0)
+            emit(np.flatnonzero(lonly).astype(np.int64), None)
+        if how == "full":
+            ronly = (nl[seg_id] == 0) & (side == 1)
+            emit(np.flatnonzero(ronly).astype(np.int64), None, rk=True)
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    return both.groupby(_JBKT).map_groups(merge_block, batch_format="pyarrow")
 
 
 _SALT = "__salt__"

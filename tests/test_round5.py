@@ -315,6 +315,96 @@ class TestTrainedBiLSTM:
         assert np.allclose(alone, both, atol=1e-12)
 
 
+class TestBucketedHashJoin:
+    """The round-5 bucketed hash_join (one bucket shuffle + vectorized
+    multi-segment merge) against pandas merge on randomized inputs, plus
+    the SQL null-key rule (a NULL key never matches; left/full still emit
+    the row with the other side nulled)."""
+
+    def _ref(self, l, r, on, how):
+        out = l.merge(r, on=on, how={"inner": "inner", "left": "left", "full": "outer"}[how])
+        return out
+
+    @pytest.mark.parametrize("how", ["inner", "left", "full"])
+    def test_matches_pandas_merge(self, how, ray_session):
+        from ner_ray.stages.joins import hash_join
+
+        rng = np.random.default_rng(31)
+        l = pd.DataFrame(
+            {
+                "k": rng.integers(0, 60, size=400),
+                "lv": rng.integers(0, 1000, size=400),
+            }
+        )
+        r = pd.DataFrame(
+            {
+                "k": rng.integers(30, 90, size=300),
+                "rv": rng.integers(0, 1000, size=300),
+            }
+        )
+        got = (
+            hash_join(
+                rd.from_pandas(l).repartition(5),
+                rd.from_pandas(r).repartition(3),
+                on="k",
+                how=how,
+                num_buckets=7,  # force multi-key buckets
+            )
+            .to_pandas()
+            .fillna(-1)
+            .astype({"k": "int64", "lv": "int64", "rv": "int64"})
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            self._ref(l, r, "k", how)
+            .fillna(-1)
+            .astype({"k": "int64", "lv": "int64", "rv": "int64"})
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_null_keys_never_match(self, ray_session):
+        from ner_ray.stages.joins import hash_join
+
+        l = pa.table(
+            {"k": pa.array([1, None, 2, None], pa.int64()), "lv": pa.array(list("abcd"))}
+        )
+        r = pa.table({"k": pa.array([1, None, 3], pa.int64()), "rv": pa.array(list("xyz"))})
+        ls = pa.schema([("k", pa.int64()), ("lv", pa.string())])
+        rs = pa.schema([("k", pa.int64()), ("rv", pa.string())])
+        inner = hash_join(
+            rd.from_arrow(l).repartition(2), rd.from_arrow(r).repartition(2),
+            on="k", left_schema=ls, right_schema=rs,
+        ).to_pandas()
+        assert sorted(inner["lv"]) == ["a"]  # only k=1 matches
+        left = hash_join(
+            rd.from_arrow(l).repartition(2), rd.from_arrow(r).repartition(2),
+            on="k", how="left", left_schema=ls, right_schema=rs,
+        ).to_pandas()
+        assert sorted(left["lv"]) == ["a", "b", "c", "d"]
+        assert left.loc[left["lv"] != "a", "rv"].isna().all()
+        full = hash_join(
+            rd.from_arrow(l).repartition(2), rd.from_arrow(r).repartition(2),
+            on="k", how="full", left_schema=ls, right_schema=rs,
+        ).to_pandas()
+        # 4 left rows (1 matched) + 2 unmatched right rows (null-k and k=3)
+        assert len(full) == 6
+
+    def test_string_null_keys_never_match(self, ray_session):
+        from ner_ray.stages.joins import hash_join
+
+        l = pa.table({"k": pa.array(["x", None, "y"]), "lv": pa.array([1, 2, 3], pa.int64())})
+        r = pa.table({"k": pa.array(["x", None]), "rv": pa.array([10, 20], pa.int64())})
+        inner = hash_join(
+            rd.from_arrow(l), rd.from_arrow(r), on="k",
+            left_schema=pa.schema([("k", pa.string()), ("lv", pa.int64())]),
+            right_schema=pa.schema([("k", pa.string()), ("rv", pa.int64())]),
+        ).to_pandas()
+        assert inner["k"].tolist() == ["x"]
+
+
 class TestFlagshipCache:
     def test_cache_reused_within_job(self, ray_session):
         from ner_ray.pipelines import queries as q
