@@ -125,6 +125,14 @@ def run_bench() -> dict:
         # round-5 additions: composed curation mega-pipeline + trained tagger
         "q87_curation_e2e",
         "kg_trained_tagger_eval",
+        # round-5: KG analytics over the SHARED flagship-triples cache (the
+        # first of these pays the one flagship build; the rest reuse it) +
+        # the composed quota->weighted-sample plan
+        "q82_kg_negative_samples",
+        "q83_kg_triangles",
+        "q84_kg_link_features",
+        "q85_kg_neighbor_agg",
+        "q88_quota_weighted_sample",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

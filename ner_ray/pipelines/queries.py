@@ -3928,6 +3928,141 @@ SELECT doc_id, domain, CAST(pos AS BIGINT) AS pos FROM ranked WHERE pos <= {q}
 SQL_Q72 = _q72_sql()
 
 
+_Q88_QUOTA = 8  # per-domain doc budget (stage 1)
+_Q88_K = 100  # global weighted-sample size (stage 2)
+_Q88_SALT = 0x9E3779B9  # decorrelates the E-S draw from the quota hash
+
+
+def q88_quota_weighted_sample(sf_dir: str) -> Dataset:
+    """Composed sampling pipeline — the two corpus-budgeting steps of a
+    web-scale pipeline run as ONE streaming plan: (1) per-domain quota
+    (the q72 semantics — keep at most Q docs per domain in splitmix64
+    hash order, per-block bottom-N pre-combiner bounding every domain's
+    shuffle contribution at Q rows/block), then (2) global
+    Efraimidis-Spirakis weighted sampling WITHOUT replacement over the
+    quota survivors (the q74 semantics — weight = n_chars, per-block
+    top-K pre-combiner, the all-to-all moves K·blocks rows).  The E-S
+    draw hashes ``splitmix64(doc_id + SALT)`` — a different chain than
+    the quota's ``splitmix64(doc_id)`` — so the two stages' randomness is
+    decorrelated (a doc that squeaked into its domain quota is not
+    thereby likelier to win the weighted draw).  No stage materializes:
+    stage 1's groupby output streams straight into stage 2's pre-combine.
+    Both hashes and the ln(u)/w key quantization are HUGEINT/IEEE
+    re-derivable, so the twin replays the WHOLE composition in SQL."""
+    from ner_ray.stages.relational import _block_topn, top_n_per_group
+    from ner_ray.stages.sketches import splitmix64
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        h = splitmix64(ids.astype(np.uint64))
+        hw = splitmix64(ids.astype(np.uint64) + np.uint64(_Q88_SALT))
+        # (hw >> 11) + 1 in (0, 2^53]: exact in double (the q74 argument)
+        u = ((hw >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0**-53
+        k = np.log(u) / w.astype(np.float64)
+        id_arr = pa.array(ids, pa.int64())
+        dom = pc.binary_join_element_wise(
+            "sub",
+            pc.cast(pc.subtract(id_arr, pc.multiply(pc.divide(id_arr, 5), 5)), pa.string()),
+            ".host",
+            pc.cast(pc.subtract(id_arr, pc.multiply(pc.divide(id_arr, 11), 11)), pa.string()),
+            ".example",
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": id_arr,
+                "domain": dom,
+                "weight": pa.array(w, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "key_micros": pa.array(
+                    np.floor(k * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    quota = top_n_per_group(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        key_col="domain",
+        order_col="h",
+        n=_Q88_QUOTA,
+        tiebreak_col="doc_id",
+        rank_col="pos",
+        ascending=True,
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
+        return _block_topn(t, "_g", "key_micros", _Q88_K, "doc_id")
+
+    return (
+        quota.map_batches(pre, batch_format="pyarrow")
+        .sort(["key_micros", "doc_id"], descending=[True, False])
+        .limit(_Q88_K)
+        .select_columns(["doc_id", "domain", "pos", "weight", "key_micros"])
+    )
+
+
+def _q88_sql(q: int = _Q88_QUOTA, k: int = _Q88_K, salt: int = _Q88_SALT) -> str:
+    """The q88 twin: BOTH splitmix64 chains re-derived in HUGEINT (the
+    q66/q72/q74 idiom), the quota as an ASC window, the E-S key over the
+    survivors, one final ORDER BY ... LIMIT."""
+    t64 = 1 << 64
+    t32 = 1 << 32
+    a0, b1, c1 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mul(x: str, const: int) -> str:
+        hi, lo = const >> 32, const & (t32 - 1)
+        return (
+            f"((((({x}) // {t32}) * {lo} + (({x}) % {t32}) * {hi}) % {t32}) * {t32}"
+            f" + (({x}) % {t32}) * {lo}) % {t64}::HUGEINT"
+        )
+
+    def chain(seed_expr: str, out: str) -> str:
+        # splitmix64(seed) as nested CTE-free scalar expressions is
+        # unreadable; emit the stepwise CTE chain with an `out` prefix.
+        return f"""
+{out}z0 AS (
+  SELECT *, (({seed_expr}) % {t64}::HUGEINT + {t64}::HUGEINT)
+           % {t64}::HUGEINT AS {out}z
+  FROM {'d' if out == 'a' else 'ah'}
+),
+{out}x1 AS (SELECT * EXCLUDE ({out}z), xor({out}z, {out}z // {1 << 30}) AS {out}x FROM {out}z0),
+{out}z1 AS (SELECT * EXCLUDE ({out}x), {mul(out + 'x', b1)} AS {out}z FROM {out}x1),
+{out}x2 AS (SELECT * EXCLUDE ({out}z), xor({out}z, {out}z // {1 << 27}) AS {out}x FROM {out}z1),
+{out}z2 AS (SELECT * EXCLUDE ({out}x), {mul(out + 'x', c1)} AS {out}z FROM {out}x2),
+{out}h AS (SELECT * EXCLUDE ({out}z), xor({out}z, {out}z // {1 << 31}) AS {out}h FROM {out}z2)"""
+
+    return f"""
+WITH d AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+{chain(f"doc_id::HUGEINT + {a0}::HUGEINT", 'a')},
+{chain(f"doc_id::HUGEINT + {salt}::HUGEINT + {a0}::HUGEINT", 'b')},
+keyed AS (
+  SELECT doc_id, n_chars AS weight,
+         'sub' || (doc_id % 5) || '.host' || (doc_id % 11) || '.example' AS domain,
+         ah AS h,
+         CAST(floor(ln(CAST(bh // 2048 + 1 AS DOUBLE) * pow(2.0, -53))
+              / CAST(n_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS key_micros
+  FROM bh
+),
+ranked AS (
+  SELECT doc_id, domain, weight, key_micros,
+         row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS pos
+  FROM keyed
+),
+quota AS (SELECT * FROM ranked WHERE pos <= {q})
+SELECT doc_id, domain, CAST(pos AS BIGINT) AS pos, weight, key_micros
+FROM quota ORDER BY key_micros DESC, doc_id LIMIT {k}
+"""
+
+
+SQL_Q88 = _q88_sql()
+
+
 _LM_THRESHOLD_MICROS = -3_444_000  # fixture p10 ≈ -3.444 nats/token
 
 
@@ -4580,6 +4715,9 @@ RAY_QUERIES = {
     # oracle_sql_catalog; past the cap — its components q21/q24/q13/q22/
     # q55/q67 are all individually in-window or hash-proven)
     "q87_curation_e2e": q87_curation_e2e,
+    # round 5: composed per-domain quota -> global E-S weighted sampling
+    # (one streaming plan; past the cap — components q72/q74 are in-window)
+    "q88_quota_weighted_sample": q88_quota_weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -4645,6 +4783,7 @@ ORACLE_SQL = {
     "q71_lm_perplexity": SQL_Q71,
     "q72_domain_quota_sample": SQL_Q72,
     "q74_weighted_sample": SQL_Q74,
+    "q88_quota_weighted_sample": SQL_Q88,
     "q75_late_events": SQL_Q75,
     "q76_dsir_select": SQL_Q76,
     "q77_mg_top_terms": SQL_Q77,

@@ -414,3 +414,53 @@ class TestFlagshipCache:
         assert len(q._FLAGSHIP_TRIPLES_CACHE) == 1
         b = q._flagship_triples(SF)
         assert a is b
+
+
+class TestQuotaWeightedSample:
+    """q88 — the composed per-domain quota -> global E-S weighted sample."""
+
+    def test_twin_sf0001(self, ray_session):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import TABLES, canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        mine = canon(to_pandas(RAY_QUERIES["q88_quota_weighted_sample"](SF)))
+        oracle = canon(
+            con.execute(oracle_sql_catalog()["q88_quota_weighted_sample"]).df()
+        )
+        ok, why = compare(mine, oracle)
+        assert ok, why
+
+    def test_quota_and_k_respected(self, ray_session):
+        from ner_ray.pipelines.queries import (
+            _Q88_K,
+            _Q88_QUOTA,
+            q88_quota_weighted_sample,
+        )
+
+        out = q88_quota_weighted_sample(SF).to_pandas()
+        assert 0 < len(out) <= _Q88_K
+        assert (out["pos"] >= 1).all() and (out["pos"] <= _Q88_QUOTA).all()
+        assert out.groupby("domain").size().max() <= _Q88_QUOTA
+        # weighted draw: weights are the positive n_chars, keys strictly neg
+        assert (out["weight"] > 0).all()
+        assert (out["key_micros"] <= 0).all()
+
+    def test_draws_are_decorrelated(self, ray_session):
+        """The E-S hash chain is salted away from the quota chain: winning
+        rank inside a domain (pos) must not order the global sample keys."""
+        from ner_ray.pipelines.queries import q88_quota_weighted_sample
+
+        out = q88_quota_weighted_sample(SF).to_pandas()
+        r = np.corrcoef(out["pos"], out["key_micros"])[0, 1]
+        assert abs(r) < 0.5
