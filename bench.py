@@ -133,6 +133,7 @@ def run_bench() -> dict:
         "q84_kg_link_features",
         "q85_kg_neighbor_agg",
         "q88_quota_weighted_sample",
+        "q89_sliding_chunks",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

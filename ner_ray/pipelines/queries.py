@@ -2819,6 +2819,63 @@ FROM o, unnest(generate_series(s // 256, (s + n - 1) // 256)) AS u(c)
 """
 
 
+_Q89_SIZE = 256
+_Q89_STRIDE = 128
+
+
+def q89_sliding_chunks(sf_dir: str) -> Dataset:
+    """Overlapping sliding-window chunking (the RAG / long-context-eval
+    layout): windows of 256 tokens starting every 128 tokens over the
+    per-domain concatenated stream — consecutive windows share half their
+    span, the layout retrieval pipelines use so no passage boundary ever
+    splits all its context.  Same scale shape as q67 (narrow rows, ONE
+    domain shuffle, closed-form numpy emission); token counting is the
+    vectorized ``_tokenize_flat`` kernel (zero per-row Python).  The
+    window arithmetic keeps every SQL division dividend non-negative so
+    DuckDB's truncating ``//`` and numpy's floor ``//`` agree — the twin
+    replays the exact window-range formula with ``generate_series``."""
+    from ner_ray.stages.lm import _tokenize_flat
+    from ner_ray.stages.packing import sliding_chunks
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        parent, _flat = _tokenize_flat(t["text"])
+        ns = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return sliding_chunks(
+        ds.map_batches(count_tokens, batch_format="pyarrow"),
+        chunk_tokens=_Q89_SIZE,
+        stride=_Q89_STRIDE,
+        n_domains=4,
+    )
+
+
+SQL_Q89 = f"""
+WITH t AS (
+  SELECT doc_id, abs(doc_id) % 4 AS domain,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+  FROM documents
+), o AS (
+  SELECT doc_id, domain, n,
+         CAST((sum(n) OVER (PARTITION BY domain ORDER BY doc_id ROWS UNBOUNDED PRECEDING)) - n AS BIGINT) AS s
+  FROM t WHERE n > 0
+)
+SELECT doc_id, CAST(domain AS BIGINT) AS domain, c AS chunk_id,
+       greatest(s, c * {_Q89_STRIDE}) AS tok_start,
+       least(s + n, c * {_Q89_STRIDE} + {_Q89_SIZE}) AS tok_end
+FROM o, unnest(generate_series(
+         CASE WHEN s < {_Q89_SIZE} THEN 0 ELSE (s - {_Q89_SIZE}) // {_Q89_STRIDE} + 1 END,
+         (s + n - 1) // {_Q89_STRIDE})) AS u(c)
+"""
+
+
 def q68_bpe_tokenize(sf_dir: str) -> Dataset:
     """Train 64 BPE merges on the corpus (distributed word counts + the
     vocabulary-sized driver merge loop) and apply them corpus-wide through
@@ -4718,6 +4775,8 @@ RAY_QUERIES = {
     # round 5: composed per-domain quota -> global E-S weighted sampling
     # (one streaming plan; past the cap — components q72/q74 are in-window)
     "q88_quota_weighted_sample": q88_quota_weighted_sample,
+    # round 5: overlapping sliding-window chunking (RAG layout; q67 sibling)
+    "q89_sliding_chunks": q89_sliding_chunks,
 }
 
 ORACLE_SQL = {
@@ -4784,6 +4843,7 @@ ORACLE_SQL = {
     "q72_domain_quota_sample": SQL_Q72,
     "q74_weighted_sample": SQL_Q74,
     "q88_quota_weighted_sample": SQL_Q88,
+    "q89_sliding_chunks": SQL_Q89,
     "q75_late_events": SQL_Q75,
     "q76_dsir_select": SQL_Q76,
     "q77_mg_top_terms": SQL_Q77,

@@ -211,3 +211,78 @@ def sequence_chunks(
         .groupby("domain")
         .map_groups(chunk_group, batch_format="pandas")
     )
+
+
+def sliding_chunks(
+    ds: Dataset,
+    chunk_tokens: int,
+    stride: int,
+    n_domains: int = 4,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> Dataset:
+    """Overlapping sliding-window chunking (the RAG / long-context-eval
+    layout): like :func:`sequence_chunks`, documents are laid end-to-end in
+    id order per domain, but windows of ``chunk_tokens`` start every
+    ``stride`` tokens (``stride < chunk_tokens`` ⇒ consecutive windows
+    overlap by ``chunk_tokens - stride``).  ``stride == chunk_tokens``
+    degenerates to the non-overlapping layout.
+
+    Output: ``(id_col, domain, chunk_id, tok_start, tok_end)`` — one row
+    per (doc × window) overlap, where ``[tok_start, tok_end)`` is the
+    intersection of the doc's stream span with window ``chunk_id``'s
+    ``[chunk_id*stride, chunk_id*stride + chunk_tokens)``.  Same scale
+    shape as ``sequence_chunks``: narrow rows, one domain shuffle, closed-
+    form vectorized emission (a doc spanning ``[s, e)`` overlaps windows
+    ``k ∈ [max(0, (s-size)//stride + 1), (e-1)//stride]`` — the dividend
+    is kept non-negative so floor and truncating division agree, which is
+    what lets the DuckDB twin (``//`` truncates) replicate it exactly).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def chunk_group(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = df[tokens_col].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        dom = np.int64(df["domain"].iloc[0])
+        end = np.cumsum(n)
+        start = end - n
+        first = np.where(start < chunk_tokens, 0, (start - chunk_tokens) // stride + 1)
+        last = (end - 1) // stride
+        reps = (last - first + 1).astype(np.int64)
+        doc_ix = np.repeat(np.arange(len(n), dtype=np.int64), reps)
+        base = np.repeat(first, reps)
+        offs = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        chunk = base + offs
+        ts = np.maximum(start[doc_ix], chunk * stride)
+        te = np.minimum(end[doc_ix], chunk * stride + chunk_tokens)
+        return pd.DataFrame(
+            {
+                id_col: ids[doc_ix],
+                "domain": np.full(len(doc_ix), dom, np.int64),
+                "chunk_id": chunk,
+                "tok_start": ts,
+                "tok_end": te,
+            }
+        )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t[id_col], pa.int64())
+        toks = pc.cast(t[tokens_col], pa.int64())
+        keep = pc.greater(toks, 0)
+        tt = pa.table({id_col: ids, tokens_col: toks}).filter(keep)
+        dom = np.abs(tt[id_col].to_numpy(zero_copy_only=False)) % n_domains
+        return tt.append_column("domain", pa.array(dom.astype("int64")))
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("domain")
+        .map_groups(chunk_group, batch_format="pandas")
+    )

@@ -464,3 +464,81 @@ class TestQuotaWeightedSample:
         out = q88_quota_weighted_sample(SF).to_pandas()
         r = np.corrcoef(out["pos"], out["key_micros"])[0, 1]
         assert abs(r) < 0.5
+
+
+class TestSlidingChunks:
+    """q89 — overlapping sliding-window chunking (RAG layout)."""
+
+    def test_twin_sf0001(self, ray_session):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import TABLES, canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        mine = canon(to_pandas(RAY_QUERIES["q89_sliding_chunks"](SF)))
+        oracle = canon(con.execute(oracle_sql_catalog()["q89_sliding_chunks"]).df())
+        ok, why = compare(mine, oracle)
+        assert ok, why
+
+    def test_stride_equals_size_degenerates_to_sequence_chunks(self, ray_session):
+        from ner_ray.stages.packing import sequence_chunks, sliding_chunks
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "n_tokens": pa.array([(i * 37) % 90 for i in range(40)], pa.int64()),
+            }
+        )
+        a = (
+            sliding_chunks(rd.from_arrow(tbl).repartition(3), 64, 64, n_domains=2)
+            .to_pandas()
+            .sort_values(["domain", "doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        b = (
+            sequence_chunks(rd.from_arrow(tbl).repartition(3), 64, n_domains=2)
+            .to_pandas()
+            .sort_values(["domain", "doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_overlap_windows_and_span_bounds(self, ray_session):
+        from ner_ray.stages.packing import sliding_chunks
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "n_tokens": pa.array([5 + (i * 13) % 70 for i in range(30)], pa.int64()),
+            }
+        )
+        out = sliding_chunks(
+            rd.from_arrow(tbl).repartition(2), 32, 16, n_domains=1
+        ).to_pandas()
+        # every row's span sits inside its window [k*16, k*16+32)
+        assert (out["tok_start"] >= out["chunk_id"] * 16).all()
+        assert (out["tok_end"] <= out["chunk_id"] * 16 + 32).all()
+        assert (out["tok_end"] > out["tok_start"]).all()
+        # interior stream positions are covered by exactly size/stride = 2
+        # windows: pick a token position well inside the stream and count
+        total = int(tbl["n_tokens"].to_numpy().sum())
+        pos = total // 2
+        covering = out[(out["tok_start"] <= pos) & (out["tok_end"] > pos)]
+        assert covering["chunk_id"].nunique() == 2
+
+    def test_rejects_nonpositive_params(self):
+        from ner_ray.stages.packing import sliding_chunks
+
+        with pytest.raises(ValueError):
+            sliding_chunks(None, 0, 16)
+        with pytest.raises(ValueError):
+            sliding_chunks(None, 64, 0)
