@@ -2780,14 +2780,16 @@ def q67_sequence_chunks(sf_dir: str) -> Dataset:
     shuffle once by domain; each domain lays its docs end-to-end in id
     order and cuts every 256 tokens, emitting one row per doc x chunk
     overlap — all vectorized (cumsum + stride intersection)."""
+    from ner_ray.stages.lm import _tokenize_flat
     from ner_ray.stages.packing import sequence_chunks
-
-    from ner_ray.stages.decontam import TOKEN_RE
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def count_tokens(t: pa.Table) -> pa.Table:
-        ns = [len(TOKEN_RE.findall((x or "").lower())) for x in t["text"].to_pylist()]
+        # vectorized TOKEN_RE.findall-count (the _tokenize_flat equality is
+        # pytest law TestLmCap.test_tokenize_flat_matches_findall)
+        parent, _flat = _tokenize_flat(t["text"])
+        ns = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
