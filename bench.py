@@ -304,6 +304,13 @@ def run_mp_probe(nproc: int) -> dict:
     every pair carries its own same-phase ceiling."""
     import multiprocessing as mp
 
+    # a fresh /tmp (rebooted box) has no fixture yet — build it here too, so
+    # a standalone `bench.py --mp-probe N` works before any bench/scaling run
+    if not os.path.exists(os.path.join(BENCH_TX, "_SUCCESS")):
+        _ensure_bench_transcripts()  # Ray Data generation auto-inits Ray...
+        import ray
+
+        ray.shutdown()  # ...shut it down: the probe must measure a no-Ray box
     dims = os.environ.get("SCALE_BERT_DIMS", "128,2,4")
     h, nl, nh = (int(x) for x in dims.split(","))
     n_batches = int(os.environ.get("SCALE_PROBE_BATCHES", "3"))

@@ -4661,10 +4661,7 @@ RAY_QUERIES = {
     "q24_quality_scores": q24_quality_scores,
     "q34_deterministic_sample": q34_deterministic_sample,
     "q35_heavy_hitters": q35_heavy_hitters,
-    "q40_jaccard_all_pairs": q40_jaccard_all_pairs,
-    "q42_rollup": q42_rollup,
     "q43_tfidf_top_terms": q43_tfidf_top_terms,
-    "q44_term_pmi": q44_term_pmi,
     "q45_pii_redaction": q45_pii_redaction,
     "q46_stratified_sample": q46_stratified_sample,
     "q47_sequence_packing": q47_sequence_packing,
@@ -4700,6 +4697,14 @@ RAY_QUERIES = {
     "q81_conv_dedup": q81_conv_dedup,
     "q85_kg_neighbor_agg": q85_kg_neighbor_agg,
     "q86_event_funnel": q86_event_funnel,
+    # round-5 composed operators promoted into the driver window (q40/q42/
+    # q44 yield their slots: q40's verify-pass Jaccard ~ in-cap q22/q65
+    # pair mechanisms, q42 rollup ~ q61 pivot's grouped-reshape shuffle,
+    # q44 PMI ~ q43's two-pass tf-idf shape; all three were driver-green
+    # rounds 1-4, unchanged, and stay pytest-swept just past the cap):
+    "q87_curation_e2e": q87_curation_e2e,
+    "q88_quota_weighted_sample": q88_quota_weighted_sample,
+    "q89_sliding_chunks": q89_sliding_chunks,
     # --- beyond the 50-row cap (entries 51+): pytest-gated. ---
     # kg_tagger_eval is the one genuinely-not-SQL flagship row (BERT P/R;
     # golden-gated in tests); the round-5-demoted q04/q09–q12/q14/q16/q17/
@@ -4770,15 +4775,12 @@ RAY_QUERIES = {
     "q82_kg_negative_samples": q82_kg_negative_samples,
     "q83_kg_triangles": q83_kg_triangles,
     "q84_kg_link_features": q84_kg_link_features,
-    # round 5: the composed curation mega-pipeline (twinned via
-    # oracle_sql_catalog; past the cap — its components q21/q24/q13/q22/
-    # q55/q67 are all individually in-window or hash-proven)
-    "q87_curation_e2e": q87_curation_e2e,
-    # round 5: composed per-domain quota -> global E-S weighted sampling
-    # (one streaming plan; past the cap — components q72/q74 are in-window)
-    "q88_quota_weighted_sample": q88_quota_weighted_sample,
-    # round 5: overlapping sliding-window chunking (RAG layout; q67 sibling)
-    "q89_sliding_chunks": q89_sliding_chunks,
+    # demoted from the window for the round-5 composed operators (see the
+    # in-window comment above); driver-green rounds 1-4, unchanged,
+    # pytest-swept here:
+    "q40_jaccard_all_pairs": q40_jaccard_all_pairs,
+    "q42_rollup": q42_rollup,
+    "q44_term_pmi": q44_term_pmi,
 }
 
 ORACLE_SQL = {
