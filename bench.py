@@ -134,6 +134,10 @@ def run_bench() -> dict:
         "q85_kg_neighbor_agg",
         "q88_quota_weighted_sample",
         "q89_sliding_chunks",
+        # round-5: histogram-quantile sketch, corpus JS divergence, split
+        "q90_histogram_quantiles",
+        "q91_js_divergence",
+        "q92_train_test_split",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

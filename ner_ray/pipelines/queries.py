@@ -2741,9 +2741,11 @@ def q66_shuffle_shards(sf_dir: str) -> Dataset:
     )
 
 
-def _q66_sql() -> str:
-    """HUGEINT re-derivation of splitmix64(doc_id) % 16 + in-shard rank
-    (the _hll_sql 32-bit-halved multiply idiom over the documents table)."""
+def _splitmix_hugeint_ctes(table: str = "documents", id_col: str = "doc_id") -> str:
+    """Shared HUGEINT re-derivation of splitmix64(id) as SQL WITH-clauses
+    (the _hll_sql 32-bit-halved multiply idiom): yields a final CTE ``h``
+    with columns ``({id_col}, h)``.  Used by the q66 shuffle-shard and q92
+    split twins."""
     t64 = 1 << 64
     t32 = 1 << 32
     a0, b1, c1 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
@@ -2756,17 +2758,25 @@ def _q66_sql() -> str:
         )
 
     return f"""
-WITH z0 AS (
-  SELECT doc_id,
-         ((doc_id::HUGEINT + {a0}::HUGEINT) % {t64}::HUGEINT + {t64}::HUGEINT)
+z0 AS (
+  SELECT {id_col},
+         (({id_col}::HUGEINT + {a0}::HUGEINT) % {t64}::HUGEINT + {t64}::HUGEINT)
            % {t64}::HUGEINT AS z
-  FROM documents
+  FROM {table}
 ),
-x1 AS (SELECT doc_id, xor(z, z // {1 << 30}) AS x FROM z0),
-z1 AS (SELECT doc_id, {mul('x', b1)} AS z FROM x1),
-x2 AS (SELECT doc_id, xor(z, z // {1 << 27}) AS x FROM z1),
-z2 AS (SELECT doc_id, {mul('x', c1)} AS z FROM x2),
-h AS (SELECT doc_id, xor(z, z // {1 << 31}) AS h FROM z2)
+x1 AS (SELECT {id_col}, xor(z, z // {1 << 30}) AS x FROM z0),
+z1 AS (SELECT {id_col}, {mul('x', b1)} AS z FROM x1),
+x2 AS (SELECT {id_col}, xor(z, z // {1 << 27}) AS x FROM z1),
+z2 AS (SELECT {id_col}, {mul('x', c1)} AS z FROM x2),
+h AS (SELECT {id_col}, xor(z, z // {1 << 31}) AS h FROM z2)"""
+
+
+def _q66_sql() -> str:
+    """HUGEINT re-derivation of splitmix64(doc_id) % 16 + in-shard rank
+    (shared ``_splitmix_hugeint_ctes`` derivation over the documents
+    table)."""
+    return f"""
+WITH {_splitmix_hugeint_ctes()}
 SELECT doc_id,
        CAST(h % 16 AS BIGINT) AS shard,
        CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
@@ -3432,16 +3442,16 @@ def q79_length_histogram(sf_dir: str) -> pd.DataFrame:
     is trivially cross-engine exact).  Narrow stateless pass + the
     no-shuffle low-cardinality combiner (|sources| x |buckets| partial rows
     per block)."""
-    from ner_ray.stages.decontam import TOKEN_RE
+    from ner_ray.stages.lm import _tokenize_flat
     from ner_ray.stages.relational import grouped_agg_partial
 
     ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["source", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        ns = np.array(
-            [len(TOKEN_RE.findall((x or "").lower())) for x in t["text"].to_pylist()],
-            dtype=np.int64,
-        )
+        # vectorized TOKEN_RE.findall-count (equality with findall is pytest
+        # law TestLmCap.test_tokenize_flat_matches_findall)
+        parent, _flat = _tokenize_flat(t["text"])
+        ns = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
         return pa.table(
             {
                 "source": t["source"],
@@ -4626,6 +4636,124 @@ SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars FROM n
 SQL_Q69 = _sql_q69()
 
 
+def q90_histogram_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Approximate price percentiles over lineitem via the mergeable
+    fixed-grid histogram sketch (stages.sketches.histogram_quantiles): two
+    streaming passes — distributed min/max, then per-block bincount
+    partials with a no-shuffle driver combine — replace the all-to-all
+    sort a naive percentile pays at 100 TB.  Worst-case error is one bin
+    width (range/256) regardless of data size.  The twin replays the
+    identical IEEE binning and interpolation arithmetic in SQL, so the
+    floor-quantized estimates hash-match exactly."""
+    from ner_ray.stages.sketches import histogram_quantiles
+
+    ds = read_parquet_clean(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    return histogram_quantiles(ds, "l_extendedprice", bins=256)
+
+
+SQL_Q90 = """
+WITH mm AS (SELECT min(l_extendedprice)::DOUBLE AS mn, max(l_extendedprice)::DOUBLE AS mx,
+                   count(*)::BIGINT AS n FROM lineitem),
+w AS (SELECT (mx - mn) / 256.0 AS w FROM mm),
+b AS (SELECT CAST(LEAST(255, GREATEST(0, floor((l_extendedprice - mm.mn) / w.w))) AS BIGINT) AS bin,
+             count(*)::BIGINT AS cnt
+      FROM lineitem, mm, w GROUP BY 1),
+c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM b),
+ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p),
+sel AS (SELECT ps.p, c.bin, c.cnt, c.cum,
+               row_number() OVER (PARTITION BY ps.p ORDER BY c.bin) AS rn
+        FROM ps JOIN c ON c.cum >= ps.p * (SELECT n FROM mm))
+SELECT sel.p, sel.bin, sel.cnt AS bin_count, sel.cum AS cum_count,
+       floor((mm.mn + w.w * (sel.bin + (sel.p * mm.n - (sel.cum - sel.cnt)) / sel.cnt))
+             * 1000000 + 0.5) / 1000000.0 AS estimate
+FROM sel, mm, w WHERE sel.rn = 1
+"""
+
+
+def q91_js_divergence(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source token
+    distributions (stages.lm.corpus_js_divergence) — the data-mixture /
+    domain-shift diagnostic run before choosing sampling weights.  One
+    term-hash bucket shuffle of vocabulary-sized count partials; per-term
+    contributions floor-quantize to integer picos so the twin's
+    arbitrary-order BIGINT sum is hash-exact."""
+    from ner_ray.stages.lm import corpus_js_divergence
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["source", "text"])
+    return corpus_js_divergence(ds, key_col="source", text_col="text")
+
+
+SQL_Q91 = """
+WITH tok AS (SELECT source AS k, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents),
+cnt AS (SELECT k, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT k, sum(c)::DOUBLE AS n FROM cnt GROUP BY 1),
+terms AS (SELECT DISTINCT term FROM cnt),
+pairs AS (SELECT a.k AS ka, a.n AS na, b.k AS kb, b.n AS nb
+          FROM tot a JOIN tot b ON a.k < b.k),
+grid AS (
+  SELECT p.ka, p.kb,
+         coalesce(ca.c, 0) / p.na AS pa,
+         coalesce(cb.c, 0) / p.nb AS pb
+  FROM pairs p CROSS JOIN terms t
+  LEFT JOIN cnt ca ON ca.k = p.ka AND ca.term = t.term
+  LEFT JOIN cnt cb ON cb.k = p.kb AND cb.term = t.term
+),
+contrib AS (
+  SELECT ka, kb,
+         CAST(floor(((CASE WHEN pa > 0 THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0.0 END)
+                   + (CASE WHEN pb > 0 THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0.0 END))
+                    * 1e12 + 0.5) AS BIGINT) AS pico
+  FROM grid
+)
+SELECT ka AS source_a, kb AS source_b, sum(pico)::BIGINT AS js_pico,
+       sum(pico) / 1e12 AS js_divergence
+FROM contrib GROUP BY 1, 2
+"""
+
+
+def q92_train_test_split(sf_dir: str) -> Dataset:
+    """Deterministic stratification-free train/val/test split (80/10/10 by
+    ``splitmix64(doc_id) % 100``) — the reproducible split every training
+    pipeline needs: zero shuffle, zero RNG state, stable across runs,
+    cluster sizes, and data order, so re-runs and incremental appends
+    never leak rows across splits.  Embarrassingly parallel map_batches;
+    the twin re-derives splitmix64 in HUGEINT SQL (the q49/q66 idiom)."""
+    from ner_ray.stages.sketches import splitmix64
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = (splitmix64(ids) % np.uint64(100)).astype(np.int64)
+        split = np.where(r < 80, "train", np.where(r < 90, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "bucket100": pa.array(r, pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _q92_sql() -> str:
+    return f"""
+WITH {_splitmix_hugeint_ctes()}
+SELECT d.doc_id, d.source,
+       CAST(h.h % 100 AS BIGINT) AS bucket100,
+       CASE WHEN h.h % 100 < 80 THEN 'train'
+            WHEN h.h % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h JOIN documents d USING (doc_id)
+"""
+
+
+SQL_Q92 = _q92_sql()
+
+
 # ---------------------------------------------------------------------------
 
 # Priority-ordered: every oracle-backed query first (these carry the
@@ -4781,6 +4909,11 @@ RAY_QUERIES = {
     "q40_jaccard_all_pairs": q40_jaccard_all_pairs,
     "q42_rollup": q42_rollup,
     "q44_term_pmi": q44_term_pmi,
+    # round 5: mergeable histogram quantiles, corpus JS divergence,
+    # deterministic split assignment (twinned; past the cap, pytest-swept)
+    "q90_histogram_quantiles": q90_histogram_quantiles,
+    "q91_js_divergence": q91_js_divergence,
+    "q92_train_test_split": q92_train_test_split,
 }
 
 ORACLE_SQL = {
@@ -4848,6 +4981,9 @@ ORACLE_SQL = {
     "q74_weighted_sample": SQL_Q74,
     "q88_quota_weighted_sample": SQL_Q88,
     "q89_sliding_chunks": SQL_Q89,
+    "q90_histogram_quantiles": SQL_Q90,
+    "q91_js_divergence": SQL_Q91,
+    "q92_train_test_split": SQL_Q92,
     "q75_late_events": SQL_Q75,
     "q76_dsir_select": SQL_Q76,
     "q77_mg_top_terms": SQL_Q77,

@@ -404,3 +404,126 @@ def dsir_select(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def corpus_js_divergence(
+    ds: Dataset,
+    key_col: str = "source",
+    text_col: str = "text",
+    num_buckets: int = 512,
+) -> pd.DataFrame:
+    """Jensen-Shannon divergence between the token distributions of every
+    pair of corpus slices (``key_col`` values) — the data-mixture /
+    domain-shift diagnostic a training pipeline runs before choosing
+    sampling weights (JS in nats; 0 = identical distributions, ln 2 max).
+
+    Scale shape: pass 1 folds global per-key token totals with the
+    no-shuffle combiner (|keys| partial rows per block); pass 2 emits
+    narrow ``(term, key, cnt)`` block partials, ONE shuffle co-locates
+    whole terms into ``num_buckets`` hash buckets (the window_funcs
+    bucketed-kernel pattern — dispatch is ~num_buckets calls, not
+    |vocab|), and each bucket folds a dense ``terms x keys`` count matrix
+    into per-pair partial sums in a single segmented numpy pass.  Only
+    vocabulary-sized partials ever move; the corpus never does.
+
+    Cross-engine exactness (the lm.py integer-micro idiom): each term's
+    pairwise contribution floor-quantizes to integer PICOS (1e-12) before
+    the sum, so partial-order-free BIGINT addition makes the DuckDB twin
+    hash-exact; ``js_divergence = js_pico / 1e12`` on both sides.
+
+    Returns ``(source_a, source_b, js_pico, js_divergence)``, one row per
+    unordered key pair (source_a < source_b).
+    """
+    import pyarrow.compute as pc
+
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    # pass 1: global token totals per key
+    def tot_partial(t: pa.Table) -> pa.Table:
+        parent, _flat = _tokenize_flat(t[text_col])
+        src = pc.take(t[key_col], pa.array(parent))
+        g = pa.table({"k": src}).group_by("k").aggregate([("k", "count")])
+        return pa.table({"k": g["k"], "n": pc.cast(g["k_count"], pa.int64())})
+
+    tot = grouped_agg_partial(
+        ds.map_batches(tot_partial, batch_format="pyarrow"), keys=["k"], sums={"n": "n"}
+    )
+    keys_sorted = sorted(tot["k"].astype(str))
+    totals = dict(zip(tot["k"].astype(str), tot["n"].astype(float)))
+    totals_vec = np.array([totals[k] for k in keys_sorted], dtype=np.float64)
+    key_index = pd.Index(keys_sorted)
+    nk = len(keys_sorted)
+
+    # pass 2: (term, key, cnt) block partials, bucketed by term hash
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_flat(t[text_col])
+        src = pc.take(t[key_col], pa.array(parent))
+        g = (
+            pa.table({"term": flat, "k": src})
+            .group_by(["term", "k"])
+            .aggregate([("term", "count")])
+        )
+        h = pd.util.hash_pandas_object(
+            pd.Series(g["term"].to_numpy(zero_copy_only=False)), index=False
+        ).to_numpy()
+        return pa.table(
+            {
+                "term": g["term"],
+                "k": g["k"],
+                "cnt": pc.cast(g["term_count"], pa.int64()),
+                "_bkt": pa.array((h % num_buckets).astype(np.int64)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "js_pico": pa.array([], pa.int64()),
+        }
+    )
+
+    def js_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.sort_by([("term", "ascending"), ("k", "ascending")])
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        newseg = np.r_[True, terms[1:] != terms[:-1]]
+        tid = np.cumsum(newseg) - 1
+        kcode = key_index.get_indexer(g["k"].to_numpy(zero_copy_only=False))
+        m = np.zeros((int(tid[-1]) + 1, nk), dtype=np.float64)
+        np.add.at(m, (tid, kcode), g["cnt"].to_numpy(zero_copy_only=False))
+        p = m / totals_vec  # column-aligned global probabilities
+        rows_a, rows_b, picos = [], [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i in range(nk):
+                for j in range(i + 1, nk):
+                    pi, pj = p[:, i], p[:, j]
+                    msum = pi + pj
+                    ca = np.where(pi > 0, 0.5 * pi * np.log(2 * pi / msum), 0.0)
+                    cb = np.where(pj > 0, 0.5 * pj * np.log(2 * pj / msum), 0.0)
+                    pico = np.floor((ca + cb) * 1e12 + 0.5).astype(np.int64).sum()
+                    rows_a.append(keys_sorted[i])
+                    rows_b.append(keys_sorted[j])
+                    picos.append(int(pico))
+        return pa.table(
+            {
+                "source_a": pa.array(rows_a, pa.string()),
+                "source_b": pa.array(rows_b, pa.string()),
+                "js_pico": pa.array(picos, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(js_block, batch_format="pyarrow")
+    )
+    out = grouped_agg_partial(
+        parts, keys=["source_a", "source_b"], sums={"js_pico": "js_pico"}
+    )
+    out["js_pico"] = out["js_pico"].astype("int64")
+    out["js_divergence"] = out["js_pico"].astype(float) / 1e12
+    return out[["source_a", "source_b", "js_pico", "js_divergence"]].reset_index(
+        drop=True
+    )

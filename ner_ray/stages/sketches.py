@@ -422,3 +422,67 @@ def mg_top_terms_exact(
         )
     exact["rank"] = np.arange(1, len(exact) + 1, dtype=np.int64)
     return pa.Table.from_pandas(exact, preserve_index=False)
+
+
+def histogram_quantiles(
+    ds: Dataset,
+    col: str,
+    bins: int = 256,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> pd.DataFrame:
+    """Approximate quantiles via a mergeable fixed-grid histogram — the
+    percentile primitive that replaces an all-to-all sort at 100 TB.
+
+    Two streaming passes: (1) distributed min/max (tiny partials), (2) each
+    block bincounts ``floor((x - mn) / w)`` clipped to ``[0, bins-1]`` and
+    the <= ``bins``-row partials combine driver-side with NO shuffle (the
+    ``grouped_agg_partial`` combiner shape).  Quantile ``p`` interpolates
+    linearly inside the first bin whose cumulative count reaches ``p * n``
+    — worst-case error one bin width, independent of data size, and the
+    whole sketch is partition-order-free (bincounts add commutatively).
+    Estimates floor-quantize to 6 decimals (the q43/q44 idiom) so a SQL
+    twin replaying the identical IEEE arithmetic hash-matches exactly.
+
+    Returns ``(p, bin, bin_count, cum_count, estimate)`` — one row per
+    requested quantile.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    mm = ds.aggregate(Min(col), Max(col))
+    mn, mx = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    if not mx > mn:  # degenerate: constant column -> every quantile is mn
+        return pd.DataFrame(
+            [(p, 0, 0, 0, mn) for p in ps],
+            columns=["p", "bin", "bin_count", "cum_count", "estimate"],
+        )
+    w = (mx - mn) / float(bins)
+
+    def hist(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(bins - 1, np.maximum(0, np.floor((x - mn) / w))).astype(np.int64)
+        cnt = np.bincount(b, minlength=bins)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()), "cnt": pa.array(cnt[nz], pa.int64())}
+        )
+
+    hp = grouped_agg_partial(
+        ds.map_batches(hist, batch_format="pyarrow"), keys=["bin"], sums={"cnt": "cnt"}
+    ).sort_values("bin")
+    bin_ids = hp["bin"].to_numpy()
+    cnts = hp["cnt"].to_numpy()
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    rows = []
+    for p in ps:
+        target = p * float(n)
+        i = int(np.searchsorted(cum, target, side="left"))
+        cum_prev = float(cum[i] - cnts[i])
+        est = mn + w * (float(bin_ids[i]) + (target - cum_prev) / float(cnts[i]))
+        est = math.floor(est * 1e6 + 0.5) / 1e6
+        rows.append((p, int(bin_ids[i]), int(cnts[i]), int(cum[i]), est))
+    return pd.DataFrame(
+        rows, columns=["p", "bin", "bin_count", "cum_count", "estimate"]
+    )

@@ -542,3 +542,189 @@ class TestSlidingChunks:
             sliding_chunks(None, 0, 16)
         with pytest.raises(ValueError):
             sliding_chunks(None, 64, 0)
+
+
+class TestHistogramQuantiles:
+    """q90 — mergeable fixed-grid histogram quantiles."""
+
+    def test_within_one_bin_of_exact(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from ner_ray.stages.sketches import histogram_quantiles
+
+        tbl = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_extendedprice"])
+        x = np.sort(tbl["l_extendedprice"].to_numpy())
+        bins = 256
+        w = (x[-1] - x[0]) / bins
+        out = histogram_quantiles(rd.from_arrow(tbl).repartition(4), "l_extendedprice", bins=bins)
+        for _, row in out.iterrows():
+            exact = float(np.quantile(x, row["p"]))
+            assert abs(row["estimate"] - exact) <= w + 1e-6, (row["p"], row["estimate"], exact)
+
+    def test_partition_invariance(self, ray_session):
+        """The sketch is a commutative bincount sum: any block layout gives
+        bit-identical output (the mergeability law)."""
+        import pyarrow.parquet as pq
+
+        from ner_ray.stages.sketches import histogram_quantiles
+
+        tbl = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_extendedprice"])
+        a = histogram_quantiles(rd.from_arrow(tbl).repartition(1), "l_extendedprice")
+        b = histogram_quantiles(rd.from_arrow(tbl).repartition(13), "l_extendedprice")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_constant_column_degenerate(self, ray_session):
+        from ner_ray.stages.sketches import histogram_quantiles
+
+        tbl = pa.table({"v": pa.array([7.5] * 100, pa.float64())})
+        out = histogram_quantiles(rd.from_arrow(tbl), "v")
+        assert (out["estimate"] == 7.5).all()
+
+
+class TestJsDivergence:
+    """q91 — pairwise corpus Jensen-Shannon divergence."""
+
+    def _ds(self, rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([r[0] for r in rows], pa.string()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    def test_identical_corpora_zero(self, ray_session):
+        from ner_ray.stages.lm import corpus_js_divergence
+
+        rows = [("a", "the cat sat on the mat"), ("b", "the cat sat on the mat")]
+        out = corpus_js_divergence(self._ds(rows))
+        assert len(out) == 1
+        assert out["js_pico"].iloc[0] == 0
+
+    def test_disjoint_corpora_ln2(self, ray_session):
+        from ner_ray.stages.lm import corpus_js_divergence
+
+        rows = [("a", "alpha beta gamma"), ("b", "delta epsilon zeta")]
+        out = corpus_js_divergence(self._ds(rows))
+        assert abs(out["js_divergence"].iloc[0] - np.log(2)) < 1e-6
+
+    def test_matches_bruteforce(self, ray_session):
+        """Distributed bucketed kernel == single-process dense reference on
+        the fixture corpus (all 190 source pairs)."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        from ner_ray.stages.lm import corpus_js_divergence
+
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+        out = corpus_js_divergence(rd.from_arrow(tbl).repartition(5))
+        # brute force
+        from collections import Counter, defaultdict
+
+        cnt: dict[str, Counter] = defaultdict(Counter)
+        for s, t in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+            cnt[s].update(re.findall(r"[a-z0-9]+", (t or "").lower()))
+        keys = sorted(cnt)
+        vocab = sorted(set().union(*[set(c) for c in cnt.values()]))
+        tot = {k: sum(cnt[k].values()) for k in keys}
+        ref = {}
+        for i, a in enumerate(keys):
+            for b in keys[i + 1 :]:
+                pico = 0
+                for term in vocab:
+                    pa_ = cnt[a][term] / tot[a]
+                    pb_ = cnt[b][term] / tot[b]
+                    c = 0.0
+                    if pa_ > 0:
+                        c += 0.5 * pa_ * np.log(2 * pa_ / (pa_ + pb_))
+                    if pb_ > 0:
+                        c += 0.5 * pb_ * np.log(2 * pb_ / (pa_ + pb_))
+                    pico += int(np.floor(c * 1e12 + 0.5))
+                ref[(a, b)] = pico
+        got = {
+            (r["source_a"], r["source_b"]): int(r["js_pico"]) for _, r in out.iterrows()
+        }
+        assert got == ref
+
+    def test_bucket_count_invariance(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from ner_ray.stages.lm import corpus_js_divergence
+
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+        a = corpus_js_divergence(rd.from_arrow(tbl), num_buckets=7)
+        b = corpus_js_divergence(rd.from_arrow(tbl), num_buckets=512)
+        pd.testing.assert_frame_equal(
+            a.sort_values(["source_a", "source_b"]).reset_index(drop=True),
+            b.sort_values(["source_a", "source_b"]).reset_index(drop=True),
+        )
+
+
+class TestTrainTestSplit:
+    """q92 — deterministic hash split assignment."""
+
+    def test_disjoint_complete_and_deterministic(self, ray_session):
+        from ner_ray.pipelines.queries import q92_train_test_split
+
+        a = q92_train_test_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = q92_train_test_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        import pyarrow.parquet as pq
+
+        n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+        assert len(a) == n_docs and a["doc_id"].is_unique
+        assert set(a["split"]) <= {"train", "val", "test"}
+        assert ((a["bucket100"] >= 0) & (a["bucket100"] < 100)).all()
+        # split boundaries honor the bucket
+        assert (a.loc[a["split"] == "train", "bucket100"] < 80).all()
+        assert (a.loc[a["split"] == "val", "bucket100"].between(80, 89)).all()
+        assert (a.loc[a["split"] == "test", "bucket100"] >= 90).all()
+
+    def test_proportions_at_scale(self, ray_session):
+        """splitmix64 avalanche makes the 80/10/10 target hold tightly on a
+        large id range."""
+        from ner_ray.stages.sketches import splitmix64
+
+        ids = np.arange(200_000, dtype=np.uint64)
+        r = splitmix64(ids) % np.uint64(100)
+        frac_train = float((r < 80).mean())
+        frac_val = float(((r >= 80) & (r < 90)).mean())
+        assert abs(frac_train - 0.80) < 0.005
+        assert abs(frac_val - 0.10) < 0.005
+
+
+class TestNewTwinsSf0001:
+    """q90/q91/q92 twin equality in-suite (the driver-style gate at
+    sf0.001; tools/oracle_check.py sweeps sf0.01)."""
+
+    def _check(self, name):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import TABLES, canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+        sql = oracle_sql_catalog()[name]
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        mine = canon(to_pandas(RAY_QUERIES[name](SF)))
+        oracle = canon(con.execute(sql).df())
+        ok, why = compare(mine, oracle)
+        assert ok, f"{name}: {why}"
+
+    def test_q90_twin(self, ray_session):
+        self._check("q90_histogram_quantiles")
+
+    def test_q91_twin(self, ray_session):
+        self._check("q91_js_divergence")
+
+    def test_q92_twin(self, ray_session):
+        self._check("q92_train_test_split")
