@@ -83,6 +83,10 @@ class KGResult:
     mentions_linked: Dataset | None = None
     entities: Dataset | None = None
     mapping: Dataset | None = None
+    # pre-dedup canonicalized stream (one row per supporting extraction,
+    # with conv_id/turn_idx) — the provenance grain (stages.dedup
+    # .triple_provenance consumes it)
+    canon_triples: Dataset | None = None
     metrics: dict = field(default_factory=dict)
 
 
@@ -381,7 +385,11 @@ def build_kg(
     canon_triples = rewrite_triples(raw_triples, mapping, how=cfg.rewrite)
     deduped = dedup_triples(canon_triples)
     return KGResult(
-        triples=deduped, mentions_linked=linked, entities=entities, mapping=mapping
+        triples=deduped,
+        mentions_linked=linked,
+        entities=entities,
+        mapping=mapping,
+        canon_triples=canon_triples,
     )
 
 

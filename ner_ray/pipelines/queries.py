@@ -1943,11 +1943,9 @@ def q87_curation_e2e(sf_dir: str) -> Dataset:
             & (n_tok > 0)
         )
         kept = tbl.filter(pa.array(keep)).select(["doc_id", "text", "fp", "n_tokens"])
-        import pandas as pd
+        from ner_ray.utils import stable_hash64
 
-        h = pd.util.hash_pandas_object(
-            pd.Series(kept["fp"].to_numpy(zero_copy_only=False)), index=False
-        ).to_numpy()
+        h = stable_hash64(kept["fp"])  # NUL-safe (see utils.stable_hash64)
         return kept.append_column("_fbkt", pa.array((h % 1024).astype("int64")))
 
     # exact dedup (q13 keeper rule) as ONE bucketed shuffle: fp hashes into
@@ -4754,6 +4752,39 @@ FROM h JOIN documents d USING (doc_id)
 SQL_Q92 = _q92_sql()
 
 
+def q94_kg_triple_provenance(sf_dir: str) -> Dataset:
+    """Per-triple temporal lineage over the flagship KG (north-rule
+    provenance): one row per canonical ``(subj, pred, obj)`` with support
+    count, distinct-conversation count, and the first/last supporting-turn
+    timestamps — what an incremental 10^12-turn build consults to age,
+    re-verify, or time-slice edges.  Consumes the PRE-dedup canonical
+    stream (``build_kg().canon_triples``) joined to the narrow 3-column
+    ``(conv_id, turn_idx, ts)`` side (the text never enters this plan);
+    aggregation is the dedup combiner pattern (stages.dedup
+    .triple_provenance).  Twin = the full flagship rewrite chain as CTEs +
+    the same timestamp join."""
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+    from ner_ray.stages.dedup import triple_provenance
+
+    path = transcripts_path_for(sf_dir)
+    res = build_kg(read_transcripts(path), KGConfig())
+    ts = read_parquet_clean(path, columns=["conv_id", "turn_idx", "ts"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    canon = res.canon_triples.select_columns(
+        ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    )
+    return triple_provenance(canon, ts.map_batches(narrow, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 
 # Priority-ordered: every oracle-backed query first (these carry the
@@ -4914,6 +4945,9 @@ RAY_QUERIES = {
     "q90_histogram_quantiles": q90_histogram_quantiles,
     "q91_js_divergence": q91_js_divergence,
     "q92_train_test_split": q92_train_test_split,
+    # round 5: per-triple temporal lineage over the flagship KG (dynamic
+    # twin wraps the full rewrite chain + timestamp join)
+    "q94_kg_triple_provenance": q94_kg_triple_provenance,
 }
 
 ORACLE_SQL = {
@@ -5566,6 +5600,9 @@ SELECT conv_id,
 FROM read_parquet('{path}/*.parquet')
 GROUP BY conv_id
 """
+    # Twin of q94: per-triple temporal provenance (the full flagship
+    # rewrite chain + the per-turn timestamp join).
+    sql["q94_kg_triple_provenance"] = _q94_sql(path)
     # Twin of kg_vocab (P2): char counts -> finalize_vocab id assignment.
     # Mirrors state/vocab.py: digits -> <NUM>, ASCII letters -> <ENG>
     # (normalize_char; '0'..'9' covers this fixture — it contains no
@@ -6236,11 +6273,12 @@ def _canon_norm_sql(col: str) -> str:
     )
 
 
-def _kg_canon_triples_sql(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
-    """DuckDB twin of the FULL flagship KG build output (``build_kg().triples``):
-    the canonicalized CTEs plus the per-surface-key rewrite winner
-    (max n_mentions, min canonical — the engine's deterministic tie-break)
-    and B7 dedup with its distributive provenance cap."""
+def _kg_rewritten_ctes(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
+    """Canon CTEs + the per-surface-key rewrite winner (max n_mentions, min
+    canonical — the engine's deterministic tie-break), ending in
+    ``rewritten`` = the PRE-dedup canonical stream with full provenance
+    columns (conv_id, turn_idx, confidence).  Shared by the kg_canon_triples
+    and q94 provenance twins."""
     return (
         _kg_canon_ctes(transcripts_path, window, tau)
         + f""",
@@ -6257,15 +6295,49 @@ skey_map AS (
 ),
 rewritten AS (
   SELECT coalesce(s1.canonical, t.subj) AS subj, t.pred,
-         coalesce(s2.canonical, t.obj) AS obj, t.conv_id, t.confidence
+         coalesce(s2.canonical, t.obj) AS obj, t.conv_id, t.turn_idx,
+         t.confidence
   FROM raw_triples t
   LEFT JOIN skey_map s1 ON s1.skey = {_canon_norm_sql('t.subj')}
   LEFT JOIN skey_map s2 ON s2.skey = {_canon_norm_sql('t.obj')}
-)
+)"""
+    )
+
+
+def _kg_canon_triples_sql(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
+    """DuckDB twin of the FULL flagship KG build output (``build_kg().triples``):
+    the canonicalized CTEs plus the per-surface-key rewrite winner
+    (max n_mentions, min canonical — the engine's deterministic tie-break)
+    and B7 dedup with its distributive provenance cap."""
+    return (
+        _kg_rewritten_ctes(transcripts_path, window, tau)
+        + """
 SELECT subj, pred, obj, max(confidence)::REAL AS confidence,
        count(*)::BIGINT AS n_support,
        array_to_string(list_sort(list(DISTINCT conv_id))[1:5], ',') AS conv_ids
 FROM rewritten GROUP BY subj, pred, obj
+"""
+    )
+
+
+def _q94_sql(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
+    """DuckDB twin of q94: the rewritten (pre-dedup) canonical stream joined
+    to the narrow per-turn timestamp side, aggregated per triple."""
+    return (
+        _kg_rewritten_ctes(transcripts_path, window, tau)
+        + f""",
+tsrc AS (
+  SELECT conv_id, turn_idx, epoch_us(ts)::BIGINT AS ts_us
+  FROM read_parquet('{transcripts_path}/*.parquet')
+)
+SELECT r.subj, r.pred, r.obj,
+       count(*)::BIGINT AS n_support,
+       count(DISTINCT r.conv_id)::BIGINT AS n_convs,
+       min(t.ts_us)::BIGINT AS first_ts_us,
+       max(t.ts_us)::BIGINT AS last_ts_us
+FROM rewritten r
+JOIN tsrc t ON t.conv_id = r.conv_id AND t.turn_idx = r.turn_idx
+GROUP BY 1, 2, 3
 """
     )
 

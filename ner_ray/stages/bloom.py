@@ -48,17 +48,16 @@ def _key_hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     shared its block).  Callers are responsible for null SEMANTICS (a null
     key never matches in SQL EXISTS); this function only guarantees the
     non-null hashes are block-content-independent."""
+    from ner_ray.utils import stable_hash64
+
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if a.null_count:
         valid = ~np.asarray(pc.is_null(a))
-        h = pd.util.hash_pandas_object(
-            pd.Series(a.drop_null().to_pandas()), index=False
-        ).to_numpy().astype(np.uint64)
+        h = stable_hash64(pd.Series(a.drop_null().to_pandas()))
         out = np.zeros(len(a), dtype=np.uint64)
         out[valid] = h
         return out
-    s = pd.Series(a.to_pandas())
-    return pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
+    return stable_hash64(pd.Series(a.to_pandas()))
 
 
 def _valid_mask(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:

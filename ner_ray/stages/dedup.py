@@ -118,13 +118,16 @@ def merge_dedup_partials(
     B = num_buckets or 4 * pool_size()[1]
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import pandas as pd
         import pyarrow.compute as pc
+
+        from ner_ray.utils import stable_hash64
 
         joined = pc.binary_join_element_wise(
             batch["subj"], batch["pred"], batch["obj"], "\x00"
         )
-        h = pd.util.hash_array(joined.to_numpy(zero_copy_only=False)) % B
+        # stable_hash64, NOT plain hash_array: the \x00-joined key REQUIRES
+        # the NUL-safe categorize=False path (see utils.stable_hash64)
+        h = stable_hash64(joined) % B
         return batch.append_column("bucket", pa.array(h.astype(np.int64)))
 
     def merge_bucket(g: pa.Table) -> pa.Table:
@@ -134,6 +137,86 @@ def merge_dedup_partials(
 
     return (
         partials.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
+def triple_provenance(
+    canon_triples: Dataset, turn_ts: Dataset, num_buckets: int | None = None
+) -> Dataset:
+    """Per-triple temporal provenance over the PRE-dedup canonical stream:
+    one row per distinct ``(subj, pred, obj)`` with ``n_support`` (supporting
+    extractions), ``n_convs`` (distinct source conversations), and
+    ``first_ts_us`` / ``last_ts_us`` (the time range of supporting turns) —
+    the lineage record an incremental 10^12-turn build consults to age,
+    re-verify, or time-slice graph edges.
+
+    ``turn_ts`` is the narrow ``(conv_id, turn_idx, ts_us)`` side read
+    directly from the transcript source (3 columns, never the text).
+
+    Scale shape: ONE bucketed join on (conv_id, turn_idx) attaches turn
+    timestamps, then the dedup combiner pattern — per-block Arrow
+    ``group_by`` partials at (triple, conv) grain, a single triple-key
+    bucket shuffle, and a two-level vectorized in-bucket merge (first
+    re-combine (triple, conv) partials, then fold conversations per
+    triple).  Every aggregate is distributive (sum/min/max/count-distinct
+    via the (triple, conv) grain), so block layout never changes the
+    result.
+    """
+    import pyarrow.compute as pc
+
+    from ner_ray.stages.joins import hash_join
+    from ner_ray.utils import pool_size, stable_hash64
+
+    j = hash_join(canon_triples, turn_ts, on=["conv_id", "turn_idx"])
+    B = num_buckets or 4 * pool_size()[1]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["subj", "pred", "obj", "conv_id"]).aggregate(
+            [("ts_us", "min"), ("ts_us", "max"), ("conv_id", "count")]
+        )
+        joined = pc.binary_join_element_wise(g["subj"], g["pred"], g["obj"], "\x00")
+        h = stable_hash64(joined) % B  # NUL-safe (see utils.stable_hash64)
+        return pa.table(
+            {
+                "subj": g["subj"],
+                "pred": g["pred"],
+                "obj": g["obj"],
+                "conv_id": g["conv_id"],
+                "first": g["ts_us_min"],
+                "last": g["ts_us_max"],
+                "n": pc.cast(g["conv_id_count"], pa.int64()),
+                "bucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        byconv = g.group_by(["subj", "pred", "obj", "conv_id"]).aggregate(
+            [("first", "min"), ("last", "max"), ("n", "sum")]
+        )
+        out = byconv.group_by(["subj", "pred", "obj"]).aggregate(
+            [
+                ("n_sum", "sum"),
+                ("conv_id", "count"),
+                ("first_min", "min"),
+                ("last_max", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "subj": out["subj"],
+                "pred": out["pred"],
+                "obj": out["obj"],
+                "n_support": pc.cast(out["n_sum_sum"], pa.int64()),
+                "n_convs": pc.cast(out["conv_id_count"], pa.int64()),
+                "first_ts_us": pc.cast(out["first_min_min"], pa.int64()),
+                "last_ts_us": pc.cast(out["last_max_max"], pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(merge_bucket, batch_format="pyarrow")
     )

@@ -463,9 +463,9 @@ def corpus_js_divergence(
             .group_by(["term", "k"])
             .aggregate([("term", "count")])
         )
-        h = pd.util.hash_pandas_object(
-            pd.Series(g["term"].to_numpy(zero_copy_only=False)), index=False
-        ).to_numpy()
+        from ner_ray.utils import stable_hash64
+
+        h = stable_hash64(g["term"])  # NUL-safe (see utils.stable_hash64)
         return pa.table(
             {
                 "term": g["term"],

@@ -430,9 +430,9 @@ def sessionize(
     num_buckets = 1024
 
     def bucketize(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            pd.Series(t[key_col].to_numpy(zero_copy_only=False)), index=False
-        ).to_numpy()
+        from ner_ray.utils import stable_hash64
+
+        h = stable_hash64(t[key_col])  # NUL-safe (see utils.stable_hash64)
         return t.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
 
     def sess_block(g: pa.Table) -> pa.Table:

@@ -684,9 +684,11 @@ def duplicate_ngram_spans(
                 }
             )
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = pd.util.hash_pandas_object(
-            pd.Series(toks_all, dtype=object), index=False
-        ).to_numpy()  # uint64, content-stable across blocks/processes
+        from ner_ray.utils import stable_hash64
+
+        h = stable_hash64(
+            np.asarray(toks_all, dtype=object)
+        )  # uint64, content-stable across blocks/processes, NUL-safe
         h2src = splitmix64(h ^ C2)
         doc = np.asarray(doc_of, dtype=np.int64)
         n = len(h) - k + 1

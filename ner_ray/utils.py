@@ -69,3 +69,40 @@ def heavy_pool_size() -> int:
     # upstream read tasks (a pool equal to the whole cluster recreates the
     # read-starvation hang the docstring above describes)
     return min(max(2, cpus - 2), max(1, cpus - 1))
+
+
+def stable_hash64(values) -> "np.ndarray":
+    """Content-stable uint64 hash of a key array — THE bucket-hash
+    primitive for keyed shuffles.
+
+    Always ``pandas.util.hash_array(..., categorize=False)``: the default
+    ``categorize=True`` path factorizes first, and pandas' string hash
+    table compares C strings, so two DISTINCT keys that share a prefix
+    before an interior NUL byte (e.g. ``"a\\x00p\\x00x"`` vs
+    ``"a\\x00p\\x00y"`` — exactly the shape of ``\\x00``-joined composite
+    keys) collide in the factorize and both inherit the hash of whichever
+    appeared FIRST in the block.  That makes the bucket assignment
+    BLOCK-ORDER-DEPENDENT: the same key lands in different buckets in
+    different blocks and a bucketed merge emits duplicates (observed on
+    the triple-provenance combiner).  ``categorize=False`` hashes every
+    full string directly; for NUL-free input the values are bit-identical
+    to the categorize path, so existing hash-partitioned layouts are
+    unchanged.
+
+    Accepts a pyarrow Array/ChunkedArray, numpy array, pandas Series, or
+    list; nulls must be handled by the caller (bloom._key_hash64 wraps
+    this with null scattering).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = values.to_numpy(zero_copy_only=False)
+    elif isinstance(values, pd.Series):
+        values = values.to_numpy()
+    elif not hasattr(values, "dtype"):
+        values = np.asarray(values, dtype=object)
+    return pd.util.hash_array(values, categorize=False).astype(np.uint64)

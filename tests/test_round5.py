@@ -728,3 +728,144 @@ class TestNewTwinsSf0001:
 
     def test_q92_twin(self, ray_session):
         self._check("q92_train_test_split")
+
+
+class TestStableHash64:
+    """The NUL-safe bucket-hash primitive (utils.stable_hash64): pandas'
+    factorize path compares C strings, so \\x00-joined composite keys that
+    share a prefix before the first NUL collided and inherited a
+    BLOCK-ORDER-DEPENDENT hash — the same key could land in different
+    shuffle buckets in different blocks (observed: duplicate output rows
+    from the triple-provenance and dedup bucketed merges)."""
+
+    def test_nul_keys_distinct_and_order_independent(self):
+        from ner_ray.utils import stable_hash64
+
+        a = stable_hash64(pa.array(["a\x00p\x00x", "a\x00p\x00y", "plain"]))
+        b = stable_hash64(pa.array(["a\x00p\x00y", "plain", "a\x00p\x00x"]))
+        assert a[0] != a[1]  # distinct keys -> distinct hashes
+        assert a[0] == b[2] and a[1] == b[0] and a[2] == b[1]
+
+    def test_nul_free_values_unchanged(self):
+        """For NUL-free input the values are bit-identical to the old
+        categorize=True path, so existing hash-partitioned layouts and
+        green twins are unaffected."""
+        from ner_ray.utils import stable_hash64
+
+        arr = np.array(["plain", "k2", "conv_000123"], dtype=object)
+        assert (stable_hash64(arr) == pd.util.hash_array(arr)).all()
+        ints = np.arange(100, dtype=np.int64)
+        assert (stable_hash64(ints) == pd.util.hash_array(ints)).all()
+
+    def test_dedup_distributed_path_no_duplicate_triples(self, ray_session):
+        """Regression: same-subj triples (shared prefix before the first
+        NUL of the joined key) must merge to ONE row per (s,p,o) through
+        the BUCKETED path regardless of block layout."""
+        from ner_ray.stages.dedup import dedup_triples
+
+        tbl = pa.table(
+            {
+                "subj": pa.array(["acme"] * 120 + ["zeta"] * 40, pa.string()),
+                "pred": pa.array(
+                    (["p"] * 60 + ["q"] * 60 + ["p"] * 40), pa.string()
+                ),
+                "obj": pa.array(
+                    (["x"] * 30 + ["y"] * 30) * 2 + ["x"] * 40, pa.string()
+                ),
+                "conv_id": pa.array([f"c{i%5}" for i in range(160)], pa.string()),
+                "turn_idx": pa.array([i % 9 for i in range(160)], pa.int32()),
+                "confidence": pa.array([0.5] * 160, pa.float32()),
+            }
+        )
+        out = (
+            dedup_triples(rd.from_arrow(tbl).repartition(7), driver_threshold=0)
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+        assert not out.duplicated(["subj", "pred", "obj"]).any()
+        assert int(out["n_support"].sum()) == 160
+
+
+class TestTripleProvenance:
+    """q94 — per-triple temporal lineage."""
+
+    def _toy(self):
+        canon = pa.table(
+            {
+                "subj": pa.array(["a", "a", "a", "b"] * 50, pa.string()),
+                "pred": pa.array(["p"] * 200, pa.string()),
+                "obj": pa.array(["x", "x", "y", "y"] * 50, pa.string()),
+                "conv_id": pa.array([f"c{i%7}" for i in range(200)], pa.string()),
+                "turn_idx": pa.array([i % 13 for i in range(200)], pa.int32()),
+            }
+        )
+        ts = pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"c{i}" for i in range(7) for _ in range(13)], pa.string()
+                ),
+                "turn_idx": pa.array(
+                    [j for _ in range(7) for j in range(13)], pa.int32()
+                ),
+                "ts_us": pa.array(range(91), pa.int64()),
+            }
+        )
+        return canon, ts
+
+    def test_merges_and_counts(self, ray_session):
+        from ner_ray.stages.dedup import triple_provenance
+
+        canon, ts = self._toy()
+        out = (
+            triple_provenance(
+                rd.from_arrow(canon).repartition(6), rd.from_arrow(ts).repartition(3)
+            )
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == 3  # (a,p,x), (a,p,y), (b,p,y)
+        assert out["n_support"].tolist() == [100, 50, 50]
+        assert (out["n_convs"] == 7).all()
+        assert (out["first_ts_us"] <= out["last_ts_us"]).all()
+
+    def test_partition_invariance(self, ray_session):
+        from ner_ray.stages.dedup import triple_provenance
+
+        canon, ts = self._toy()
+        outs = []
+        for parts in (1, 6):
+            outs.append(
+                triple_provenance(
+                    rd.from_arrow(canon).repartition(parts),
+                    rd.from_arrow(ts).repartition(2),
+                    num_buckets=5,
+                )
+                .to_pandas()
+                .sort_values(["subj", "pred", "obj"])
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_q94_consistent_with_flagship_dedup(self, ray_session):
+        """q94's (triple, n_support) set must equal the flagship dedup
+        output's — both aggregate the same pre-dedup canonical stream."""
+        from ner_ray.pipelines.queries import RAY_QUERIES
+
+        prov = (
+            RAY_QUERIES["q94_kg_triple_provenance"](SF)
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+        canon = (
+            RAY_QUERIES["kg_canon_triples"](SF)
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            prov[["subj", "pred", "obj", "n_support"]],
+            canon[["subj", "pred", "obj", "n_support"]],
+        )
