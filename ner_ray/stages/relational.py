@@ -209,20 +209,39 @@ def top_n_per_group(
     ``N * blocks`` rows per key — a skewed hot key lands a bounded group on
     its reducer instead of the whole raw group.  The final per-group head is
     exact because the true top-N of a group is contained in the union of its
-    per-block top-Ns (min/max distributivity)."""
+    per-block top-Ns (min/max distributivity).  The final head runs as the
+    bucketed Arrow-native kernel (the window_funcs round-5 pattern): keys
+    hash into buckets, ONE shuffle on the bucket, and each bucket ranks all
+    its key segments in a single sorted numpy pass — ~num_buckets
+    dispatches instead of |keys|, no Arrow→pandas round trip."""
+    num_buckets = 1024
+    order_dir = "ascending" if ascending else "descending"
 
     def precombine(batch: pa.Table) -> pa.Table:
-        return _block_topn(batch, key_col, order_col, n, tiebreak_col, ascending)
+        from ner_ray.utils import stable_hash64
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            [order_col, tiebreak_col], ascending=[ascending, True], kind="mergesort"
-        ).head(n)
-        g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        t = _block_topn(batch, key_col, order_col, n, tiebreak_col, ascending)
+        h = stable_hash64(t[key_col])  # NUL-safe (see utils.stable_hash64)
+        return t.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    def bucket_head(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bkt"])
+        if g.num_rows == 0:
+            return g.append_column(rank_col, pa.array([], pa.int64()))
+        g = g.sort_by(
+            [(key_col, "ascending"), (order_col, order_dir), (tiebreak_col, "ascending")]
+        )
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        pos = np.arange(len(keys), dtype=np.int64)
+        newseg = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(np.where(newseg, pos, 0))
+        rn = pos - seg_start + 1
+        mask = rn <= n
+        out = g.filter(pa.array(mask))
+        return out.append_column(rank_col, pa.array(rn[mask], pa.int64()))
 
     pre = ds.map_batches(precombine, batch_format="pyarrow", zero_copy_batch=True)
-    return pre.groupby(key_col).map_groups(head, batch_format="pandas")
+    return pre.groupby("_bkt").map_groups(bucket_head, batch_format="pyarrow")
 
 
 def asof_gap_join(

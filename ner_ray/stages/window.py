@@ -175,26 +175,42 @@ def pivot_agg(
             out[f"sum_{c}_micro"] = piv_s[c].to_numpy().astype(np.int64)
         return out
 
-    # merge partials with a vectorized map_groups sum, NOT
+    # merge partials with a bucketed segmented-reduceat kernel, NOT
     # groupby().aggregate(Sum x8): Ray 2.49's Aggregate degrades badly with
     # many aggregates (measured on these exact partials: 8 Sums over 64
     # blocks x 970 users = 22.4 s vs 1.1 s for the same sort shuffle +
-    # per-group pandas sum — the merge loop re-walks blocks per aggregate)
+    # per-group pandas sum — the merge loop re-walks blocks per aggregate).
+    # Bucketing (the window_funcs round-5 pattern) cuts dispatch from
+    # |keys| map_groups calls to ~num_buckets, each one sorted numpy pass.
     val_cols = [f"{p}{c}{s}" for c in cats for p, s in (("n_", ""), ("sum_", "_micro"))]
+    num_buckets = 1024
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        s = g[val_cols].sum()
-        out = {key_col: [g[key_col].iloc[0]]}
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from ner_ray.utils import stable_hash64
+
+        h = stable_hash64(t[key_col])  # NUL-safe (see utils.stable_hash64)
+        return t.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bkt"])
+        if g.num_rows == 0:
+            return g
+        g = g.sort_by([(key_col, "ascending")])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        cols = {key_col: g[key_col].take(pa.array(starts))}
         for c in val_cols:
-            out[c] = [np.int64(s[c])]
-        return pd.DataFrame(out)
+            v = g[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
 
     # batch_size coalesces small upstream blocks so each partial folds ~64k
     # rows: the shuffle then carries ~|keys| rows per TASK, not per block
     return (
         ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(key_col)
-        .map_groups(merge, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 
