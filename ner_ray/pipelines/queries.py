@@ -3015,24 +3015,63 @@ def q73_conv_stats(sf_dir: str) -> Dataset:
             }
         )
 
-    def stats(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    # bucketed segmented kernel (round-5 pattern): ONE shuffle on
+    # hash(conv_id) instead of |convs| map_groups dispatches; every
+    # aggregate is a reduceat over conv segments of the (conv_id, role)
+    # sorted bucket — n_roles counts (conv, role) pair boundaries.
+    num_buckets = 1024
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from ner_ray.utils import stable_hash64
+
+        h = stable_hash64(t["conv_id"])  # NUL-safe (see utils.stable_hash64)
+        return t.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    def stats_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bkt"])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": g["conv_id"],
+                    "n_turns": pa.array([], pa.int64()),
+                    "n_roles": pa.array([], pa.int64()),
+                    "n_tool_calls": pa.array([], pa.int64()),
+                    "total_chars": pa.array([], pa.int64()),
+                    "span_us": pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_by([("conv_id", "ascending"), ("role", "ascending")])
+        convs = g["conv_id"].to_numpy(zero_copy_only=False)
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        n = len(convs)
+        newconv = np.r_[True, convs[1:] != convs[:-1]]
+        starts = np.flatnonzero(newconv)
+        ends = np.r_[starts[1:], n]
+        newpair = newconv | np.r_[True, roles[1:] != roles[:-1]]
+        tool = g["is_tool"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = g["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": np.array([len(g)], np.int64),
-                "n_roles": np.array([g["role"].nunique()], np.int64),
-                "n_tool_calls": np.array([g["is_tool"].sum()], np.int64),
-                "total_chars": np.array([g["n_chars"].sum()], np.int64),
-                "span_us": np.array(
-                    [g["ts_us"].max() - g["ts_us"].min()], np.int64
+                "conv_id": g["conv_id"].take(pa.array(starts, pa.int64())),
+                "n_turns": pa.array(ends - starts, pa.int64()),
+                "n_roles": pa.array(
+                    np.add.reduceat(newpair.astype(np.int64), starts), pa.int64()
+                ),
+                "n_tool_calls": pa.array(np.add.reduceat(tool, starts), pa.int64()),
+                "total_chars": pa.array(np.add.reduceat(chars, starts), pa.int64()),
+                "span_us": pa.array(
+                    np.maximum.reduceat(ts, starts) - np.minimum.reduceat(ts, starts),
+                    pa.int64(),
                 ),
             }
         )
 
     return (
         ds.map_batches(narrow, batch_format="pyarrow")
-        .groupby("conv_id")
-        .map_groups(stats, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(stats_bucket, batch_format="pyarrow")
     )
 
 

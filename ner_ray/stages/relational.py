@@ -258,25 +258,57 @@ def asof_gap_join(
     row with ``right.ts <= left.ts``; emits ``(id, gap_s)`` (tie-safe: the
     gap to ``max(right.ts)`` is unique even when right ids tie on ts).
 
-    One hash shuffle on ``key_col``; inside each group a sorted
-    ``searchsorted`` merge — O(n log n) per group, no pairwise blowup.
+    One BUCKET shuffle on ``hash(key_col)`` (the round-5 segmented-kernel
+    pattern: ~num_buckets dispatches, not |keys|); inside each bucket one
+    sorted carry-forward pass handles every key segment at once — for each
+    left row the most recent right row is the running-last right POSITION,
+    valid only if it falls inside the row's own key segment.
     """
+    num_buckets = 1024
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g[pred_col] == left_pred]
-        right = g[g[pred_col] == right_pred].sort_values(ts_col, kind="mergesort")
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64), gap_col: pd.Series([], dtype=float)})
-        rts = right[ts_col].to_numpy()
-        lts = left[ts_col].to_numpy()
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        ok = idx >= 0
-        gaps = (lts[ok] - rts[idx[ok]]).astype("timedelta64[us]").astype(np.int64) / 1e6
-        return pd.DataFrame(
-            {id_col: left[id_col].to_numpy()[ok], gap_col: np.round(gaps, 3)}
+    def bucketize(t: pa.Table) -> pa.Table:
+        from ner_ray.utils import stable_hash64
+
+        h = stable_hash64(t[key_col])  # NUL-safe (see utils.stable_hash64)
+        return t.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), gap_col: pa.array([], pa.float64())}
+    )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        # right rows sort BEFORE left at equal ts so the inclusive
+        # right.ts <= left.ts match carries forward
+        side = pc.equal(g[pred_col], left_pred)
+        g = g.append_column("_l", side).sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), ("_l", "ascending")]
+        )
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        is_left = g["_l"].to_numpy(zero_copy_only=False).astype(bool)
+        is_right = pc.equal(g[pred_col], right_pred).to_numpy(zero_copy_only=False).astype(bool)
+        n = len(keys)
+        pos = np.arange(n, dtype=np.int64)
+        newseg = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(np.where(newseg, pos, 0))
+        carry = np.maximum.accumulate(np.where(is_right, pos, -1))
+        ok = is_left & (carry >= seg_start)
+        gaps = (ts[ok] - ts[carry[ok]]) / 1e6
+        ids = g[id_col].to_numpy(zero_copy_only=False)[ok].astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                gap_col: pa.array(np.round(gaps, 3), pa.float64()),
+            }
         )
 
-    return ds.groupby(key_col).map_groups(merge, batch_format="pandas")
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
 
 
 def range_pair_counts(
@@ -289,18 +321,57 @@ def range_pair_counts(
 ) -> Dataset:
     """Self range-join count per key: ordered pairs (i<j by ``(ts, id)``) with
     ``ts_j - ts_i <= window``; a two-pointer sweep over the ts-sorted group
-    replaces the quadratic self-join (DuckDB twin uses the explicit join)."""
+    replaces the quadratic self-join (DuckDB twin uses the explicit join).
 
-    def sweep(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
-        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        hi = np.searchsorted(ts, ts + window_seconds * 1_000_000, side="right")
-        n = int((hi - np.arange(1, len(ts) + 1)).sum())
-        if n == 0:
-            return pd.DataFrame({key_col: pd.Series([], dtype=g[key_col].dtype), out_col: pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]], out_col: np.array([n], dtype=np.int64)})
+    Bucketed (round-5 pattern): ONE shuffle on ``hash(key)``, each bucket
+    sorts once by ``(key, ts, id)`` and sweeps its key segments with
+    per-segment ``searchsorted`` — numpy slice calls, not map_groups
+    dispatches."""
+    num_buckets = 1024
 
-    return ds.groupby(key_col).map_groups(sweep, batch_format="pandas")
+    def bucketize(t: pa.Table) -> pa.Table:
+        from ner_ray.utils import stable_hash64
+
+        h = stable_hash64(t[key_col])  # NUL-safe (see utils.stable_hash64)
+        return t.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    def sweep_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bkt"])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: g[key_col],
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        w = window_seconds * 1_000_000
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[bounds[1:], len(keys)]
+        out_keys, out_n = [], []
+        for s, e in zip(bounds, ends):
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg + w, side="right")
+            n = int((hi - np.arange(1, len(seg) + 1)).sum())
+            if n:
+                out_keys.append(s)
+                out_n.append(n)
+        return pa.table(
+            {
+                key_col: g[key_col].take(pa.array(out_keys, pa.int64())),
+                out_col: pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(sweep_bucket, batch_format="pyarrow")
+    )
 
 
 def hopping_window(
