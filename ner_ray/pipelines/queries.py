@@ -4791,6 +4791,93 @@ FROM h JOIN documents d USING (doc_id)
 SQL_Q92 = _q92_sql()
 
 
+def q93_tool_transitions(sf_dir: str) -> pd.DataFrame:
+    """Tool-call transition matrix over agent transcripts — the
+    agent-behavior sequence-mining op: within each conversation's restored
+    turn order, count ``tool_a -> tool_b`` transitions between consecutive
+    tool-bearing turns (the Markov structure of an agent's tool use).
+    Narrow 3-column read (``text`` never enters the plan), ONE conv-hash
+    bucket shuffle, per-bucket segmented pair extraction + Arrow group
+    count, then the no-shuffle |tools|^2 combiner.  Dynamic lag-window
+    twin over the generated fixture path."""
+    from ner_ray.stages.relational import grouped_agg_partial
+    from ner_ray.utils import stable_hash64
+
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(path, columns=["conv_id", "turn_idx", "tool"])
+    num_buckets = 512
+
+    def narrow(t: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(pc.is_valid(t["tool"]), pc.not_equal(t["tool"], ""))
+        t = t.filter(keep)
+        h = stable_hash64(t["conv_id"])  # NUL-safe (see utils.stable_hash64)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "tool": t["tool"],
+                "_bkt": pa.array((h % num_buckets).astype(np.int64)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "tool_a": pa.array([], pa.string()),
+            "tool_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def trans_block(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        convs = g["conv_id"].to_numpy(zero_copy_only=False)
+        tools = g["tool"].to_numpy(zero_copy_only=False)
+        same = convs[1:] == convs[:-1]
+        if not same.any():
+            return empty
+        pairs = pa.table(
+            {
+                "tool_a": pa.array(tools[:-1][same], pa.string()),
+                "tool_b": pa.array(tools[1:][same], pa.string()),
+            }
+        )
+        c = pairs.group_by(["tool_a", "tool_b"]).aggregate([("tool_a", "count")])
+        return pa.table(
+            {
+                "tool_a": c["tool_a"],
+                "tool_b": c["tool_b"],
+                "n": pc.cast(c["tool_a_count"], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(trans_block, batch_format="pyarrow")
+    )
+    out = grouped_agg_partial(parts, keys=["tool_a", "tool_b"], sums={"n_transitions": "n"})
+    out["n_transitions"] = out["n_transitions"].astype("int64")
+    return out[["tool_a", "tool_b", "n_transitions"]].reset_index(drop=True)
+
+
+def _q93_sql(transcripts_path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool FROM read_parquet('{transcripts_path}/*.parquet')
+  WHERE tool IS NOT NULL AND tool <> ''
+),
+w AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t
+)
+SELECT prev AS tool_a, tool AS tool_b, count(*)::BIGINT AS n_transitions
+FROM w WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q94_kg_triple_provenance(sf_dir: str) -> Dataset:
     """Per-triple temporal lineage over the flagship KG (north-rule
     provenance): one row per canonical ``(subj, pred, obj)`` with support
@@ -4984,6 +5071,8 @@ RAY_QUERIES = {
     "q90_histogram_quantiles": q90_histogram_quantiles,
     "q91_js_divergence": q91_js_divergence,
     "q92_train_test_split": q92_train_test_split,
+    # round 5: tool-transition matrix over transcripts (dynamic lag twin)
+    "q93_tool_transitions": q93_tool_transitions,
     # round 5: per-triple temporal lineage over the flagship KG (dynamic
     # twin wraps the full rewrite chain + timestamp join)
     "q94_kg_triple_provenance": q94_kg_triple_provenance,
@@ -5639,6 +5728,8 @@ SELECT conv_id,
 FROM read_parquet('{path}/*.parquet')
 GROUP BY conv_id
 """
+    # Twin of q93: tool-transition matrix (lag window over the fixture).
+    sql["q93_tool_transitions"] = _q93_sql(path)
     # Twin of q94: per-triple temporal provenance (the full flagship
     # rewrite chain + the per-turn timestamp join).
     sql["q94_kg_triple_provenance"] = _q94_sql(path)

@@ -869,3 +869,66 @@ class TestTripleProvenance:
             prov[["subj", "pred", "obj", "n_support"]],
             canon[["subj", "pred", "obj", "n_support"]],
         )
+
+
+class TestToolTransitions:
+    """q93 — tool-call transition matrix over agent transcripts."""
+
+    def test_twin_sf0001(self, ray_session):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import (
+            RAY_QUERIES,
+            _q93_sql,
+            transcripts_path_for,
+        )
+
+        con = duckdb.connect()
+        mine = canon(to_pandas(RAY_QUERIES["q93_tool_transitions"](SF)))
+        oracle = canon(con.execute(_q93_sql(transcripts_path_for(SF))).df())
+        ok, why = compare(mine, oracle)
+        assert ok, why
+
+    def test_toy_semantics(self, ray_session):
+        """Transitions are between consecutive TOOL-BEARING turns within a
+        conversation (non-tool turns are skipped), never across convs."""
+        import pandas as pd
+
+        from ner_ray.pipelines.queries import RAY_QUERIES  # noqa: F401  (import check)
+        from ner_ray.stages.relational import grouped_agg_partial  # noqa: F401
+
+        # drive the same kernel shape directly over a toy table
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ner_ray.utils import stable_hash64
+
+        rows = [
+            ("c1", 0, "search"),
+            ("c1", 1, ""),            # skipped
+            ("c1", 2, "calc"),        # search -> calc
+            ("c1", 3, "calc"),        # calc -> calc
+            ("c2", 0, "lookup"),      # no cross-conv transition from c1
+            ("c2", 1, "search"),      # lookup -> search
+        ]
+        t = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "tool": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        keep = pc.not_equal(t["tool"], "")
+        t = t.filter(keep).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        convs = t["conv_id"].to_numpy(zero_copy_only=False)
+        tools = t["tool"].to_numpy(zero_copy_only=False)
+        same = convs[1:] == convs[:-1]
+        got = sorted(zip(tools[:-1][same], tools[1:][same]))
+        assert got == [("calc", "calc"), ("lookup", "search"), ("search", "calc")]
