@@ -4791,6 +4791,56 @@ FROM h JOIN documents d USING (doc_id)
 SQL_Q92 = _q92_sql()
 
 
+def q95_grouped_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-source token-length p50/p90 via the grouped fixed-grid
+    histogram sketch (stages.sketches.grouped_histogram_quantiles) — the
+    per-group percentile a curation pipeline reads before setting
+    per-source max_seq_len, without any per-group sort.  Two streaming
+    passes (global min/max, then (source, bin) bincount partials with a
+    no-shuffle combine); the twin replays the identical IEEE binning +
+    interpolation, so floor-quantized estimates hash-match."""
+    from ner_ray.stages.lm import _tokenize_flat
+    from ner_ray.stages.sketches import grouped_histogram_quantiles
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        parent, _flat = _tokenize_flat(t["text"])
+        ns = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        return pa.table({"source": t["source"], "n": pa.array(ns, pa.int64())})
+
+    return grouped_histogram_quantiles(
+        ds.map_batches(counts, batch_format="pyarrow"), "source", "n", bins=64, ps=(0.5, 0.9)
+    )
+
+
+SQL_Q95 = """
+WITH t AS (
+  SELECT source, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+  FROM documents
+),
+mm AS (SELECT min(n)::DOUBLE AS mn, max(n)::DOUBLE AS mx FROM t),
+w AS (SELECT (mx - mn) / 64.0 AS w FROM mm),
+b AS (SELECT source, CAST(LEAST(63, GREATEST(0, floor((n - mm.mn) / w.w))) AS BIGINT) AS bin,
+             count(*)::BIGINT AS cnt
+      FROM t, mm, w GROUP BY 1, 2),
+tot AS (SELECT source, sum(cnt)::BIGINT AS n FROM b GROUP BY 1),
+c AS (SELECT source, bin, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin)::BIGINT AS cum
+      FROM b),
+ps AS (SELECT unnest([0.5, 0.9]) AS p),
+sel AS (
+  SELECT c.source, ps.p, c.bin, c.cnt, c.cum,
+         row_number() OVER (PARTITION BY c.source, ps.p ORDER BY c.bin) AS rn
+  FROM ps CROSS JOIN c JOIN tot ON tot.source = c.source AND c.cum >= ps.p * tot.n
+)
+SELECT sel.source, sel.p, sel.bin, sel.cnt AS bin_count, sel.cum AS cum_count,
+       floor((mm.mn + w.w * (sel.bin + (sel.p * tot.n - (sel.cum - sel.cnt)) / sel.cnt))
+             * 1000000 + 0.5) / 1000000.0 AS estimate
+FROM sel JOIN tot ON tot.source = sel.source, mm, w WHERE sel.rn = 1
+"""
+
+
 def q93_tool_transitions(sf_dir: str) -> pd.DataFrame:
     """Tool-call transition matrix over agent transcripts — the
     agent-behavior sequence-mining op: within each conversation's restored
@@ -5073,6 +5123,8 @@ RAY_QUERIES = {
     "q92_train_test_split": q92_train_test_split,
     # round 5: tool-transition matrix over transcripts (dynamic lag twin)
     "q93_tool_transitions": q93_tool_transitions,
+    # round 5: per-source length percentiles on the grouped histogram grid
+    "q95_grouped_length_quantiles": q95_grouped_length_quantiles,
     # round 5: per-triple temporal lineage over the flagship KG (dynamic
     # twin wraps the full rewrite chain + timestamp join)
     "q94_kg_triple_provenance": q94_kg_triple_provenance,
@@ -5146,6 +5198,7 @@ ORACLE_SQL = {
     "q90_histogram_quantiles": SQL_Q90,
     "q91_js_divergence": SQL_Q91,
     "q92_train_test_split": SQL_Q92,
+    "q95_grouped_length_quantiles": SQL_Q95,
     "q75_late_events": SQL_Q75,
     "q76_dsir_select": SQL_Q76,
     "q77_mg_top_terms": SQL_Q77,

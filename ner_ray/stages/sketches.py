@@ -486,3 +486,77 @@ def histogram_quantiles(
     return pd.DataFrame(
         rows, columns=["p", "bin", "bin_count", "cum_count", "estimate"]
     )
+
+
+def grouped_histogram_quantiles(
+    ds: Dataset,
+    key_col: str,
+    col: str,
+    bins: int = 64,
+    ps: tuple[float, ...] = (0.5, 0.9),
+) -> pd.DataFrame:
+    """Per-group approximate quantiles on ONE global fixed grid — the
+    grouped percentile primitive (per-source length p50/p90 etc.) without
+    a per-group sort or a per-group range pass.
+
+    Same mergeable shape as ``histogram_quantiles``: a global min/max
+    pass fixes the grid, per-block ``(key, bin)`` bincount partials
+    combine with no shuffle (|keys| x bins partial rows per block), and
+    each group interpolates on its own cumulative counts.  Error is one
+    GLOBAL bin width — groups much narrower than the global range get
+    coarser estimates; raise ``bins`` when that matters.  Estimates
+    floor-quantize to 6 decimals (the q43/q44 idiom) for SQL-twin
+    hash-exactness.
+
+    Returns ``(key, p, bin, bin_count, cum_count, estimate)``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from ner_ray.stages.relational import grouped_agg_partial
+
+    mm = ds.aggregate(Min(col), Max(col))
+    mn, mx = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    if not mx > mn:
+        return pd.DataFrame(
+            columns=[key_col, "p", "bin", "bin_count", "cum_count", "estimate"]
+        )
+    w = (mx - mn) / float(bins)
+
+    def hist(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(bins - 1, np.maximum(0, np.floor((x - mn) / w))).astype(np.int64)
+        g = (
+            pa.table({key_col: t[key_col], "bin": pa.array(b)})
+            .group_by([key_col, "bin"])
+            .aggregate([("bin", "count")])
+        )
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "bin": g["bin"],
+                "cnt": pc.cast(g["bin_count"], pa.int64()),
+            }
+        )
+
+    hp = grouped_agg_partial(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        keys=[key_col, "bin"],
+        sums={"cnt": "cnt"},
+    ).sort_values([key_col, "bin"])
+    rows = []
+    for key, grp in hp.groupby(key_col, sort=True):
+        bin_ids = grp["bin"].to_numpy()
+        cnts = grp["cnt"].to_numpy()
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        for p in ps:
+            target = p * float(n)
+            i = int(np.searchsorted(cum, target, side="left"))
+            cum_prev = float(cum[i] - cnts[i])
+            est = mn + w * (float(bin_ids[i]) + (target - cum_prev) / float(cnts[i]))
+            est = math.floor(est * 1e6 + 0.5) / 1e6
+            rows.append((key, p, int(bin_ids[i]), int(cnts[i]), int(cum[i]), est))
+    return pd.DataFrame(
+        rows, columns=[key_col, "p", "bin", "bin_count", "cum_count", "estimate"]
+    )

@@ -932,3 +932,61 @@ class TestToolTransitions:
         same = convs[1:] == convs[:-1]
         got = sorted(zip(tools[:-1][same], tools[1:][same]))
         assert got == [("calc", "calc"), ("lookup", "search"), ("search", "calc")]
+
+
+class TestGroupedHistogramQuantiles:
+    """q95 — per-group quantiles on one global fixed grid."""
+
+    def test_within_one_bin_of_exact(self, ray_session):
+        from ner_ray.stages.sketches import grouped_histogram_quantiles
+
+        rng = np.random.default_rng(7)
+        keys = np.repeat([f"s{i}" for i in range(6)], 500)
+        vals = np.concatenate(
+            [rng.integers(10 * i, 10 * i + 200, 500) for i in range(6)]
+        ).astype(np.int64)
+        tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+        bins = 64
+        w = (vals.max() - vals.min()) / bins
+        out = grouped_histogram_quantiles(
+            rd.from_arrow(tbl).repartition(5), "k", "v", bins=bins, ps=(0.5, 0.9)
+        )
+        assert len(out) == 12
+        for _, r in out.iterrows():
+            exact = float(np.quantile(vals[keys == r["k"]], r["p"]))
+            assert abs(r["estimate"] - exact) <= w + 1e-6, (r["k"], r["p"])
+
+    def test_partition_invariance(self, ray_session):
+        from ner_ray.stages.sketches import grouped_histogram_quantiles
+
+        tbl = pa.table(
+            {
+                "k": pa.array([f"s{i%4}" for i in range(1000)]),
+                "v": pa.array([(i * 37) % 500 for i in range(1000)], pa.int64()),
+            }
+        )
+        a = grouped_histogram_quantiles(rd.from_arrow(tbl).repartition(1), "k", "v")
+        b = grouped_histogram_quantiles(rd.from_arrow(tbl).repartition(11), "k", "v")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_twin_sf0001(self, ray_session):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import TABLES, canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        mine = canon(to_pandas(RAY_QUERIES["q95_grouped_length_quantiles"](SF)))
+        oracle = canon(
+            con.execute(oracle_sql_catalog()["q95_grouped_length_quantiles"]).df()
+        )
+        ok, why = compare(mine, oracle)
+        assert ok, why
