@@ -1777,6 +1777,101 @@ def _centroids_for(sf_dir: str, k: int = 10) -> "np.ndarray":
     return np.asarray(t["centroid"].to_pylist(), dtype=np.float64)[order]
 
 
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16  # 64-dim embeddings -> 4 x 16-dim codes
+
+
+def _pq_codebooks_fixture_dir(sf_dir: str) -> str:
+    """Deterministic PQ codebooks (one (k, d/M) L2-k-means codebook per
+    subspace) over the embeddings table, served from a content-addressed
+    fixture so the Ray query and the DuckDB twin consume the IDENTICAL
+    matrices (the q51 centroid-fixture pattern).  Rows: (sub, cid,
+    centroid)."""
+    import zlib
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        from ner_ray.stages.ann import kmeans_l2_lite
+
+        t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        h = np.array([zlib.crc32(str(i).encode()) for i in ids], dtype=np.int64)
+        sel = np.lexsort((ids, h))[:2048]
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[sel]
+        subs, cids, cents = [], [], []
+        for m in range(_PQ_M):
+            cb = kmeans_l2_lite(mat[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB], _PQ_K)
+            for c, row in enumerate(cb):
+                subs.append(m)
+                cids.append(c)
+                cents.append(row.tolist())
+        pq.write_table(
+            pa.table(
+                {
+                    "sub": pa.array(subs, pa.int64()),
+                    "cid": pa.array(cids, pa.int64()),
+                    "centroid": pa.array(cents, pa.list_(pa.float64())),
+                }
+            ),
+            os.path.join(d, "part-0.parquet"),
+        )
+
+    return _twin_fixture(
+        f"pqcb_m{_PQ_M}k{_PQ_K}", [_t(sf_dir, "embeddings")], build
+    )
+
+
+def q96_pq_encode(sf_dir: str) -> Dataset:
+    """Product-quantization encoding of the embeddings table
+    (stages.ann.pq_encode — Jégou et al. 2011): every 64-dim vector
+    compresses to 4 one-byte-range centroid codes, the memory step that
+    makes billion-vector ANN fit a cluster.  Codebooks come from the
+    content-addressed fixture (the q51 pattern: the codebook is the
+    INPUT; the operator under test is the distributed encode); the twin
+    re-derives every argmin over the identical matrices with
+    ``list_distance`` + tie-broken row_number."""
+    import pyarrow.parquet as _pq
+
+    from ner_ray.stages.ann import pq_encode
+
+    d = _pq_codebooks_fixture_dir(sf_dir)
+    t = _pq.read_table(os.path.join(d, "part-0.parquet"))
+    cbs = []
+    for m in range(_PQ_M):
+        mask = np.asarray(t["sub"].to_pylist()) == m
+        cid = np.asarray(t["cid"].to_pylist())[mask]
+        cent = np.asarray(t["centroid"].to_pylist(), dtype=np.float64)[mask]
+        cbs.append(cent[np.argsort(cid)])
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return pq_encode(ds, cbs)
+
+
+def _q96_sql(codebook_dir: str) -> str:
+    code_cols = ",\n       ".join(
+        f"MAX(CASE WHEN sub = {m} THEN cid END)::BIGINT AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH cb AS (SELECT sub, cid, centroid FROM read_parquet('{codebook_dir}/*.parquet')),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dists AS (
+  SELECT e.vec_id, cb.sub, cb.cid,
+         list_distance(e.emb[cb.sub * {_PQ_DSUB} + 1 : (cb.sub + 1) * {_PQ_DSUB}],
+                       cb.centroid) AS d
+  FROM e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, sub, cid,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
+  FROM dists
+)
+SELECT vec_id,
+       {code_cols}
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+
 def q51_kmeans_assign(sf_dir: str) -> Dataset:
     """Distributed k-means assignment: the (k, d) centroid matrix broadcasts
     once via ``ray.put``; each batch is one float64 matmul + argmax (ties =
@@ -5124,11 +5219,12 @@ RAY_QUERIES = {
     "q34_deterministic_sample": q34_deterministic_sample,
     "q35_heavy_hitters": q35_heavy_hitters,
     "q43_tfidf_top_terms": q43_tfidf_top_terms,
-    # round 5 past-the-cap additions (twinned, pytest-swept):
-    # deterministic split, tool-transition matrix, per-source percentiles
+    # round 5 past-the-cap additions (twinned, pytest-swept): deterministic
+    # split, tool-transition matrix, per-source percentiles, PQ encoding
     "q92_train_test_split": q92_train_test_split,
     "q93_tool_transitions": q93_tool_transitions,
     "q95_grouped_length_quantiles": q95_grouped_length_quantiles,
+    "q96_pq_encode": q96_pq_encode,
 }
 
 ORACLE_SQL = {
@@ -6150,6 +6246,8 @@ FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
     # same float64 math (list_cosine_similarity on FLOAT lists would run
     # float32 arithmetic and diverge at the quantize/threshold boundaries);
     # the fixture centroids are already float64 and unit-norm.
+    # Twin of q96: PQ encode over the content-addressed codebook fixture.
+    sql["q96_pq_encode"] = _q96_sql(_pq_codebooks_fixture_dir("/root/testdata/sf0.01"))
     cf = _centroids_fixture_dir("/root/testdata/sf0.01")
     _assign_cte = f"""
 c AS (SELECT cid, centroid FROM read_parquet('{cf}/*.parquet')),

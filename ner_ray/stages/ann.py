@@ -626,3 +626,60 @@ def _near_dup_pairs_lsh(
     from ray.data.aggregate import Max
 
     return pairs.groupby(["vec_id_a", "vec_id_b"]).aggregate(Max("score", alias_name="score"))
+
+
+def kmeans_l2_lite(
+    sample: np.ndarray, n_centroids: int, n_iter: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Seeded plain-L2 Lloyd iterations on a driver-side sample — the PQ
+    sub-quantizer trainer (``kmeans_lite`` normalizes for cosine/IVF; PQ
+    codebooks quantize RAW subvectors, so no normalization here)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[
+        rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    ].copy()
+    for _ in range(n_iter):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_encode(
+    ds: Dataset,
+    codebooks: "list[np.ndarray]",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    d-dim embedding into ``M = len(codebooks)`` contiguous subspaces and
+    replace each subvector with the index of its nearest (L2) codebook
+    centroid — d floats compress to M small ints, the memory step that
+    makes billion-vector ANN fit a cluster.
+
+    Scale shape: the codebooks are tiny (M x k x d/M) and ride the
+    closure by VALUE (restart-safe, the linker precedent); encoding is a
+    stateless zero-shuffle ``map_batches`` — one (n, k) distance matmul
+    per subspace per batch.  Ties break to the lowest centroid id
+    (matching a SQL twin's ``ORDER BY d ASC, cid ASC``).
+
+    Returns ``(id_col, code_0 .. code_{M-1})`` int64 columns.
+    """
+    import pyarrow.compute as pc
+
+    cbs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    dsub = cbs[0].shape[1]
+
+    def encode(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
+        cols = {id_col: pc.cast(t[id_col], pa.int64())}
+        for m, cb in enumerate(cbs):
+            sub = x[:, m * dsub : (m + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            cols[f"code_{m}"] = pa.array(np.argmin(d2, axis=1).astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -990,3 +990,93 @@ class TestGroupedHistogramQuantiles:
         )
         ok, why = compare(mine, oracle)
         assert ok, why
+
+
+class TestPqEncode:
+    """q96 — product-quantization encoding."""
+
+    def test_codes_in_range_and_deterministic(self, ray_session):
+        from ner_ray.pipelines.queries import _PQ_K, _PQ_M, q96_pq_encode
+
+        a = q96_pq_encode(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        b = q96_pq_encode(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        for m in range(_PQ_M):
+            assert a[f"code_{m}"].between(0, _PQ_K - 1).all()
+
+    def test_centroid_encodes_to_itself(self, ray_session):
+        """A vector equal to a codebook centroid in every subspace must
+        encode to exactly that centroid's id per subspace."""
+        import pyarrow.parquet as pq_
+
+        from ner_ray.stages.ann import pq_encode
+
+        rng = np.random.default_rng(3)
+        cbs = [rng.normal(size=(8, 4)) for _ in range(2)]
+        vec = np.concatenate([cbs[0][5], cbs[1][2]])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([1], pa.int64()),
+                "embedding": pa.array([vec.tolist()], pa.list_(pa.float64())),
+            }
+        )
+        out = pq_encode(rd.from_arrow(tbl), cbs).to_pandas()
+        assert out["code_0"].iloc[0] == 5 and out["code_1"].iloc[0] == 2
+
+    def test_quantization_beats_random_codes(self, ray_session):
+        """Reconstruction from argmin codes has lower squared error than
+        from deterministic wrong codes — the op actually quantizes."""
+        import os
+
+        import pyarrow.parquet as pq_
+
+        from ner_ray.pipelines.queries import (
+            _PQ_DSUB,
+            _PQ_M,
+            _pq_codebooks_fixture_dir,
+            q96_pq_encode,
+        )
+
+        d = _pq_codebooks_fixture_dir(SF)
+        t = pq_.read_table(os.path.join(d, "part-0.parquet"))
+        cbs = []
+        for m in range(_PQ_M):
+            mask = np.asarray(t["sub"].to_pylist()) == m
+            cid = np.asarray(t["cid"].to_pylist())[mask]
+            cent = np.asarray(t["centroid"].to_pylist(), dtype=np.float64)[mask]
+            cbs.append(cent[np.argsort(cid)])
+        emb = pq_.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        x = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+        out = q96_pq_encode(SF).to_pandas().set_index("vec_id").loc[ids]
+        err_pq, err_rot = 0.0, 0.0
+        for m in range(_PQ_M):
+            sub = x[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+            codes = out[f"code_{m}"].to_numpy()
+            err_pq += ((sub - cbs[m][codes]) ** 2).sum()
+            err_rot += ((sub - cbs[m][(codes + 1) % len(cbs[m])]) ** 2).sum()
+        assert err_pq < err_rot
+
+    def test_twin_sf0001(self, ray_session):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import TABLES, canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import (
+            RAY_QUERIES,
+            _pq_codebooks_fixture_dir,
+            _q96_sql,
+        )
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        mine = canon(to_pandas(RAY_QUERIES["q96_pq_encode"](SF)))
+        oracle = canon(con.execute(_q96_sql(_pq_codebooks_fixture_dir(SF))).df())
+        ok, why = compare(mine, oracle)
+        assert ok, why
