@@ -1872,6 +1872,69 @@ FROM best WHERE rn = 1 GROUP BY vec_id
 """
 
 
+def q97_pq_adc_topk(sf_dir: str) -> pd.DataFrame:
+    """ADC top-10 over PQ codes (stages.ann.pq_adc_topk): the unquantized
+    query (embedding of vec_id 0, the q18 pick) scores every vector by M
+    integer table lookups over its PQ codes instead of a 64-dim dot
+    product — the search half of the PQ memory story.  Table entries are
+    floor-quantized micros of ``power(list_distance, 2)`` so the twin's
+    expression matches bit-for-bit; the per-vector sum is INTEGER (order-
+    free exact); ties break (d_micro, vec_id)."""
+    import pyarrow.parquet as _pq
+
+    from ner_ray.stages.ann import pq_adc_topk
+
+    d = _pq_codebooks_fixture_dir(sf_dir)
+    t = _pq.read_table(os.path.join(d, "part-0.parquet"))
+    cbs = []
+    for m in range(_PQ_M):
+        mask = np.asarray(t["sub"].to_pylist()) == m
+        cid = np.asarray(t["cid"].to_pylist())[mask]
+        cent = np.asarray(t["centroid"].to_pylist(), dtype=np.float64)[mask]
+        cbs.append(cent[np.argsort(cid)])
+    emb = _pq.read_table(_t(sf_dir, "embeddings"))
+    q0 = np.asarray(
+        emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0],
+        dtype=np.float64,
+    )
+    ds = read_parquet_clean(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return pq_adc_topk(ds, cbs, q0, k=10, exclude_ids={0})
+
+
+def _q97_sql(codebook_dir: str) -> str:
+    return f"""
+WITH cb AS (SELECT sub, cid, centroid FROM read_parquet('{codebook_dir}/*.parquet')),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+qv AS (SELECT emb FROM e WHERE vec_id = 0),
+dists AS (
+  SELECT e.vec_id, cb.sub, cb.cid,
+         list_distance(e.emb[cb.sub * {_PQ_DSUB} + 1 : (cb.sub + 1) * {_PQ_DSUB}],
+                       cb.centroid) AS d
+  FROM e CROSS JOIN cb WHERE e.vec_id <> 0
+),
+best AS (
+  SELECT vec_id, sub, cid,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cid ASC) AS rn
+  FROM dists
+),
+tq AS (
+  SELECT cb.sub, cb.cid,
+         CAST(floor(power(list_distance(
+             (SELECT emb FROM qv)[cb.sub * {_PQ_DSUB} + 1 : (cb.sub + 1) * {_PQ_DSUB}],
+             cb.centroid), 2) * 1000000 + 0.5) AS BIGINT) AS dmicro
+  FROM cb
+),
+d AS (
+  SELECT b.vec_id, sum(t.dmicro)::BIGINT AS d_micro
+  FROM best b JOIN tq t ON t.sub = b.sub AND t.cid = b.cid
+  WHERE b.rn = 1 GROUP BY b.vec_id
+)
+SELECT vec_id, d_micro,
+       CAST(row_number() OVER (ORDER BY d_micro, vec_id) AS BIGINT) AS rank
+FROM d ORDER BY d_micro, vec_id LIMIT 10
+"""
+
+
 def q51_kmeans_assign(sf_dir: str) -> Dataset:
     """Distributed k-means assignment: the (k, d) centroid matrix broadcasts
     once via ``ray.put``; each batch is one float64 matmul + argmax (ties =
@@ -5225,6 +5288,7 @@ RAY_QUERIES = {
     "q93_tool_transitions": q93_tool_transitions,
     "q95_grouped_length_quantiles": q95_grouped_length_quantiles,
     "q96_pq_encode": q96_pq_encode,
+    "q97_pq_adc_topk": q97_pq_adc_topk,
 }
 
 ORACLE_SQL = {
@@ -6246,8 +6310,11 @@ FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
     # same float64 math (list_cosine_similarity on FLOAT lists would run
     # float32 arithmetic and diverge at the quantize/threshold boundaries);
     # the fixture centroids are already float64 and unit-norm.
-    # Twin of q96: PQ encode over the content-addressed codebook fixture.
-    sql["q96_pq_encode"] = _q96_sql(_pq_codebooks_fixture_dir("/root/testdata/sf0.01"))
+    # Twins of q96/q97: PQ encode + ADC search over the content-addressed
+    # codebook fixture.
+    _pqd = _pq_codebooks_fixture_dir("/root/testdata/sf0.01")
+    sql["q96_pq_encode"] = _q96_sql(_pqd)
+    sql["q97_pq_adc_topk"] = _q97_sql(_pqd)
     cf = _centroids_fixture_dir("/root/testdata/sf0.01")
     _assign_cte = f"""
 c AS (SELECT cid, centroid FROM read_parquet('{cf}/*.parquet')),

@@ -683,3 +683,71 @@ def pq_encode(
         return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_adc_topk(
+    ds: Dataset,
+    codebooks: "list[np.ndarray]",
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_ids: "set[int] | None" = None,
+) -> pd.DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jégou et al. 2011 ADC):
+    the corpus is PQ-encoded (same argmin kernel as ``pq_encode``) and the
+    UNquantized query's distance to a vector is approximated by M table
+    lookups — ``d(q, x) ~= sum_m ||q_m - c_{m, code_m}||^2`` — so search
+    cost per vector is M int adds instead of a d-dim dot product.
+
+    Cross-engine exactness: each of the M x k query-to-centroid table
+    entries floor-quantizes to integer micros (computed as the SQUARE of
+    the Euclidean norm — ``power(list_distance(...), 2)`` — so a SQL twin
+    replays the identical expression), and the per-vector distance is the
+    INTEGER sum of M table entries — order-free exact.  Deterministic
+    tie-break (d_micro asc, id asc).  Per-block top-k partials merge on
+    the driver (O(blocks x k) rows).
+
+    Returns ``(id_col, d_micro, rank)``.
+    """
+    cbs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    dsub = cbs[0].shape[1]
+    q = np.asarray(query, dtype=np.float64)
+    tmicro = []
+    for m, cb in enumerate(cbs):
+        qm = q[m * dsub : (m + 1) * dsub]
+        norm = np.sqrt(((qm[None, :] - cb) ** 2).sum(axis=1))
+        tmicro.append(np.floor(norm**2 * 1e6 + 0.5).astype(np.int64))
+    excl = np.array(sorted(exclude_ids or ()), dtype=np.int64)
+
+    def block(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.zeros(len(ids), dtype=np.int64)
+        for m, cb in enumerate(cbs):
+            sub = x[:, m * dsub : (m + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            d += tmicro[m][np.argmin(d2, axis=1)]
+        if len(excl):
+            keep = ~np.isin(ids, excl)
+            ids, d = ids[keep], d[keep]
+        kk = min(k, len(ids))
+        if kk < len(ids):
+            idx = np.argpartition(d, kk - 1)[:kk]
+        else:
+            idx = np.arange(len(ids))
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx], pa.int64()),
+                "d_micro": pa.array(d[idx], pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    top = (
+        cand.sort_values(["d_micro", id_col], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top

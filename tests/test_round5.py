@@ -1080,3 +1080,86 @@ class TestPqEncode:
         oracle = canon(con.execute(_q96_sql(_pq_codebooks_fixture_dir(SF))).df())
         ok, why = compare(mine, oracle)
         assert ok, why
+
+
+class TestPqAdcTopk:
+    """q97 — asymmetric-distance top-k over PQ codes."""
+
+    def test_twin_sf0001(self, ray_session):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import TABLES, canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import (
+            RAY_QUERIES,
+            _pq_codebooks_fixture_dir,
+            _q97_sql,
+        )
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        mine = canon(to_pandas(RAY_QUERIES["q97_pq_adc_topk"](SF)))
+        oracle = canon(con.execute(_q97_sql(_pq_codebooks_fixture_dir(SF))).df())
+        ok, why = compare(mine, oracle)
+        assert ok, why
+
+    def test_adc_tracks_exact_l2(self, ray_session):
+        """ADC is approximate (random 64-d fixture embeddings are the
+        hardest case for 4x16 codes), but its distance must TRACK exact
+        L2: rank correlation > 0.3 over the corpus, and the ADC top-10
+        must sit well inside the exact distance distribution (mean exact
+        distance of ADC picks below the corpus median)."""
+        import os
+
+        import pyarrow.parquet as pq_
+
+        from ner_ray.pipelines.queries import (
+            _PQ_DSUB,
+            _PQ_M,
+            _pq_codebooks_fixture_dir,
+            RAY_QUERIES,
+        )
+
+        emb = pq_.read_table(f"{SF}/embeddings.parquet")
+        x = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+        q = x[ids == 0][0]
+        mask = ids != 0
+        d_exact = ((x[mask] - q) ** 2).sum(axis=1)
+        # recompute ADC distances for every vector (same tables as the op)
+        t = pq_.read_table(
+            os.path.join(_pq_codebooks_fixture_dir(SF), "part-0.parquet")
+        )
+        d_adc = np.zeros(mask.sum())
+        for m in range(_PQ_M):
+            sm = np.asarray(t["sub"].to_pylist()) == m
+            cid = np.asarray(t["cid"].to_pylist())[sm]
+            cb = np.asarray(t["centroid"].to_pylist(), dtype=np.float64)[sm][
+                np.argsort(cid)
+            ]
+            sub = x[mask][:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+            codes = np.argmin(((sub[:, None, :] - cb[None, :, :]) ** 2).sum(2), 1)
+            qm = q[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+            d_adc += ((qm[None, :] - cb) ** 2).sum(1)[codes]
+        ra = np.argsort(np.argsort(d_exact))
+        rb = np.argsort(np.argsort(d_adc))
+        rho = np.corrcoef(ra, rb)[0, 1]
+        assert rho > 0.3, rho
+        adc10 = RAY_QUERIES["q97_pq_adc_topk"](SF)["vec_id"].tolist()
+        idmap = {int(v): i for i, v in enumerate(ids[mask])}
+        picked = d_exact[[idmap[v] for v in adc10]]
+        assert picked.mean() < np.median(d_exact), (picked.mean(), np.median(d_exact))
+
+    def test_ranks_are_1_to_k_and_sorted(self, ray_session):
+        from ner_ray.pipelines.queries import RAY_QUERIES
+
+        out = RAY_QUERIES["q97_pq_adc_topk"](SF)
+        assert out["rank"].tolist() == list(range(1, len(out) + 1))
+        assert (np.diff(out["d_micro"].to_numpy()) >= 0).all()
+        assert 0 not in set(out["vec_id"])
