@@ -193,3 +193,49 @@ def add_subject_partition(ds: Dataset, num_partitions: int = 16) -> Dataset:
         return batch.append_column("part", pc.take(dpart, enc.indices))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def compact_checkpoint(stage_dir: str, target_rows_per_file: int = 1_000_000) -> dict:
+    """Small-file compaction for a checkpointed stage output — the
+    operational pass a long incremental run needs: every ``update_kg``
+    increment appends more small parquet files per partition, and at
+    10^12-turn scale read planning over millions of tiny files dominates.
+    Rewrites the stage's data into ``ceil(rows / target_rows_per_file)``
+    right-sized files while preserving rows, schema, the hive partition
+    layout, and — critically — the stage SIGNATURE, so resume semantics
+    are untouched (a subsequent ``run_stage`` with the same signature
+    still skips).
+
+    Distributed and restart-safe: one Ray Data read -> sort by the
+    partition columns (co-locates each partition's rows into contiguous
+    blocks so the partitioned write emits ~one file per partition chunk)
+    -> order-preserving repartition -> the same atomic tmp-dir +
+    ``os.replace`` + manifest contract as ``write_checkpoint`` (the
+    source directory is only replaced after the compacted copy is fully
+    written).  Returns the new manifest (``compacted: True``).
+    """
+    import math
+
+    manifest = read_manifest(stage_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {stage_dir}")
+    data_dir = os.path.join(stage_dir, "data")
+    pcols = manifest.get("partition_cols") or []
+    ds = rd.read_parquet(data_dir)
+    nrows = int(manifest.get("row_count") or 0)
+    nfiles = max(1, math.ceil(max(nrows, 1) / target_rows_per_file))
+    if pcols:
+        ds = ds.sort(pcols)
+    ds = ds.repartition(nfiles)
+    new = write_checkpoint(
+        ds,
+        stage_dir,
+        manifest["signature"],
+        partition_cols=pcols or None,
+        extra={
+            "compacted": True,
+            "files_before": len(manifest.get("files", [])),
+            "target_rows_per_file": target_rows_per_file,
+        },
+    )
+    return new

@@ -1163,3 +1163,59 @@ class TestPqAdcTopk:
         assert out["rank"].tolist() == list(range(1, len(out) + 1))
         assert (np.diff(out["d_micro"].to_numpy()) >= 0).all()
         assert 0 not in set(out["vec_id"])
+
+
+class TestCompactCheckpoint:
+    """Small-file compaction preserves content, layout, and resume."""
+
+    def test_compacts_preserving_rows_and_resume(self, ray_session, tmp_path):
+        from ner_ray.stages.materialize import (
+            compact_checkpoint,
+            read_manifest,
+            run_stage,
+        )
+
+        root = str(tmp_path)
+        tbl = pa.table(
+            {
+                "subj": pa.array([f"e{i%50}" for i in range(4000)], pa.string()),
+                "part": pa.array([i % 4 for i in range(4000)], pa.int32()),
+                "v": pa.array(range(4000), pa.int64()),
+            }
+        )
+
+        def build():
+            return rd.from_arrow(tbl).repartition(32)  # many tiny blocks
+
+        ds1, m1 = run_stage("graph", root, "sig-A", build, partition_cols=["part"])
+        before = ds1.to_pandas().sort_values("v").reset_index(drop=True)
+        n_before = len(read_manifest(f"{root}/graph")["files"])
+
+        m2 = compact_checkpoint(f"{root}/graph", target_rows_per_file=2000)
+        assert m2["compacted"] and m2["signature"] == "sig-A"
+        assert m2["row_count"] == 4000
+        n_after = len(m2["files"])
+        assert n_after < n_before, (n_before, n_after)
+
+        # content identical after compaction
+        import ray.data as rdd
+
+        after = (
+            rdd.read_parquet(f"{root}/graph/data")
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        after["part"] = after["part"].astype(before["part"].dtype)
+        pd.testing.assert_frame_equal(before[["subj", "part", "v"]], after[["subj", "part", "v"]])
+
+        # resume still skips: same signature loads the compacted data
+        ds3, m3 = run_stage("graph", root, "sig-A", build, partition_cols=["part"])
+        assert m3["skipped"] is True
+        assert len(ds3.to_pandas()) == 4000
+
+    def test_missing_manifest_raises(self, tmp_path):
+        from ner_ray.stages.materialize import compact_checkpoint
+
+        with pytest.raises(FileNotFoundError):
+            compact_checkpoint(str(tmp_path / "nope"))
