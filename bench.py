@@ -134,10 +134,15 @@ def run_bench() -> dict:
         "q85_kg_neighbor_agg",
         "q88_quota_weighted_sample",
         "q89_sliding_chunks",
-        # round-5: histogram-quantile sketch, corpus JS divergence, split
+        # round-5: histogram-quantile sketch, corpus JS divergence, split,
+        # tool transitions, grouped percentiles, PQ encode + ADC search
         "q90_histogram_quantiles",
         "q91_js_divergence",
         "q92_train_test_split",
+        "q93_tool_transitions",
+        "q95_grouped_length_quantiles",
+        "q96_pq_encode",
+        "q97_pq_adc_topk",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)
