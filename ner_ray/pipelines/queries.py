@@ -1666,8 +1666,9 @@ def q49_approx_distinct_users(sf_dir: str) -> Dataset:
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
-def _hll_sql(p: int = 12) -> str:
-    """q49 twin: full HUGEINT re-derivation of the HLL sketch.  splitmix64
+def _hll_sql(p: int = 12, key_expr: str = "event_type", key_name: str = "event_type") -> str:
+    """q49/q98 twin: full HUGEINT re-derivation of the HLL sketch over an
+    arbitrary grouping-key EXPRESSION on the events table.  splitmix64
     steps are mod-2^64 add/mul/xor/shift (shifts as floor-division);
     the 64x64->64 multiplies are done in 32-bit halves because HUGEINT is
     a SIGNED 128-bit int and a full product of two near-2^64 values
@@ -1682,7 +1683,6 @@ def _hll_sql(p: int = 12) -> str:
     t32 = 1 << 32
     maxrank = 64 - p + 1
     a0, b1, c1 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
     def mul(x: str, const: int) -> str:
         hi, lo = const >> 32, const & (t32 - 1)
         return (
@@ -1692,45 +1692,82 @@ def _hll_sql(p: int = 12) -> str:
 
     return f"""
 WITH keys AS (
-  SELECT DISTINCT event_type, user_id FROM events
-  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  SELECT DISTINCT {key_expr} AS {key_name}, user_id FROM events
+  WHERE user_id IS NOT NULL AND ({key_expr}) IS NOT NULL
 ),
-z0 AS (SELECT event_type,
+z0 AS (SELECT {key_name},
               ((user_id::HUGEINT + {a0}::HUGEINT) % {t64}::HUGEINT + {t64}::HUGEINT)
                 % {t64}::HUGEINT AS z
        FROM keys),
-x1 AS (SELECT event_type, xor(z, z // {1 << 30}) AS x FROM z0),
-z1 AS (SELECT event_type, {mul('x', b1)} AS z FROM x1),
-x2 AS (SELECT event_type, xor(z, z // {1 << 27}) AS x FROM z1),
-z2 AS (SELECT event_type, {mul('x', c1)} AS z FROM x2),
-h AS (SELECT event_type, xor(z, z // {1 << 31}) AS h FROM z2),
-rw AS (SELECT event_type, h // {1 << (64 - p)} AS idx, (h * {1 << p}) % {t64}::HUGEINT AS w FROM h),
+x1 AS (SELECT {key_name}, xor(z, z // {1 << 30}) AS x FROM z0),
+z1 AS (SELECT {key_name}, {mul('x', b1)} AS z FROM x1),
+x2 AS (SELECT {key_name}, xor(z, z // {1 << 27}) AS x FROM z1),
+z2 AS (SELECT {key_name}, {mul('x', c1)} AS z FROM x2),
+h AS (SELECT {key_name}, xor(z, z // {1 << 31}) AS h FROM z2),
+rw AS (SELECT {key_name}, h // {1 << (64 - p)} AS idx, (h * {1 << p}) % {t64}::HUGEINT AS w FROM h),
 rk AS (
-  SELECT event_type, idx,
+  SELECT {key_name}, idx,
          CASE WHEN w = 0 THEN {maxrank}
               ELSE least(64 - length(bin(w::UBIGINT)) + 1, {maxrank}) END AS r
   FROM rw
 ),
-regs AS (SELECT event_type, idx, max(r) AS r FROM rk GROUP BY event_type, idx),
+regs AS (SELECT {key_name}, idx, max(r) AS r FROM rk GROUP BY {key_name}, idx),
 est AS (
-  SELECT event_type,
+  SELECT {key_name},
          sum(1::HUGEINT << (64 - r))::HUGEINT
            + ({m} - count(*))::HUGEINT * {t64}::HUGEINT AS denom,
          {m} - count(*) AS zeros
-  FROM regs GROUP BY event_type
+  FROM regs GROUP BY {key_name}
 ),
 raw AS (
-  SELECT event_type, zeros,
+  SELECT {key_name}, zeros,
          0.7213 / (1 + 1.079 / {m}) * {m} * {m} * {float(t64)!r}
            / CAST(denom AS DOUBLE) AS raw
   FROM est
 )
-SELECT event_type,
+SELECT {key_name},
        floor((CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
                    THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
                    ELSE raw END) * 100 + 0.5) / 100.0 AS approx_distinct
 FROM raw
 """
+
+
+_Q98_DAY_US = 86_400_000_000
+
+
+def q98_windowed_distinct_users(sf_dir: str) -> Dataset:
+    """Approximate distinct users per event-time DAY window — the
+    streaming-analytics composition of q07's tumbling windows and q49's
+    HLL sketch: per-block register partials keyed by the day bucket, one
+    tiny register shuffle, max-merge + estimate.  At 10^12 events the
+    shuffle moves |days| x 4 KiB register rows per block, never user ids.
+    Hash-gated like q49: the twin re-derives every register and the
+    exact-integer-denominator estimate in HUGEINT SQL over the same day
+    expression."""
+    from ner_ray.stages.sketches import grouped_approx_distinct
+
+    ds = read_parquet_clean(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()), _Q98_DAY_US)
+        return pa.table({"day": pc.cast(d, pa.int64()), "user_id": t["user_id"]})
+
+    out = grouped_approx_distinct(
+        ds.map_batches(day, batch_format="pyarrow"), "day", "user_id",
+        p=12, hash_fn="splitmix",
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        v = t["approx_distinct"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pc.cast(t["day"], pa.int64()),
+                "approx_distinct": pa.array(np.floor(v * 100 + 0.5) / 100.0),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def _centroids_fixture_dir(sf_dir: str, k: int = 10) -> str:
@@ -5289,6 +5326,7 @@ RAY_QUERIES = {
     "q95_grouped_length_quantiles": q95_grouped_length_quantiles,
     "q96_pq_encode": q96_pq_encode,
     "q97_pq_adc_topk": q97_pq_adc_topk,
+    "q98_windowed_distinct_users": q98_windowed_distinct_users,
 }
 
 ORACLE_SQL = {
@@ -5339,6 +5377,9 @@ ORACLE_SQL = {
     "q56_bm25_topk": _bm25_sql(),
     "q57_repetition_filter": SQL_Q57,
     "q49_approx_distinct_users": _hll_sql(),
+    "q98_windowed_distinct_users": _hll_sql(
+        key_expr=f"(epoch_us(ts) // {_Q98_DAY_US})::BIGINT", key_name="day"
+    ),
     "q58_inverted_search": _inverted_sql(),
     "q59_full_outer_join": SQL_Q59,
     "q60_window_funcs": SQL_Q60,

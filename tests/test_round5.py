@@ -1219,3 +1219,46 @@ class TestCompactCheckpoint:
 
         with pytest.raises(FileNotFoundError):
             compact_checkpoint(str(tmp_path / "nope"))
+
+
+class TestWindowedDistinct:
+    """q98 — HLL approx-distinct per event-time day window."""
+
+    def test_twin_sf0001(self, ray_session):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "tools")
+        from oracle_check import TABLES, canon, compare, to_pandas
+
+        from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        mine = canon(to_pandas(RAY_QUERIES["q98_windowed_distinct_users"](SF)))
+        oracle = canon(
+            con.execute(oracle_sql_catalog()["q98_windowed_distinct_users"]).df()
+        )
+        ok, why = compare(mine, oracle)
+        assert ok, why
+
+    def test_error_bound_vs_exact(self, ray_session):
+        import duckdb
+
+        from ner_ray.pipelines.queries import _Q98_DAY_US, RAY_QUERIES
+
+        got = RAY_QUERIES["q98_windowed_distinct_users"](SF).to_pandas()
+        con = duckdb.connect()
+        exact = con.execute(
+            f"SELECT (epoch_us(ts) // {_Q98_DAY_US})::BIGINT AS day,"
+            " count(DISTINCT user_id) AS n"
+            f" FROM read_parquet('{SF}/events.parquet') GROUP BY 1"
+        ).df()
+        m = got.merge(exact, on="day")
+        assert len(m) == len(exact)
+        rel = np.abs(m["approx_distinct"] - m["n"]) / np.maximum(m["n"], 1)
+        assert rel.max() < 0.10, rel.max()  # p=12 -> ~1.6% stderr
