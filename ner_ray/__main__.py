@@ -42,6 +42,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--link-tau", type=float, default=0.6)
     ap.add_argument("--graph-partitions", type=int, default=16)
     ap.add_argument("--num-cpus", type=int, default=None, help="standalone ray.init size")
+    ap.add_argument(
+        "--compact",
+        type=int,
+        default=None,
+        metavar="ROWS_PER_FILE",
+        help="after the build, compact each checkpointed stage's parquet "
+        "into ~ROWS_PER_FILE-row files (materialize.compact_checkpoint: "
+        "preserves rows, hive layout, and the resume signature) — the "
+        "small-file maintenance pass for long incremental runs",
+    )
     args = ap.parse_args(argv)
     if args.weights_path and args.tagger == "rule":
         # fail fast at the CLI: RuleTagger takes no weights_path, and the
@@ -73,6 +83,21 @@ def main(argv: list[str] | None = None) -> int:
             metrics = run_kg(args.input[0], args.out, cfg)
         else:
             metrics = update_kg(args.out, args.input, cfg)
+        if args.compact:
+            import os
+
+            from ner_ray.stages.materialize import compact_checkpoint, read_manifest
+
+            compacted = {}
+            for name in sorted(os.listdir(args.out)):
+                stage = os.path.join(args.out, name)
+                if os.path.isdir(stage) and read_manifest(stage) is not None:
+                    m = compact_checkpoint(stage, target_rows_per_file=args.compact)
+                    compacted[name] = {
+                        "files_before": m.get("files_before"),
+                        "files_after": len(m.get("files", [])),
+                    }
+            metrics["compacted"] = compacted
         print(json.dumps(metrics))
         return 0
     finally:

@@ -1262,3 +1262,34 @@ class TestWindowedDistinct:
         assert len(m) == len(exact)
         rel = np.abs(m["approx_distinct"] - m["n"]) / np.maximum(m["n"], 1)
         assert rel.max() < 0.10, rel.max()  # p=12 -> ~1.6% stderr
+
+
+class TestCliCompact:
+    """`python -m ner_ray --compact N` runs the maintenance pass after the
+    build and reports per-stage file counts; the compacted output still
+    resumes (same signature)."""
+
+    def test_build_then_compact_then_resume(self, ray_session, tmp_path):
+        from ner_ray.__main__ import main
+        from ner_ray.pipelines.queries import transcripts_path_for
+
+        out = str(tmp_path / "kg")
+        tx = transcripts_path_for(SF)
+        import contextlib
+        import io
+        import json
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["--input", tx, "--out", out, "--tagger", "rule",
+                       "--compact", "1000000"])
+        assert rc == 0
+        metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert set(metrics["compacted"]) >= {"graph", "turn_mentions"}
+        # resume after compaction: every stage skips
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            rc = main(["--input", tx, "--out", out, "--tagger", "rule"])
+        assert rc == 0
+        metrics2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+        assert all(s["skipped"] for s in metrics2["stages"].values())
