@@ -1293,3 +1293,28 @@ class TestCliCompact:
         assert rc == 0
         metrics2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
         assert all(s["skipped"] for s in metrics2["stages"].values())
+
+
+class TestStableHash64Laws:
+    """Property law: stable_hash64 is a pure per-VALUE function — the hash
+    of an element never depends on its position or on the other elements
+    in the array (the exact property pandas' factorize path violated for
+    NUL-containing strings)."""
+
+    def test_value_purity_over_arbitrary_unicode(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ner_ray.utils import stable_hash64
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.text(min_size=0, max_size=24), min_size=1, max_size=40))
+        def law(vals):
+            a = stable_hash64(np.array(vals, dtype=object))
+            b = stable_hash64(np.array(vals[::-1], dtype=object))
+            assert (a[::-1] == b).all()
+            # singleton hash equals in-array hash (no cross-element effect)
+            lone = stable_hash64(np.array([vals[0]], dtype=object))
+            assert lone[0] == a[0]
+
+        law()
