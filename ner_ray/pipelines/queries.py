@@ -4701,6 +4701,44 @@ def kg_canon_entities(sf_dir: str) -> Dataset:
     return ents.map_batches(fmt, batch_format="pyarrow")
 
 
+def kg_entity_audit(sf_dir: str) -> Dataset:
+    """Entity-resolution audit over the flagship build (B6 quality gate):
+    one row per CANONICAL NAME with its surface-form count, distinct
+    mention-type count, the sorted type list, and total mention support —
+    ``n_types >= 2`` flags type conflicts / cross-type name collisions
+    (e.g. a PER and a LOC component resolving to the same canonical), the
+    standard KG-hygiene signal an entity-resolution run is reviewed by.
+
+    Semantics + scale shape live in ``stages/canonicalize.entity_audit``
+    (one bucketed groupby over the vocabulary-sized mapping; toy conflict
+    semantics pinned in ``tests/test_round5.py``).  Twin = the verified
+    flagship CTE chain (``grp`` + ``canon_label``) aggregated per
+    canonical name."""
+    from ner_ray.pipelines.kg import KGConfig, build_kg, read_transcripts
+    from ner_ray.stages.canonicalize import entity_audit
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    return entity_audit(build_kg(tx, KGConfig()).mapping)
+
+
+def _kg_entity_audit_sql(transcripts_path: str, window: int = 3, tau: float = 0.6) -> str:
+    """DuckDB twin of ``kg_entity_audit``: the flagship canon CTEs
+    aggregated per canonical NAME (not per component — two components
+    sharing a best-surface canonical merge in the audit on both sides)."""
+    return (
+        _kg_canon_ctes(transcripts_path, window, tau)
+        + """
+SELECT cl.canonical,
+       count(*)::BIGINT AS n_forms,
+       count(DISTINCT g.type)::BIGINT AS n_types,
+       array_to_string(list_sort(list(DISTINCT g.type)), ',') AS types,
+       sum(g.n_mentions)::BIGINT AS n_mentions
+FROM grp g JOIN canon_label cl ON cl.label = g.label
+GROUP BY cl.canonical
+"""
+    )
+
+
 def kg_dedup_triples(sf_dir: str) -> Dataset:
     """B7 exact dedup (combiner + hybrid merge) over the full B4 extraction.
     Oracle-backed: max-confidence and support count are plain aggregates, and
@@ -5327,6 +5365,8 @@ RAY_QUERIES = {
     "q96_pq_encode": q96_pq_encode,
     "q97_pq_adc_topk": q97_pq_adc_topk,
     "q98_windowed_distinct_users": q98_windowed_distinct_users,
+    # entity-resolution audit over the flagship build (type-conflict QA)
+    "kg_entity_audit": kg_entity_audit,
 }
 
 ORACLE_SQL = {
@@ -6342,6 +6382,7 @@ FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
     )
     sql["kg_canon_triples"] = _kg_canon_triples_sql(path)
     sql["kg_canon_entities"] = _kg_canon_entities_sql(path)
+    sql["kg_entity_audit"] = _kg_entity_audit_sql(path)
     # incremental build must equal the from-scratch build: SAME twin
     sql["kg_incremental_triples"] = _kg_canon_triples_sql(path)
     # Twins of q51/q52: the centroid matrix is the fixture INPUT (gazetteer

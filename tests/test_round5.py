@@ -1318,3 +1318,91 @@ class TestStableHash64Laws:
             assert lone[0] == a[0]
 
         law()
+
+
+class TestEntityAudit:
+    """Toy-pinned semantics of stages/canonicalize.entity_audit — the
+    fixture gazetteer is type-consistent, so the conflict arm
+    (n_types >= 2) must be exercised synthetically."""
+
+    def _audit(self, rows):
+        import ray
+
+        from ner_ray.stages.canonicalize import entity_audit
+
+        mapping = ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([r[0] for r in rows], pa.string()),
+                    "surface": pa.array([r[1] for r in rows], pa.string()),
+                    "type": pa.array([r[2] for r in rows], pa.string()),
+                    "entity_id": pa.array([r[3] for r in rows], pa.int64()),
+                    "canonical": pa.array([r[4] for r in rows], pa.string()),
+                    "n_mentions": pa.array([r[5] for r in rows], pa.int64()),
+                }
+            )
+        ).repartition(3)
+        return (
+            entity_audit(mapping)
+            .to_pandas()
+            .sort_values("canonical")
+            .reset_index(drop=True)
+        )
+
+    def test_type_conflict_and_profile(self, ray_session):
+        rows = [
+            # two surface forms + TWO TYPES resolving to "Smith" -> conflict
+            ("PER:smith", "Smith", "PER", 1, "Smith", 5),
+            ("PER:mr. smith", "Mr. Smith", "PER", 1, "Smith", 2),
+            ("LOC:smith", "Smith", "LOC", -1, "Smith", 3),
+            # clean single-type entity with two forms
+            ("ORG:acme", "Acme", "ORG", 7, "Acme Corp", 4),
+            ("ORG:acme corp", "Acme Corp", "ORG", 7, "Acme Corp", 1),
+            # unlinked singleton
+            ("LOC:ruritania", "Ruritania", "LOC", -1, "Ruritania", 1),
+        ]
+        out = self._audit(rows)
+        assert list(out["canonical"]) == ["Acme Corp", "Ruritania", "Smith"]
+        smith = out.iloc[2]
+        assert smith["n_forms"] == 3
+        assert smith["n_types"] == 2
+        assert smith["types"] == "LOC,PER"
+        assert smith["n_mentions"] == 10
+        acme = out.iloc[0]
+        assert (acme["n_forms"], acme["n_types"], acme["types"]) == (2, 1, "ORG")
+        assert acme["n_mentions"] == 5
+        single = out.iloc[1]
+        assert (single["n_forms"], single["n_types"], single["n_mentions"]) == (1, 1, 1)
+        # conflict filter is a trivial predicate over the audit
+        assert list(out[out["n_types"] >= 2]["canonical"]) == ["Smith"]
+
+    def test_bucket_invariance(self, ray_session):
+        """The audit is independent of the bucket count (pure reshuffle)."""
+        import ray
+
+        from ner_ray.stages.canonicalize import entity_audit
+
+        rows = [
+            (f"PER:e{i}", f"E{i}", "PER" if i % 3 else "LOC", i, f"C{i % 7}", i + 1)
+            for i in range(40)
+        ]
+        t = pa.table(
+            {
+                "node": pa.array([r[0] for r in rows], pa.string()),
+                "surface": pa.array([r[1] for r in rows], pa.string()),
+                "type": pa.array([r[2] for r in rows], pa.string()),
+                "entity_id": pa.array([r[3] for r in rows], pa.int64()),
+                "canonical": pa.array([r[4] for r in rows], pa.string()),
+                "n_mentions": pa.array([r[5] for r in rows], pa.int64()),
+            }
+        )
+        outs = []
+        for nb in (1, 7, 256):
+            df = (
+                entity_audit(ray.data.from_arrow(t).repartition(4), num_buckets=nb)
+                .to_pandas()
+                .sort_values("canonical")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
