@@ -203,3 +203,25 @@ class TestPQAdcZeroErrorLaw:
         assert (
             top.sort_values("rank")["vec_id"].to_numpy() == order
         ).all()
+
+
+class TestSplitmix64KnownAnswers:
+    """Pin `sketches.splitmix64` to the PUBLISHED splitmix64 reference
+    sequence (Steele, Lea & Flood 2014; seed 0), not just to the repo's own
+    HUGEINT-SQL reimplementation (test_round3b already proves engine==SQL;
+    this proves both == the public algorithm).  The finalizer form takes
+    the pre-advanced state, so the k-th output of the seed-0 generator is
+    ``splitmix64(k * GAMMA)``."""
+
+    GAMMA = 0x9E3779B97F4A7C15
+    # first three outputs of the reference generator seeded with 0
+    EXPECT = (0xE220A8397B1DCDAF, 0x6E789E6AA1B965F4, 0x06C45D188009454F)
+
+    def test_reference_sequence(self):
+        from ner_ray.stages.sketches import splitmix64
+
+        states = np.array(
+            [(k * self.GAMMA) % (1 << 64) for k in range(3)], dtype=np.uint64
+        )
+        got = splitmix64(states)
+        assert tuple(int(v) for v in got) == self.EXPECT
