@@ -143,6 +143,11 @@ def run_bench() -> dict:
         "q95_grouped_length_quantiles",
         "q96_pq_encode",
         "q97_pq_adc_topk",
+        # final-session round-5 additions: transcript hygiene QA,
+        # boilerplate-turn detection, temperature mixture sampling
+        "q99_conv_qa",
+        "q100_boilerplate_turns",
+        "q101_mixture_sample",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -5194,6 +5194,305 @@ def q94_kg_triple_provenance(sf_dir: str) -> Dataset:
     return triple_provenance(canon, ts.map_batches(narrow, batch_format="pyarrow"))
 
 
+def q99_conv_qa(sf_dir: str) -> Dataset:
+    """Transcript hygiene QA over the flagship transcripts shape — the
+    validation gate an SFT pipeline runs BEFORE training on agent logs:
+    per conversation, count role-alternation breaks (adjacent turns with
+    the same role), orphan tool turns (a ``role='tool'`` turn whose
+    predecessor is not the assistant that called it — including a tool
+    turn opening the conversation), adjacent duplicate turn texts (client
+    retries), plus the opening role; ``qa_ok`` = all counters zero and
+    the conversation opens with the user.  Scale shape = the q73/q93
+    bucketed segmented kernel: narrow 4-column read, ONE hash(conv_id)
+    bucket shuffle, per-bucket (conv_id, turn_idx) sort + vectorized
+    shift comparisons — no per-conversation dispatch, text enters the
+    shuffle only long enough to compare neighbours.  Dynamic lag-window
+    twin over the generated fixture path."""
+    from ner_ray.utils import stable_hash64
+
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(path, columns=["conv_id", "turn_idx", "role", "text"])
+    num_buckets = 1024
+
+    def narrow(t: pa.Table) -> pa.Table:
+        h = stable_hash64(t["conv_id"])  # NUL-safe (see utils.stable_hash64)
+        return t.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    def qa_block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bkt"])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": g["conv_id"],
+                    "n_turns": pa.array([], pa.int64()),
+                    "n_role_repeats": pa.array([], pa.int64()),
+                    "n_orphan_tool": pa.array([], pa.int64()),
+                    "n_dup_adjacent": pa.array([], pa.int64()),
+                    "first_role": pa.array([], pa.string()),
+                    "qa_ok": pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        convs = g["conv_id"].to_numpy(zero_copy_only=False)
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        texts = g["text"].to_numpy(zero_copy_only=False)
+        n = len(convs)
+        newconv = np.r_[True, convs[1:] != convs[:-1]]
+        starts = np.flatnonzero(newconv)
+        # adjacency masks: position i compares turn i to turn i-1 of the
+        # SAME conversation; newconv positions have no predecessor.
+        same_prev = ~newconv
+        role_rep = same_prev & np.r_[False, roles[1:] == roles[:-1]]
+        dup_adj = same_prev & np.r_[False, texts[1:] == texts[:-1]]
+        prev_is_asst = np.r_[False, roles[:-1] == "assistant"]
+        orphan_tool = (roles == "tool") & ~(same_prev & prev_is_asst)
+        per = lambda m: np.add.reduceat(m.astype(np.int64), starts)  # noqa: E731
+        n_rep, n_orph, n_dup = per(role_rep), per(orphan_tool), per(dup_adj)
+        first_role = roles[starts]
+        ok = (n_rep == 0) & (n_orph == 0) & (n_dup == 0) & (first_role == "user")
+        ends = np.r_[starts[1:], n]
+        return pa.table(
+            {
+                "conv_id": g["conv_id"].take(pa.array(starts, pa.int64())),
+                "n_turns": pa.array(ends - starts, pa.int64()),
+                "n_role_repeats": pa.array(n_rep, pa.int64()),
+                "n_orphan_tool": pa.array(n_orph, pa.int64()),
+                "n_dup_adjacent": pa.array(n_dup, pa.int64()),
+                "first_role": pa.array(first_role.tolist(), pa.string()),
+                "qa_ok": pa.array(ok.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(qa_block, batch_format="pyarrow")
+    )
+
+
+def _q99_sql(transcripts_path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM read_parquet('{transcripts_path}/*.parquet')
+),
+w AS (
+  SELECT conv_id, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t
+),
+agg AS (
+  SELECT conv_id,
+         count(*)::BIGINT AS n_turns,
+         sum(CASE WHEN prev_role IS NOT NULL AND role = prev_role
+                  THEN 1 ELSE 0 END)::BIGINT AS n_role_repeats,
+         sum(CASE WHEN role = 'tool'
+                       AND (prev_role IS NULL OR prev_role <> 'assistant')
+                  THEN 1 ELSE 0 END)::BIGINT AS n_orphan_tool,
+         sum(CASE WHEN prev_text IS NOT NULL AND text = prev_text
+                  THEN 1 ELSE 0 END)::BIGINT AS n_dup_adjacent,
+         min(CASE WHEN rn = 1 THEN role END) AS first_role
+  FROM w GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_role_repeats, n_orphan_tool, n_dup_adjacent,
+       first_role,
+       (CASE WHEN n_role_repeats = 0 AND n_orphan_tool = 0
+                  AND n_dup_adjacent = 0 AND first_role = 'user'
+             THEN 1 ELSE 0 END)::BIGINT AS qa_ok
+FROM agg
+"""
+
+
+_BOILER_MIN_CONVS = 3
+
+
+def q100_boilerplate_turns(sf_dir: str) -> Dataset:
+    """Cross-conversation boilerplate-turn detection (the turn-level
+    analogue of RefinedWeb/CCNet line dedup, over agent transcripts): a
+    turn text repeated verbatim across many conversations is template
+    boilerplate ("ok, done. anything else?"), not signal, and an SFT
+    curation pass down-weights or drops it.  Emits every normalized turn
+    text occurring >= 2 times with its occurrence count, distinct-
+    conversation count, and ``is_boilerplate`` = seen in >=
+    {_BOILER_MIN_CONVS} distinct conversations.  Scale shape: per-block
+    ``(text_norm, conv_id)`` distinct pre-aggregation shrinks the shuffle
+    to distinct pairs per block, then ONE hash(text_norm) bucket shuffle
+    with a segmented kernel computing both counts in a single sorted
+    pass — the corpus never moves, its distinct turn texts do.  Dynamic
+    twin over the generated fixture path."""
+    from ner_ray.utils import stable_hash64
+
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(path, columns=["conv_id", "text"])
+    num_buckets = 1024
+
+    def pairs(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        tbl = pa.table({"text_norm": norm, "conv_id": t["conv_id"]})
+        g = tbl.group_by(["text_norm", "conv_id"]).aggregate([("conv_id", "count")])
+        out = pa.table(
+            {
+                "text_norm": g["text_norm"],
+                "conv_id": g["conv_id"],
+                "n": pc.cast(g["conv_id_count"], pa.int64()),
+            }
+        )
+        h = stable_hash64(out["text_norm"])  # NUL-safe
+        return out.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    def count_block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bkt"])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "text_norm": g["text_norm"],
+                    "n_turns": pa.array([], pa.int64()),
+                    "n_convs": pa.array([], pa.int64()),
+                    "is_boilerplate": pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_by([("text_norm", "ascending"), ("conv_id", "ascending")])
+        texts = g["text_norm"].to_numpy(zero_copy_only=False)
+        convs = g["conv_id"].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(texts)
+        newtext = np.r_[True, texts[1:] != texts[:-1]]
+        starts = np.flatnonzero(newtext)
+        # distinct (text, conv) pair boundaries within each text segment;
+        # cross-block residual duplicates of the same pair collapse here.
+        newpair = newtext | np.r_[True, convs[1:] != convs[:-1]]
+        n_turns = np.add.reduceat(ns, starts)
+        n_convs = np.add.reduceat(newpair.astype(np.int64), starts)
+        keep = n_turns >= 2
+        idx = pa.array(starts[keep], pa.int64())
+        return pa.table(
+            {
+                "text_norm": g["text_norm"].take(idx),
+                "n_turns": pa.array(n_turns[keep], pa.int64()),
+                "n_convs": pa.array(n_convs[keep], pa.int64()),
+                "is_boilerplate": pa.array(
+                    (n_convs[keep] >= _BOILER_MIN_CONVS).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(count_block, batch_format="pyarrow")
+    )
+
+
+def _q100_sql(transcripts_path: str, min_convs: int = _BOILER_MIN_CONVS) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, trim(lower(text)) AS text_norm
+  FROM read_parquet('{transcripts_path}/*.parquet')
+  WHERE text IS NOT NULL
+),
+g AS (
+  SELECT text_norm, count(*)::BIGINT AS n_turns,
+         count(DISTINCT conv_id)::BIGINT AS n_convs
+  FROM t GROUP BY 1
+)
+SELECT text_norm, n_turns, n_convs,
+       (CASE WHEN n_convs >= {min_convs} THEN 1 ELSE 0 END)::BIGINT
+         AS is_boilerplate
+FROM g WHERE n_turns >= 2
+"""
+
+
+_MIX_BUDGET = 200
+
+
+def q101_mixture_sample(sf_dir: str) -> Dataset:
+    """Temperature-based multi-source mixture sampling (the mC4 / XLM-R
+    per-language re-balancing step): per-language doc counts n_l set
+    sampling weights w_l = n_l^alpha with alpha = 0.5, each language gets
+    quota_l = floor(B * w_l / sum(w)) of the global budget B =
+    {_MIX_BUDGET}, and the quota is filled by splitmix64(doc_id) hash
+    order — reproducible across runs, cluster sizes, and partitionings.
+    alpha = 1/2 deliberately: sqrt is correctly rounded in IEEE-754, so
+    numpy and DuckDB agree bit-for-bit, and the micros-quantized integer
+    quota arithmetic is exact on both sides (no FP summation-order
+    hazard).  Scale shape: the counts pass reduces to |langs| rows (a
+    combiner groupby — legitimately driver-sized: language inventories
+    are thousands, not billions); selection reuses
+    ``top_n_per_group(ascending=True)`` whose per-block bottom-N
+    pre-combiner bounds the shuffle at max-quota rows per lang per
+    block, then a broadcast quota lookup trims each language to its own
+    quota."""
+    from ner_ray.stages.relational import top_n_per_group
+    from ner_ray.stages.sketches import splitmix64
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    counts = ds.groupby("lang").count().to_pandas()
+    n_by_lang = dict(zip(counts["lang"], counts["count()"].astype(np.int64)))
+    wq = {
+        lang: int(np.floor(np.sqrt(np.float64(n)) * 1e6 + 0.5))
+        for lang, n in n_by_lang.items()
+    }
+    tot = sum(wq.values())
+    quota = {lang: (_MIX_BUDGET * w) // tot for lang, w in wq.items()}
+    max_quota = max(quota.values()) if quota else 0
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": t["lang"],
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    ranked = top_n_per_group(
+        ds.map_batches(key, batch_format="pyarrow"),
+        key_col="lang",
+        order_col="h",
+        n=max(1, int(max_quota)),
+        tiebreak_col="doc_id",
+        rank_col="pos",
+        ascending=True,
+    )
+
+    def trim(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        q = np.array([quota.get(x, 0) for x in langs], dtype=np.int64)
+        pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column("quota", pa.array(q, pa.int64()))
+        return t.filter(pa.array(pos <= q)).select(["doc_id", "lang", "pos", "quota"])
+
+    return ranked.map_batches(trim, batch_format="pyarrow")
+
+
+def _q101_sql(budget: int = _MIX_BUDGET) -> str:
+    return f"""
+WITH {_splitmix_hugeint_ctes()},
+c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+wt AS (SELECT lang, CAST(floor(sqrt(n::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS wq
+       FROM c),
+tot AS (SELECT sum(wq)::BIGINT AS tw FROM wt),
+q AS (SELECT lang, ({budget} * wq) // tot.tw AS quota FROM wt, tot),
+r AS (
+  SELECT d.doc_id, d.lang, h.h,
+         row_number() OVER (PARTITION BY d.lang ORDER BY h.h ASC, d.doc_id ASC)
+           AS pos
+  FROM documents d JOIN h USING (doc_id)
+)
+SELECT r.doc_id, r.lang, CAST(r.pos AS BIGINT) AS pos,
+       q.quota::BIGINT AS quota
+FROM r JOIN q USING (lang) WHERE r.pos <= q.quota
+"""
+
+
+SQL_Q101 = _q101_sql()
+
+
 # ---------------------------------------------------------------------------
 
 # Priority-ordered: every oracle-backed query first (these carry the
@@ -5367,6 +5666,11 @@ RAY_QUERIES = {
     "q98_windowed_distinct_users": q98_windowed_distinct_users,
     # entity-resolution audit over the flagship build (type-conflict QA)
     "kg_entity_audit": kg_entity_audit,
+    # final-session additions: transcript hygiene QA, cross-conversation
+    # boilerplate-turn detection, temperature mixture sampling
+    "q99_conv_qa": q99_conv_qa,
+    "q100_boilerplate_turns": q100_boilerplate_turns,
+    "q101_mixture_sample": q101_mixture_sample,
 }
 
 ORACLE_SQL = {
@@ -5420,6 +5724,7 @@ ORACLE_SQL = {
     "q98_windowed_distinct_users": _hll_sql(
         key_expr=f"(epoch_us(ts) // {_Q98_DAY_US})::BIGINT", key_name="day"
     ),
+    "q101_mixture_sample": SQL_Q101,
     "q58_inverted_search": _inverted_sql(),
     "q59_full_outer_join": SQL_Q59,
     "q60_window_funcs": SQL_Q60,
@@ -6025,6 +6330,10 @@ GROUP BY conv_id
 """
     # Twin of q93: tool-transition matrix (lag window over the fixture).
     sql["q93_tool_transitions"] = _q93_sql(path)
+    # Twin of q99: per-conversation hygiene QA (lag windows + first-role).
+    sql["q99_conv_qa"] = _q99_sql(path)
+    # Twin of q100: cross-conversation boilerplate-turn counts.
+    sql["q100_boilerplate_turns"] = _q100_sql(path)
     # Twin of q94: per-triple temporal provenance (the full flagship
     # rewrite chain + the per-turn timestamp join).
     sql["q94_kg_triple_provenance"] = _q94_sql(path)

@@ -1,0 +1,209 @@
+"""Final-session round-5 additions: transcript hygiene QA (q99),
+cross-conversation boilerplate-turn detection (q100), and temperature
+mixture sampling (q101) — twin equality at sf0.001 plus an INDEPENDENT
+pandas re-derivation of each (a third implementation, so a shared bug in
+the Ray kernel and its SQL twin can't hide)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _twin_check(name: str, sql: str | None = None) -> None:
+    """Driver-style twin equality.  Transcripts-backed twins embed a
+    fixture path: oracle_sql_catalog() pins the driver's sf0.01, so
+    in-suite sf0.001 checks pass the SQL rebuilt for THIS fixture (the
+    TestToolTransitions pattern)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from oracle_check import TABLES, canon, compare, to_pandas
+
+    from ner_ray.pipelines.queries import RAY_QUERIES, oracle_sql_catalog
+
+    if sql is None:
+        sql = oracle_sql_catalog()[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    mine = canon(to_pandas(RAY_QUERIES[name](SF)))
+    oracle = canon(con.execute(sql).df())
+    ok, why = compare(mine, oracle)
+    assert ok, f"{name}: {why}"
+
+
+def _fixture_df() -> pd.DataFrame:
+    from ner_ray.pipelines.queries import transcripts_path_for
+
+    path = transcripts_path_for(SF)
+    return pq.read_table(path).to_pandas()
+
+
+class TestConvQA:
+    """q99 — per-conversation hygiene flags."""
+
+    def test_twin(self, ray_session):
+        from ner_ray.pipelines.queries import _q99_sql, transcripts_path_for
+
+        _twin_check("q99_conv_qa", _q99_sql(transcripts_path_for(SF)))
+
+    def test_independent_pandas(self, ray_session):
+        from ner_ray.pipelines.queries import q99_conv_qa
+
+        tx = _fixture_df().sort_values(["conv_id", "turn_idx"])
+        rows = []
+        for conv_id, g in tx.groupby("conv_id", sort=False):
+            roles = g["role"].to_numpy()
+            texts = g["text"].to_numpy()
+            prev_r = np.r_[[None], roles[:-1]]
+            prev_t = np.r_[[None], texts[:-1]]
+            has_prev = np.r_[False, np.ones(len(roles) - 1, bool)]
+            n_rep = int(np.sum(has_prev & (roles == prev_r)))
+            n_orph = int(
+                np.sum((roles == "tool") & ~(has_prev & (prev_r == "assistant")))
+            )
+            n_dup = int(np.sum(has_prev & (texts == prev_t)))
+            ok = int(
+                n_rep == 0 and n_orph == 0 and n_dup == 0 and roles[0] == "user"
+            )
+            rows.append(
+                (conv_id, len(g), n_rep, n_orph, n_dup, roles[0], ok)
+            )
+        want = (
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id",
+                    "n_turns",
+                    "n_role_repeats",
+                    "n_orphan_tool",
+                    "n_dup_adjacent",
+                    "first_role",
+                    "qa_ok",
+                ],
+            )
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            q99_conv_qa(SF)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)[want.columns]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_flags_fire_on_fixture(self, ray_session):
+        """The uniform-random role fixture must actually exercise every
+        counter (a QA op that never fires verifies nothing)."""
+        from ner_ray.pipelines.queries import q99_conv_qa
+
+        df = q99_conv_qa(SF).to_pandas()
+        assert (df["n_role_repeats"] > 0).any()
+        assert (df["n_orphan_tool"] > 0).any()
+        assert df["qa_ok"].isin([0, 1]).all()
+        assert len(df) == df["conv_id"].nunique()
+
+
+class TestBoilerplateTurns:
+    """q100 — cross-conversation repeated-turn detection."""
+
+    def test_twin(self, ray_session):
+        from ner_ray.pipelines.queries import _q100_sql, transcripts_path_for
+
+        _twin_check("q100_boilerplate_turns", _q100_sql(transcripts_path_for(SF)))
+
+    def test_independent_pandas(self, ray_session):
+        from ner_ray.pipelines.queries import (
+            _BOILER_MIN_CONVS,
+            q100_boilerplate_turns,
+        )
+
+        tx = _fixture_df()
+        tx["text_norm"] = tx["text"].str.lower().str.strip()
+        g = (
+            tx.groupby("text_norm")
+            .agg(n_turns=("conv_id", "size"), n_convs=("conv_id", "nunique"))
+            .reset_index()
+        )
+        g = g[g["n_turns"] >= 2].copy()
+        g["is_boilerplate"] = (g["n_convs"] >= _BOILER_MIN_CONVS).astype("int64")
+        want = g.sort_values("text_norm").reset_index(drop=True)
+        got = (
+            q100_boilerplate_turns(SF)
+            .to_pandas()
+            .sort_values("text_norm")
+            .reset_index(drop=True)[want.columns]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_template_boilerplate_found(self, ray_session):
+        """The fixture's zero-slot templates repeat across conversations,
+        so they MUST surface flagged."""
+        from ner_ray.pipelines.queries import q100_boilerplate_turns
+
+        df = q100_boilerplate_turns(SF).to_pandas()
+        flagged = set(df.loc[df["is_boilerplate"] == 1, "text_norm"])
+        assert "ok, done. anything else?" in flagged
+        assert "please run the search and summarize the results." in flagged
+
+
+class TestMixtureSample:
+    """q101 — sqrt-temperature per-language mixture sampling."""
+
+    def test_twin(self, ray_session):
+        _twin_check("q101_mixture_sample")
+
+    def test_quota_math_and_selection(self, ray_session):
+        from ner_ray.pipelines.queries import _MIX_BUDGET, q101_mixture_sample
+        from ner_ray.stages.sketches import splitmix64
+
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        n = docs.groupby("lang")["doc_id"].size()
+        wq = {
+            lang: int(np.floor(np.sqrt(np.float64(c)) * 1e6 + 0.5))
+            for lang, c in n.items()
+        }
+        tot = sum(wq.values())
+        quota = {lang: (_MIX_BUDGET * w) // tot for lang, w in wq.items()}
+
+        got = q101_mixture_sample(SF).to_pandas()
+        per_lang = got.groupby("lang")["doc_id"].size().to_dict()
+        for lang, q in quota.items():
+            assert per_lang.get(lang, 0) == min(q, int(n[lang]))
+        # the floor allocation never overshoots the budget
+        assert len(got) <= _MIX_BUDGET
+        # each language's winners are exactly its bottom-quota docs in
+        # splitmix64 hash order (independent re-derivation)
+        for lang, g in got.groupby("lang"):
+            ids = docs.loc[docs["lang"] == lang, "doc_id"].to_numpy(np.uint64)
+            h = splitmix64(ids)
+            order = np.lexsort((ids.astype(np.int64), h))
+            want_ids = set(ids[order][: quota[lang]].astype(np.int64))
+            assert set(g["doc_id"]) == want_ids
+
+    def test_deterministic(self, ray_session):
+        from ner_ray.pipelines.queries import q101_mixture_sample
+
+        a = (
+            q101_mixture_sample(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            q101_mixture_sample(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
