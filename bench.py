@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "q99_conv_qa",
         "q100_boilerplate_turns",
         "q101_mixture_sample",
+        "q102_sft_clean",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

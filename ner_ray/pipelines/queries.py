@@ -5322,6 +5322,10 @@ def q100_boilerplate_turns(sf_dir: str) -> Dataset:
     with a segmented kernel computing both counts in a single sorted
     pass — the corpus never moves, its distinct turn texts do.  Dynamic
     twin over the generated fixture path."""
+    return _boilerplate_turns(sf_dir, _BOILER_MIN_CONVS)
+
+
+def _boilerplate_turns(sf_dir: str, min_convs: int) -> Dataset:
     from ner_ray.utils import stable_hash64
 
     path = transcripts_path_for(sf_dir)
@@ -5373,7 +5377,7 @@ def q100_boilerplate_turns(sf_dir: str) -> Dataset:
                 "n_turns": pa.array(n_turns[keep], pa.int64()),
                 "n_convs": pa.array(n_convs[keep], pa.int64()),
                 "is_boilerplate": pa.array(
-                    (n_convs[keep] >= _BOILER_MIN_CONVS).astype(np.int64), pa.int64()
+                    (n_convs[keep] >= min_convs).astype(np.int64), pa.int64()
                 ),
             }
         )
@@ -5491,6 +5495,177 @@ FROM r JOIN q USING (lang) WHERE r.pos <= q.quota
 
 
 SQL_Q101 = _q101_sql()
+
+
+_SFT_BOILER_MIN_CONVS = 10
+
+
+def q102_sft_clean(sf_dir: str) -> Dataset:
+    """Composed SFT-curation pipeline over agent transcripts — the
+    transcripts-side analogue of the q87 document mega-pipeline, proving
+    the transcript operators compose as ONE streaming plan:
+
+      1. boilerplate-turn removal (the q100 detector at the stricter
+         cleaning threshold {_SFT_BOILER_MIN_CONVS} — detection flags
+         early at >= {_BOILER_MIN_CONVS} conversations, but REMOVAL only
+         drops truly pervasive template turns, the RefinedWeb practice),
+         applied as a bucketed ANTI join on hash(text_norm) — no
+         driver-side set, so an unbounded boilerplate inventory still
+         streams;
+      2. conversation QA gate (the q99 flags over ORIGINAL turn order):
+         keep conversations that open with the user and contain no
+         orphan tool turns — malformed agent traces drop whole;
+      3. SFT pair extraction (q80 adjacency semantics) over the CLEANED
+         sequence — removal changes adjacency, which is exactly why the
+         stages must compose in order.
+
+    Shuffle budget: one hash(text_norm) exchange (the anti join), one
+    conv_id exchange (the QA inner join), one conv_id groupby (the
+    pairing) — all over narrow rows plus the turn texts that survive.
+    Twin = one CTE chain re-deriving every stage (ANTI JOIN + lag
+    windows)."""
+    from ner_ray.stages.joins import hash_join
+
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(path, columns=["conv_id", "turn_idx", "role", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "tn", pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        )
+
+    turns = ds.map_batches(norm, batch_format="pyarrow")
+    turns_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tn", pa.string()),
+        ]
+    )
+
+    boiler = _boilerplate_turns(sf_dir, _SFT_BOILER_MIN_CONVS)
+
+    def bp_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["is_boilerplate"], 1))
+        return pa.table({"tn": t["text_norm"], "bp": pa.array([1] * t.num_rows, pa.int64())})
+
+    boiler = boiler.map_batches(bp_only, batch_format="pyarrow")
+    boiler_schema = pa.schema([("tn", pa.string()), ("bp", pa.int64())])
+
+    joined = hash_join(
+        turns,
+        boiler,
+        on="tn",
+        how="left",
+        left_schema=turns_schema,
+        right_schema=boiler_schema,
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["bp"]))
+        return t.drop_columns(["tn", "bp"])
+
+    cleaned = joined.map_batches(survivors, batch_format="pyarrow")
+    cleaned_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+        ]
+    )
+
+    qa = q99_conv_qa(sf_dir)
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["first_role"], "user"), pc.equal(t["n_orphan_tool"], 0)
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {"conv_id": t["conv_id"], "qa_gate": pa.array([1] * t.num_rows, pa.int64())}
+        )
+
+    qa = qa.map_batches(gate, batch_format="pyarrow")
+    qa_schema = pa.schema([("conv_id", pa.string()), ("qa_gate", pa.int64())])
+
+    kept = hash_join(
+        cleaned,
+        qa,
+        on="conv_id",
+        how="inner",
+        left_schema=cleaned_schema,
+        right_schema=qa_schema,
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("turn_idx", "ascending")])
+        role = t["role"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(role), dtype=bool)
+        keep[1:] = (role[1:] == "assistant") & (role[:-1] == "user")
+        idx = np.flatnonzero(keep)
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    t["conv_id"].to_numpy(zero_copy_only=False)[idx], pa.string()
+                ),
+                "turn_idx": pa.array(
+                    t["turn_idx"].to_numpy(zero_copy_only=False)[idx].astype(np.int64),
+                    pa.int64(),
+                ),
+                "prompt": pa.array(txt[idx - 1] if len(idx) else [], pa.string()),
+                "response": pa.array(txt[idx] if len(idx) else [], pa.string()),
+            }
+        )
+
+    return kept.groupby("conv_id").map_groups(pairs, batch_format="pyarrow")
+
+
+def _q102_sql(transcripts_path: str, min_convs: int = None) -> str:
+    if min_convs is None:
+        min_convs = _SFT_BOILER_MIN_CONVS
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text, trim(lower(text)) AS tn
+  FROM read_parquet('{transcripts_path}/*.parquet')
+),
+b AS (
+  SELECT tn FROM t GROUP BY tn
+  HAVING count(*) >= 2 AND count(DISTINCT conv_id) >= {min_convs}
+),
+qa_w AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM t
+),
+qa AS (
+  SELECT conv_id
+  FROM qa_w
+  GROUP BY conv_id
+  HAVING sum(CASE WHEN role = 'tool'
+                       AND (prev_role IS NULL OR prev_role <> 'assistant')
+                  THEN 1 ELSE 0 END) = 0
+     AND min(CASE WHEN rn = 1 THEN role END) = 'user'
+),
+c AS (
+  SELECT t.conv_id, t.turn_idx, t.role, t.text
+  FROM t ANTI JOIN b USING (tn)
+  WHERE t.conv_id IN (SELECT conv_id FROM qa)
+),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+  FROM c
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       prev_text AS prompt, text AS response
+FROM w WHERE role = 'assistant' AND prev_role = 'user'
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5671,6 +5846,7 @@ RAY_QUERIES = {
     "q99_conv_qa": q99_conv_qa,
     "q100_boilerplate_turns": q100_boilerplate_turns,
     "q101_mixture_sample": q101_mixture_sample,
+    "q102_sft_clean": q102_sft_clean,
 }
 
 ORACLE_SQL = {
@@ -6334,6 +6510,9 @@ GROUP BY conv_id
     sql["q99_conv_qa"] = _q99_sql(path)
     # Twin of q100: cross-conversation boilerplate-turn counts.
     sql["q100_boilerplate_turns"] = _q100_sql(path)
+    # Twin of q102: the composed SFT-curation chain (anti join + QA gate
+    # + lag-window pairing over the cleaned sequence).
+    sql["q102_sft_clean"] = _q102_sql(path)
     # Twin of q94: per-triple temporal provenance (the full flagship
     # rewrite chain + the per-turn timestamp join).
     sql["q94_kg_triple_provenance"] = _q94_sql(path)

@@ -207,3 +207,57 @@ class TestMixtureSample:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSftClean:
+    """q102 — the composed SFT-curation chain (boilerplate anti-join ->
+    conversation QA gate -> pair extraction over the CLEANED sequence)."""
+
+    def test_twin(self, ray_session):
+        from ner_ray.pipelines.queries import _q102_sql, transcripts_path_for
+
+        _twin_check("q102_sft_clean", _q102_sql(transcripts_path_for(SF)))
+
+    def test_independent_pandas(self, ray_session):
+        from ner_ray.pipelines.queries import (
+            _SFT_BOILER_MIN_CONVS,
+            q102_sft_clean,
+        )
+
+        tx = _fixture_df()
+        tx["tn"] = tx["text"].str.lower().str.strip()
+        g = tx.groupby("tn").agg(
+            n=("conv_id", "size"), nc=("conv_id", "nunique")
+        )
+        boiler = set(g[(g["n"] >= 2) & (g["nc"] >= _SFT_BOILER_MIN_CONVS)].index)
+        # QA gate over ORIGINAL order
+        ok_convs = set()
+        for conv_id, grp in tx.sort_values("turn_idx").groupby("conv_id"):
+            roles = grp["role"].to_numpy()
+            prev = np.r_[[None], roles[:-1]]
+            has_prev = np.r_[False, np.ones(len(roles) - 1, bool)]
+            orphan = (roles == "tool") & ~(has_prev & (prev == "assistant"))
+            if roles[0] == "user" and not orphan.any():
+                ok_convs.add(conv_id)
+        rows = []
+        cleaned = tx[~tx["tn"].isin(boiler) & tx["conv_id"].isin(ok_convs)]
+        for conv_id, grp in cleaned.sort_values("turn_idx").groupby("conv_id"):
+            roles = grp["role"].to_numpy()
+            texts = grp["text"].to_numpy()
+            tis = grp["turn_idx"].to_numpy()
+            for i in range(1, len(roles)):
+                if roles[i] == "assistant" and roles[i - 1] == "user":
+                    rows.append((conv_id, int(tis[i]), texts[i - 1], texts[i]))
+        want = (
+            pd.DataFrame(rows, columns=["conv_id", "turn_idx", "prompt", "response"])
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        got = (
+            q102_sft_clean(SF)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)[want.columns]
+        )
+        assert len(got) > 0, "composed pipeline must emit pairs on the fixture"
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
