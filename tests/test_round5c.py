@@ -261,3 +261,24 @@ class TestSftClean:
         )
         assert len(got) > 0, "composed pipeline must emit pairs on the fixture"
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_broadcast_and_join_paths_equal(self, ray_session, monkeypatch):
+        """The boilerplate flag applies broadcast under _BP_BROADCAST_CAP
+        and via the bucketed left join above it — both paths must emit
+        identical pairs (the house fast-path/fallback equality law)."""
+        import ner_ray.pipelines.queries as q
+
+        fast = (
+            q.q102_sft_clean(SF)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        monkeypatch.setattr(q, "_BP_BROADCAST_CAP", 0)
+        slow = (
+            q.q102_sft_clean(SF)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, slow[fast.columns])
