@@ -52,10 +52,21 @@ secs = time.perf_counter() - t0
 df["conv_ids"] = df["conv_ids"].map(lambda v: ",".join(sorted(v)))
 df = df.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 blob = df.to_csv(index=False, float_format="%.6f").encode()
+
+# also cross-topology-check the composed SFT-curation chain (q102): its
+# broadcast flag + conv-hash segmented kernel must be partition- and
+# node-placement-independent too
+from ner_ray.pipelines.queries import q102_sft_clean
+pairs = q102_sft_clean("/root/testdata/sf0.01").to_pandas()
+pairs = pairs.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+pairs_blob = pairs.to_csv(index=False).encode()
+
 print(json.dumps({
     "nodes": n_nodes,
     "n_triples": int(len(df)),
     "hash": hashlib.sha256(blob).hexdigest(),
+    "n_pairs": int(len(pairs)),
+    "pairs_hash": hashlib.sha256(pairs_blob).hexdigest(),
     "secs": round(secs, 2),
 }))
 ray.shutdown()
@@ -116,6 +127,8 @@ def main() -> dict:
         "n_triples": two["n_triples"],
         "hash_2node": two["hash"][:16],
         "hash_1node": one["hash"][:16],
+        "pairs_identical": two["pairs_hash"] == one["pairs_hash"],
+        "n_pairs": two["n_pairs"],
         "kg_seconds_2node": two["secs"],
         "kg_seconds_1node": one["secs"],
     }
