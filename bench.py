@@ -149,6 +149,7 @@ def run_bench() -> dict:
         "q100_boilerplate_turns",
         "q101_mixture_sample",
         "q102_sft_clean",
+        "q103_token_budget_cut",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -5722,6 +5722,121 @@ FROM w WHERE role = 'assistant' AND prev_role = 'user'
 """
 
 
+_TBC_BUCKETS = 4096
+_TBC_SHIFT = 64 - 12  # bucket = h >> 52, 4096 equal h-space slices
+
+
+def q103_token_budget_cut(sf_dir: str) -> Dataset:
+    """Token-budget corpus cut — the "fill a 10B-token training mix" step:
+    select documents in deterministic splitmix64(doc_id) order until the
+    global token budget (here: half the corpus' tokens, computed in-plan
+    as an exact integer) is filled; a doc is IN iff the cumulative token
+    mass strictly before it (hash order, doc_id tie-break) is under the
+    budget.  Reproducible across runs, cluster sizes, and partitionings.
+
+    Scale shape — the distributed prefix-threshold pattern: a global
+    ordered prefix sum never materializes.  One narrow feature pass
+    ((doc_id, n_tokens, h, bucket) — 4 fixed-width columns; the text
+    stays in the read stage) is staged with ``materialize()`` because
+    three passes consume it and re-tokenizing the corpus per pass costs
+    more than object-store-resident narrow rows.  Pass 1 folds per-block
+    bucket-mass partials ({_TBC_BUCKETS} h-space slices) into a
+    driver-side prefix array (tiny).  Buckets whose prefix-end <= budget
+    are selected WHOLE by a broadcast flag (no per-doc prefix needed);
+    exactly ONE boundary bucket straddles the budget and only its docs
+    (~corpus/{_TBC_BUCKETS}, h is uniform) gather to a single task for
+    the exact in-bucket resolution.  Twin = the window-cumsum definition
+    (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)."""
+    from ner_ray.stages.lm import _tokenize_flat
+    from ner_ray.stages.sketches import splitmix64
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def feat(t: pa.Table) -> pa.Table:
+        parent, _flat = _tokenize_flat(t["text"])
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "bkt": pa.array((h >> np.uint64(_TBC_SHIFT)).astype(np.int64)),
+            }
+        )
+
+    feats = ds.map_batches(feat, batch_format="pyarrow").materialize()
+
+    def bucket_mass(t: pa.Table) -> pa.Table:
+        b = t["bkt"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        m = np.bincount(b, weights=n, minlength=_TBC_BUCKETS).astype(np.int64)
+        nz = np.flatnonzero(m)
+        return pa.table(
+            {"bkt": pa.array(nz, pa.int64()), "m": pa.array(m[nz], pa.int64())}
+        )
+
+    parts = feats.map_batches(bucket_mass, batch_format="pyarrow").to_pandas()
+    mass = np.zeros(_TBC_BUCKETS, dtype=np.int64)
+    np.add.at(mass, parts["bkt"].to_numpy(), parts["m"].to_numpy())
+    prefix = np.zeros(_TBC_BUCKETS + 1, dtype=np.int64)
+    prefix[1:] = np.cumsum(mass)
+    budget = int(prefix[-1]) // 2
+    # bucket k: fully selected iff prefix[k+1] <= budget; untouched iff
+    # prefix[k] >= budget; exactly one boundary bucket otherwise.
+    full = prefix[1:] <= budget
+    boundary = np.flatnonzero((prefix[:-1] < budget) & (prefix[1:] > budget))
+    b_star = int(boundary[0]) if len(boundary) else -1
+    base = int(prefix[b_star]) if b_star >= 0 else 0
+
+    def take_full(t: pa.Table) -> pa.Table:
+        b = t["bkt"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(full[b])).select(["doc_id", "n_tokens"])
+
+    selected = feats.map_batches(take_full, batch_format="pyarrow")
+
+    if b_star >= 0:
+
+        def resolve(t: pa.Table) -> pa.Table:
+            t = t.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+            n = t["n_tokens"].to_numpy(zero_copy_only=False)
+            cb = base + np.cumsum(n) - n
+            return t.filter(pa.array(cb < budget)).select(["doc_id", "n_tokens"])
+
+        edge = (
+            feats.filter(expr=f"bkt == {b_star}")
+            .repartition(1)
+            .map_batches(resolve, batch_format="pyarrow", batch_size=None)
+        )
+        selected = selected.union(edge)
+
+    return selected
+
+
+def _q103_sql() -> str:
+    return f"""
+WITH {_splitmix_hugeint_ctes()},
+t AS (
+  SELECT d.doc_id,
+         len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+         h.h
+  FROM documents d JOIN h USING (doc_id)
+),
+tot AS (SELECT sum(n_tokens)::BIGINT // 2 AS b FROM t),
+w AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM t
+)
+SELECT doc_id, n_tokens FROM w, tot WHERE w.cb < tot.b
+"""
+
+
+SQL_Q103 = _q103_sql()
+
+
 # ---------------------------------------------------------------------------
 
 # Priority-ordered: every oracle-backed query first (these carry the
@@ -5904,6 +6019,9 @@ RAY_QUERIES = {
     "kg_entity_audit": kg_entity_audit,
     # final-session additions: transcript hygiene QA, cross-conversation
     # boilerplate-turn detection, temperature mixture sampling
+    # continuation-session addition past the cap (twinned, pytest-swept):
+    # token-budget corpus cut via the distributed prefix-threshold pattern
+    "q103_token_budget_cut": q103_token_budget_cut,
     # demoted from the window in the continuation-session rotation
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -5964,6 +6082,7 @@ ORACLE_SQL = {
         key_expr=f"(epoch_us(ts) // {_Q98_DAY_US})::BIGINT", key_name="day"
     ),
     "q101_mixture_sample": SQL_Q101,
+    "q103_token_budget_cut": SQL_Q103,
     "q58_inverted_search": _inverted_sql(),
     "q59_full_outer_join": SQL_Q59,
     "q60_window_funcs": SQL_Q60,

@@ -282,3 +282,40 @@ class TestSftClean:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(fast, slow[fast.columns])
+
+
+class TestTokenBudgetCut:
+    """q103 — greedy hash-order prefix under a global token budget via
+    the distributed prefix-threshold pattern (bucket masses + one
+    boundary-bucket resolution)."""
+
+    def test_twin(self, ray_session):
+        _twin_check("q103_token_budget_cut")
+
+    def test_independent_pandas_and_prefix_law(self, ray_session):
+        from ner_ray.pipelines.queries import q103_token_budget_cut
+        from ner_ray.stages.lm import _tokenize_flat
+        from ner_ray.stages.sketches import splitmix64
+
+        import pyarrow as pa
+
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        parent, _ = _tokenize_flat(pa.array(docs["text"].tolist(), pa.string()))
+        n = np.bincount(parent, minlength=len(docs)).astype(np.int64)
+        ids = docs["doc_id"].to_numpy(np.int64)
+        h = splitmix64(ids.astype(np.uint64))
+        order = np.lexsort((ids, h))
+        cb = np.zeros(len(ids), dtype=np.int64)
+        cb[order] = np.cumsum(n[order]) - n[order]
+        budget = int(n.sum()) // 2
+        want = set(ids[cb < budget].astype(int))
+
+        got = q103_token_budget_cut(SF).to_pandas()
+        assert set(got["doc_id"].astype(int)) == want
+        # greedy-prefix maximality: the selection reaches the budget and
+        # removing its last (hash-order) doc would drop under it
+        sel_mask = np.isin(ids, list(want))
+        total_sel = int(n[sel_mask].sum())
+        assert total_sel >= budget
+        last = order[np.isin(order, np.flatnonzero(sel_mask))][-1]
+        assert total_sel - int(n[last]) < budget
