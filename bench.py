@@ -150,6 +150,7 @@ def run_bench() -> dict:
         "q101_mixture_sample",
         "q102_sft_clean",
         "q103_token_budget_cut",
+        "q104_corpus_report",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

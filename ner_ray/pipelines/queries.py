@@ -5837,6 +5837,108 @@ SELECT doc_id, n_tokens FROM w, tot WHERE w.cb < tot.b
 SQL_Q103 = _q103_sql()
 
 
+_REPORT_SHORT_TOKENS = 10
+
+
+def q104_corpus_report(sf_dir: str) -> pd.DataFrame:
+    """One-row corpus datasheet — the summary a data curator publishes
+    with a release (a "datasheets for datasets" header row): document /
+    source / language counts, token totals and extrema, exact-duplicate
+    document count (the q13 normalized-md5 fingerprint), and the
+    short-document count (< {_REPORT_SHORT_TOKENS} tokens).  Every stat
+    is an exact integer (mean quantized to micros by integer division)
+    so the twin is hash-exact with zero FP-order hazard.  Scale shape:
+    ONE narrow feature pass ((n_tokens, lang, source, fp) — the text
+    stays in the read stage) staged with ``materialize()`` because two
+    aggregates consume it: (a) per-block partial sums/max/short-counts
+    plus block-local distinct lang/source sets folded driver-side
+    (|blocks| tiny rows — the no-shuffle combiner), (b) the distinct
+    fingerprint count via one digest-only groupby (the q13 shuffle)."""
+    from ner_ray.functions.texttools import md5_fingerprint
+    from ner_ray.stages.lm import _tokenize_flat
+
+    ds = read_parquet_clean(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def feat(t: pa.Table) -> pa.Table:
+        parent, _flat = _tokenize_flat(t["text"])
+        n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        fps = [md5_fingerprint(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "n": pa.array(n, pa.int64()),
+                "lang": t["lang"],
+                "source": t["source"],
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    feats = ds.map_batches(feat, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "total_tokens": pa.array([int(n.sum()) if len(n) else 0], pa.int64()),
+                "max_tokens": pa.array([int(n.max()) if len(n) else 0], pa.int64()),
+                "short_docs": pa.array(
+                    [int((n < _REPORT_SHORT_TOKENS).sum())], pa.int64()
+                ),
+                "langs": pa.array(
+                    ["\x1e".join(sorted(set(t["lang"].to_pylist())))], pa.string()
+                ),
+                "sources": pa.array(
+                    ["\x1e".join(sorted(set(t["source"].to_pylist())))], pa.string()
+                ),
+            }
+        )
+
+    parts = feats.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    total_tokens = int(parts["total_tokens"].sum())
+    langs = set()
+    sources = set()
+    for s in parts["langs"]:
+        langs.update(x for x in s.split("\x1e") if x)
+    for s in parts["sources"]:
+        sources.update(x for x in s.split("\x1e") if x)
+    distinct_fps = feats.groupby("fp").count().count()
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_sources": [len(sources)],
+            "n_langs": [len(langs)],
+            "total_tokens": [total_tokens],
+            "max_tokens": [int(parts["max_tokens"].max())],
+            "mean_tokens_micros": [(total_tokens * 1_000_000) // max(1, n_docs)],
+            "dup_docs": [n_docs - int(distinct_fps)],
+            "short_docs": [int(parts["short_docs"].sum())],
+        }
+    ).astype("int64")
+
+
+SQL_Q104 = rf"""
+WITH t AS (
+  SELECT lang, source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       sum(n)::BIGINT AS total_tokens,
+       max(n)::BIGINT AS max_tokens,
+       (sum(n)::BIGINT * 1000000) // count(*)::BIGINT AS mean_tokens_micros,
+       (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs,
+       sum(CASE WHEN n < {_REPORT_SHORT_TOKENS} THEN 1 ELSE 0 END)::BIGINT
+         AS short_docs
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # Priority-ordered: every oracle-backed query first (these carry the
@@ -6019,9 +6121,11 @@ RAY_QUERIES = {
     "kg_entity_audit": kg_entity_audit,
     # final-session additions: transcript hygiene QA, cross-conversation
     # boilerplate-turn detection, temperature mixture sampling
-    # continuation-session addition past the cap (twinned, pytest-swept):
-    # token-budget corpus cut via the distributed prefix-threshold pattern
+    # continuation-session additions past the cap (twinned, pytest-swept):
+    # token-budget corpus cut via the distributed prefix-threshold pattern,
+    # and the one-row corpus datasheet
     "q103_token_budget_cut": q103_token_budget_cut,
+    "q104_corpus_report": q104_corpus_report,
     # demoted from the window in the continuation-session rotation
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -6083,6 +6187,7 @@ ORACLE_SQL = {
     ),
     "q101_mixture_sample": SQL_Q101,
     "q103_token_budget_cut": SQL_Q103,
+    "q104_corpus_report": SQL_Q104,
     "q58_inverted_search": _inverted_sql(),
     "q59_full_outer_join": SQL_Q59,
     "q60_window_funcs": SQL_Q60,

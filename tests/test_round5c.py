@@ -319,3 +319,37 @@ class TestTokenBudgetCut:
         assert total_sel >= budget
         last = order[np.isin(order, np.flatnonzero(sel_mask))][-1]
         assert total_sel - int(n[last]) < budget
+
+
+class TestCorpusReport:
+    """q104 — the one-row exact-integer corpus datasheet."""
+
+    def test_twin(self, ray_session):
+        _twin_check("q104_corpus_report")
+
+    def test_independent_pandas(self, ray_session):
+        from ner_ray.functions.texttools import md5_fingerprint
+        from ner_ray.pipelines.queries import (
+            _REPORT_SHORT_TOKENS,
+            q104_corpus_report,
+        )
+        from ner_ray.stages.lm import _tokenize_flat
+
+        import pyarrow as pa
+
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        parent, _ = _tokenize_flat(pa.array(docs["text"].tolist(), pa.string()))
+        n = np.bincount(parent, minlength=len(docs)).astype(np.int64)
+        fps = docs["text"].map(md5_fingerprint)
+        want = {
+            "n_docs": len(docs),
+            "n_sources": docs["source"].nunique(),
+            "n_langs": docs["lang"].nunique(),
+            "total_tokens": int(n.sum()),
+            "max_tokens": int(n.max()),
+            "mean_tokens_micros": (int(n.sum()) * 1_000_000) // len(docs),
+            "dup_docs": len(docs) - fps.nunique(),
+            "short_docs": int((n < _REPORT_SHORT_TOKENS).sum()),
+        }
+        got = q104_corpus_report(SF).iloc[0].to_dict()
+        assert got == want
