@@ -5756,6 +5756,14 @@ def q103_token_budget_cut(sf_dir: str) -> Dataset:
         parent, _flat = _tokenize_flat(t["text"])
         n = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # zero-token docs occupy no budget and are excluded outright: with
+        # them, a doc whose cum_before lands EXACTLY on a full-bucket edge
+        # equal to the budget is selected by the whole-bucket flag but not
+        # by the window rule (caught by TestPrefixThresholdLaw); with every
+        # n > 0, cum_before < prefix_end holds strictly and the whole-bucket
+        # flag is exact.
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
         h = splitmix64(ids.astype(np.uint64))
         return pa.table(
             {
@@ -5817,12 +5825,13 @@ def q103_token_budget_cut(sf_dir: str) -> Dataset:
 def _q103_sql() -> str:
     return f"""
 WITH {_splitmix_hugeint_ctes()},
-t AS (
+t0 AS (
   SELECT d.doc_id,
          len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))::BIGINT AS n_tokens,
          h.h
   FROM documents d JOIN h USING (doc_id)
 ),
+t AS (SELECT * FROM t0 WHERE n_tokens > 0),
 tot AS (SELECT sum(n_tokens)::BIGINT // 2 AS b FROM t),
 w AS (
   SELECT doc_id, n_tokens,

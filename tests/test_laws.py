@@ -225,3 +225,61 @@ class TestSplitmix64KnownAnswers:
         )
         got = splitmix64(states)
         assert tuple(int(v) for v in got) == self.EXPECT
+
+
+class TestPrefixThresholdLaw:
+    """The q103 distributed prefix-threshold selection (bucket masses +
+    whole-bucket flags + one boundary-bucket resolution) must equal the
+    window-cumsum definition (ORDER BY h, id; cum_before < budget) on
+    ARBITRARY corpora — including h-collisions, empty buckets, and budgets
+    landing exactly on bucket edges.  The op's contract excludes
+    zero-token docs (they occupy no budget): WITH them, a doc whose
+    cum_before equals a full-bucket edge equal to the budget splits the
+    two definitions — this law originally generated n=0 docs and caught
+    exactly that, which is why q103 filters n > 0 on both sides."""
+
+    @staticmethod
+    def _window_rule(ids, h, n, budget):
+        order = np.lexsort((ids, h))
+        cb = np.zeros(len(ids), dtype=np.int64)
+        cb[order] = np.cumsum(n[order]) - n[order]
+        return set(ids[cb < budget].astype(int))
+
+    @staticmethod
+    def _bucket_algo(ids, h, n, budget, nb=16):
+        # the q103 algorithm at a tiny bucket count so boundaries are hit
+        shift = np.uint64(64 - int(np.log2(nb)))
+        bkt = (h >> shift).astype(np.int64)
+        mass = np.bincount(bkt, weights=n, minlength=nb).astype(np.int64)
+        prefix = np.zeros(nb + 1, dtype=np.int64)
+        prefix[1:] = np.cumsum(mass)
+        full = prefix[1:] <= budget
+        boundary = np.flatnonzero((prefix[:-1] < budget) & (prefix[1:] > budget))
+        sel = set(ids[full[bkt]].astype(int))
+        if len(boundary):
+            b = int(boundary[0])
+            base = int(prefix[b])
+            m = bkt == b
+            sub_ids, sub_h, sub_n = ids[m], h[m], n[m]
+            o = np.lexsort((sub_ids, sub_h))
+            cb = base + np.cumsum(sub_n[o]) - sub_n[o]
+            sel |= set(sub_ids[o][cb < budget].astype(int))
+        return sel
+
+    def test_equal_on_random_corpora(self):
+        rng = np.random.default_rng(7)
+        for trial in range(200):
+            m = int(rng.integers(1, 60))
+            ids = rng.choice(10_000, size=m, replace=False).astype(np.int64)
+            # force h-collisions sometimes: quantize hashes coarsely
+            if trial % 3 == 0:
+                h = (rng.integers(0, 8, size=m, dtype=np.uint64)
+                     << np.uint64(61))
+            else:
+                h = rng.integers(0, 2**63, size=m, dtype=np.uint64) * np.uint64(2)
+            n = rng.integers(1, 51, size=m).astype(np.int64)
+            total = int(n.sum())
+            for budget in {0, 1, total // 2, total, total + 5}:
+                want = self._window_rule(ids, h, n, budget)
+                got = self._bucket_algo(ids, h, n, budget)
+                assert got == want, (trial, budget)
