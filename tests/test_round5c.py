@@ -353,3 +353,76 @@ class TestCorpusReport:
         }
         got = q104_corpus_report(SF).iloc[0].to_dict()
         assert got == want
+
+
+class TestCurationFaultTolerance:
+    """Task-retry evidence for the catalog ops (the flagship's round-4
+    fault test covers ACTOR restart; q102 is a task-pool plan, so the
+    failure mode it must survive is a killed map-task worker — Ray
+    re-executes lost tasks from lineage)."""
+
+    def test_worker_killed_mid_q102_output_identical(self, tmp_path, ray_session):
+        import os
+        import signal
+        import subprocess
+        import threading
+        import time
+
+        from ner_ray.fixtures.transcripts import TranscriptConfig, write_transcripts
+        import ner_ray.pipelines.queries as q
+
+        # a corpus big enough that the run outlives the kill window on the
+        # 4-cpu session cluster
+        sf_dir = str(tmp_path / "sf")
+        os.makedirs(sf_dir, exist_ok=True)
+        tx = os.path.join(sf_dir, "transcripts")
+        write_transcripts(tx, TranscriptConfig(n_convs=2500, seed=11), shards=8)
+
+        orig = q.transcripts_path_for
+        patched = lambda s: tx if s == sf_dir else orig(s)  # noqa: E731
+        q.transcripts_path_for = patched
+        try:
+            def run():
+                return (
+                    q.q102_sft_clean(sf_dir)
+                    .to_pandas()
+                    .sort_values(["conv_id", "turn_idx"])
+                    .reset_index(drop=True)
+                )
+
+            baseline = run()
+            assert len(baseline) > 0
+
+            result: dict = {}
+
+            def target():
+                try:
+                    result["df"] = run()
+                except Exception as exc:
+                    result["err"] = exc
+
+            t = threading.Thread(target=target)
+            t.start()
+            killed = None
+            deadline = time.time() + 90
+            while time.time() < deadline and killed is None and t.is_alive():
+                out = subprocess.run(
+                    ["ps", "-eo", "pid,args"], capture_output=True, text=True
+                ).stdout
+                for line in out.splitlines():
+                    if "ray::MapBatches" in line or "ray::Map(" in line:
+                        pid = int(line.strip().split(None, 1)[0])
+                        try:
+                            os.kill(pid, signal.SIGKILL)
+                            killed = pid
+                        except ProcessLookupError:
+                            continue
+                        break
+                time.sleep(0.05)
+            t.join(timeout=300)
+            if killed is None:
+                pytest.skip("no in-flight map worker observed to kill")
+            assert "err" not in result, result.get("err")
+            pd.testing.assert_frame_equal(result["df"], baseline)
+        finally:
+            q.transcripts_path_for = orig
