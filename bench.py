@@ -151,6 +151,7 @@ def run_bench() -> dict:
         "q102_sft_clean",
         "q103_token_budget_cut",
         "q104_corpus_report",
+        "q105_corpus_diff",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -5928,6 +5928,106 @@ def q104_corpus_report(sf_dir: str) -> pd.DataFrame:
     ).astype("int64")
 
 
+def q105_corpus_diff(sf_dir: str) -> Dataset:
+    """Corpus-versioning diff — what changed between two snapshots of a
+    living corpus (the audit a curator runs before re-training on a
+    refreshed crawl): per doc_id, ``added`` (only in v2), ``removed``
+    (only in v1), or ``changed`` (present in both, text fingerprint
+    differs); unchanged docs are omitted.  Snapshots are derived
+    deterministically from the documents table (v1 = doc_id%3!=0, v2 =
+    doc_id%5!=0, v2 mutates text of doc_id%7==0) so the op is
+    self-contained and the twin replays the same derivation.  Scale
+    shape: both sides reduce to narrow ``(doc_id, fp)`` rows at the
+    read (text never shuffles), then ONE bucketed full-outer
+    ``hash_join`` + a vectorized status kernel."""
+    import hashlib
+
+    from ner_ray.stages.joins import hash_join
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _mod(ids: np.ndarray, k: int) -> np.ndarray:
+        return ids % k
+
+    def v1_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _mod(ids, 3) != 0
+        texts = np.asarray(t["text"].to_pylist(), dtype=object)[keep]
+        fps = [hashlib.md5(x.encode()).hexdigest() for x in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "fp1": pa.array(fps, pa.string()),
+            }
+        )
+
+    def v2_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _mod(ids, 5) != 0
+        ids2 = ids[keep]
+        texts = np.asarray(t["text"].to_pylist(), dtype=object)[keep]
+        mut = _mod(ids2, 7) == 0
+        fps = [
+            hashlib.md5((x + " v2").encode() if m else x.encode()).hexdigest()
+            for x, m in zip(texts, mut)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids2, pa.int64()),
+                "fp2": pa.array(fps, pa.string()),
+            }
+        )
+
+    v1 = ds.map_batches(v1_rows, batch_format="pyarrow")
+    v2 = ds.map_batches(v2_rows, batch_format="pyarrow")
+    s_int = pa.schema([("doc_id", pa.int64())])
+    joined = hash_join(
+        v1,
+        v2,
+        on="doc_id",
+        how="full",
+        left_schema=s_int.append(pa.field("fp1", pa.string())),
+        right_schema=s_int.append(pa.field("fp2", pa.string())),
+    )
+
+    def status(t: pa.Table) -> pa.Table:
+        f1 = t["fp1"].to_numpy(zero_copy_only=False)
+        f2 = t["fp2"].to_numpy(zero_copy_only=False)
+        added = pd.isna(f1)
+        removed = pd.isna(f2)
+        st = np.where(
+            added, "added", np.where(removed, "removed", np.where(f1 != f2, "changed", "same"))
+        )
+        keep = st != "same"
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "status": pa.array(st[keep].tolist(), pa.string()),
+            }
+        )
+
+    return joined.map_batches(status, batch_format="pyarrow")
+
+
+SQL_Q105 = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS fp1 FROM documents WHERE doc_id % 3 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp2
+  FROM documents WHERE doc_id % 5 <> 0
+),
+j AS (SELECT doc_id, fp1, fp2 FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+SELECT doc_id,
+       CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j
+WHERE fp1 IS NULL OR fp2 IS NULL OR fp1 <> fp2
+"""
+
+
 SQL_Q104 = rf"""
 WITH t AS (
   SELECT lang, source,
@@ -6135,6 +6235,7 @@ RAY_QUERIES = {
     # and the one-row corpus datasheet
     "q103_token_budget_cut": q103_token_budget_cut,
     "q104_corpus_report": q104_corpus_report,
+    "q105_corpus_diff": q105_corpus_diff,
     # demoted from the window in the continuation-session rotation
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -6197,6 +6298,7 @@ ORACLE_SQL = {
     "q101_mixture_sample": SQL_Q101,
     "q103_token_budget_cut": SQL_Q103,
     "q104_corpus_report": SQL_Q104,
+    "q105_corpus_diff": SQL_Q105,
     "q58_inverted_search": _inverted_sql(),
     "q59_full_outer_join": SQL_Q59,
     "q60_window_funcs": SQL_Q60,

@@ -426,3 +426,42 @@ class TestCurationFaultTolerance:
             pd.testing.assert_frame_equal(result["df"], baseline)
         finally:
             q.transcripts_path_for = orig
+
+
+class TestCorpusDiff:
+    """q105 — snapshot diff (added / removed / changed by fingerprint)."""
+
+    def test_twin(self, ray_session):
+        _twin_check("q105_corpus_diff")
+
+    def test_independent_pandas(self, ray_session):
+        import hashlib
+
+        from ner_ray.pipelines.queries import q105_corpus_diff
+
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        ids = docs["doc_id"].to_numpy()
+        v1 = {
+            int(i): hashlib.md5(t.encode()).hexdigest()
+            for i, t in zip(ids, docs["text"])
+            if i % 3 != 0
+        }
+        v2 = {
+            int(i): hashlib.md5(
+                ((t + " v2") if i % 7 == 0 else t).encode()
+            ).hexdigest()
+            for i, t in zip(ids, docs["text"])
+            if i % 5 != 0
+        }
+        want = {}
+        for i in set(v1) | set(v2):
+            if i not in v1:
+                want[i] = "added"
+            elif i not in v2:
+                want[i] = "removed"
+            elif v1[i] != v2[i]:
+                want[i] = "changed"
+        got = q105_corpus_diff(SF).to_pandas()
+        assert dict(zip(got["doc_id"].astype(int), got["status"])) == want
+        # every status class must actually occur on the fixture
+        assert set(got["status"]) == {"added", "removed", "changed"}
