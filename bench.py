@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "q103_token_budget_cut",
         "q104_corpus_report",
         "q105_corpus_diff",
+        "q106_tool_latency",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -5678,6 +5678,115 @@ def q102_sft_clean(sf_dir: str) -> Dataset:
     )
 
 
+def q106_tool_latency(sf_dir: str) -> Dataset:
+    """Per-tool turnaround statistics over agent transcripts — the
+    agent-ops dashboard row: for every tool-bearing turn, the latency to
+    the NEXT turn of the same conversation (when the pipeline regained
+    control), aggregated per tool as call count, total / max / mean
+    latency (mean exact via integer micros).  The q73/q93 bucketed
+    segmented kernel: narrow 4-column read, ONE conv-hash shuffle,
+    per-bucket (conv_id, turn_idx) sort + shift, then the tiny
+    per-tool combiner (|tools| rows, no second shuffle).  Dynamic
+    lead-window twin over the generated fixture path."""
+    from ner_ray.stages.relational import grouped_agg_partial
+    from ner_ray.utils import stable_hash64
+
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(path, columns=["conv_id", "turn_idx", "tool", "ts"])
+    num_buckets = 512
+
+    def narrow(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "tool": pc.fill_null(t["tool"], ""),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+        h = stable_hash64(out["conv_id"])  # NUL-safe
+        return out.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    empty = pa.table(
+        {
+            "tool": pa.array([], pa.string()),
+            "n_calls": pa.array([], pa.int64()),
+            "total_us": pa.array([], pa.int64()),
+            "max_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def lat_block(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        g = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        convs = g["conv_id"].to_numpy(zero_copy_only=False)
+        tools = g["tool"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # position i pairs turn i (tool-bearing) with turn i+1 of the SAME conv
+        same_next = np.r_[convs[1:] == convs[:-1], False]
+        is_tool = tools != ""
+        m = is_tool & same_next
+        if not m.any():
+            return empty
+        lat = (np.r_[ts[1:], 0] - ts)[m]
+        tbl = pa.table(
+            {"tool": pa.array(tools[m].tolist(), pa.string()), "lat": pa.array(lat, pa.int64())}
+        )
+        c = tbl.group_by(["tool"]).aggregate(
+            [("lat", "count"), ("lat", "sum"), ("lat", "max")]
+        )
+        return pa.table(
+            {
+                "tool": c["tool"],
+                "n_calls": pc.cast(c["lat_count"], pa.int64()),
+                "total_us": pc.cast(c["lat_sum"], pa.int64()),
+                "max_us": pc.cast(c["lat_max"], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(narrow, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(lat_block, batch_format="pyarrow")
+    )
+    out = grouped_agg_partial(
+        parts,
+        keys=["tool"],
+        sums={"n_calls": "n_calls", "total_us": "total_us"},
+        maxs={"max_us": "max_us"},
+    )
+    out["n_calls"] = out["n_calls"].astype("int64")
+    out["total_us"] = out["total_us"].astype("int64")
+    out["max_us"] = out["max_us"].astype("int64")
+    out["mean_us_micros"] = (out["total_us"] * 1_000_000) // out["n_calls"]
+    return out[["tool", "n_calls", "total_us", "max_us", "mean_us_micros"]].reset_index(
+        drop=True
+    )
+
+
+def _q106_sql(transcripts_path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool, epoch_us(ts)::BIGINT AS ts_us
+  FROM read_parquet('{transcripts_path}/*.parquet')
+),
+w AS (
+  SELECT conv_id, tool, ts_us,
+         lead(ts_us) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_us
+  FROM t
+),
+l AS (
+  SELECT tool, (next_us - ts_us) AS lat
+  FROM w WHERE tool IS NOT NULL AND tool <> '' AND next_us IS NOT NULL
+)
+SELECT tool, count(*)::BIGINT AS n_calls, sum(lat)::BIGINT AS total_us,
+       max(lat)::BIGINT AS max_us,
+       (sum(lat)::BIGINT * 1000000) // count(*)::BIGINT AS mean_us_micros
+FROM l GROUP BY tool
+"""
+
+
 def _q102_sql(transcripts_path: str, min_convs: int = None) -> str:
     if min_convs is None:
         min_convs = _SFT_BOILER_MIN_CONVS
@@ -6236,6 +6345,7 @@ RAY_QUERIES = {
     "q103_token_budget_cut": q103_token_budget_cut,
     "q104_corpus_report": q104_corpus_report,
     "q105_corpus_diff": q105_corpus_diff,
+    "q106_tool_latency": q106_tool_latency,
     # demoted from the window in the continuation-session rotation
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -6911,6 +7021,8 @@ GROUP BY conv_id
     # Twin of q102: the composed SFT-curation chain (anti join + QA gate
     # + lag-window pairing over the cleaned sequence).
     sql["q102_sft_clean"] = _q102_sql(path)
+    # Twin of q106: per-tool turnaround stats (lead window over the fixture).
+    sql["q106_tool_latency"] = _q106_sql(path)
     # Twin of q94: per-triple temporal provenance (the full flagship
     # rewrite chain + the per-turn timestamp join).
     sql["q94_kg_triple_provenance"] = _q94_sql(path)

@@ -465,3 +465,38 @@ class TestCorpusDiff:
         assert dict(zip(got["doc_id"].astype(int), got["status"])) == want
         # every status class must actually occur on the fixture
         assert set(got["status"]) == {"added", "removed", "changed"}
+
+
+class TestToolLatency:
+    """q106 — per-tool turnaround statistics."""
+
+    def test_twin(self, ray_session):
+        from ner_ray.pipelines.queries import _q106_sql, transcripts_path_for
+
+        _twin_check("q106_tool_latency", _q106_sql(transcripts_path_for(SF)))
+
+    def test_independent_pandas(self, ray_session):
+        from ner_ray.pipelines.queries import q106_tool_latency
+
+        tx = _fixture_df().sort_values(["conv_id", "turn_idx"])
+        rows = []
+        for _, g in tx.groupby("conv_id", sort=False):
+            ts = g["ts"].astype("int64").to_numpy()
+            tools = g["tool"].fillna("").to_numpy()
+            for i in range(len(g) - 1):
+                if tools[i] != "":
+                    rows.append((tools[i], int(ts[i + 1] - ts[i])))
+        want = (
+            pd.DataFrame(rows, columns=["tool", "lat"])
+            .groupby("tool")
+            .agg(n_calls=("lat", "size"), total_us=("lat", "sum"), max_us=("lat", "max"))
+            .reset_index()
+        )
+        want["mean_us_micros"] = (want["total_us"] * 1_000_000) // want["n_calls"]
+        want = want.sort_values("tool").reset_index(drop=True)
+        got = (
+            q106_tool_latency(SF)
+            .sort_values("tool")
+            .reset_index(drop=True)[want.columns]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
