@@ -153,6 +153,7 @@ def run_bench() -> dict:
         "q104_corpus_report",
         "q105_corpus_diff",
         "q106_tool_latency",
+        "q107_preference_pairs",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -5678,6 +5678,113 @@ def q102_sft_clean(sf_dir: str) -> Dataset:
     )
 
 
+def q107_preference_pairs(sf_dir: str) -> Dataset:
+    """Preference-pair mining for DPO/RLHF from agent transcripts: find
+    prompts (user turns) that the corpus answers with >= 2 DISTINCT
+    assistant responses — each such prompt yields one deterministic
+    candidate pair (the two lexicographically-smallest distinct
+    responses; a human or reward model then labels chosen/rejected).
+    The fixture genuinely contains such prompts (template draws repeat
+    across conversations with different continuations).  Composition:
+    the q80 pairing kernel (conv_id groupby under the order-restore
+    contract) -> distinct (prompt, response) -> ONE prompt-hash bucket
+    shuffle whose segmented kernel picks min and second-min response per
+    prompt.  Twin = the q80 lag-window CTE + min / conditional-min
+    grouping."""
+    from ner_ray.utils import stable_hash64
+
+    pairs = q80_sft_pairs(sf_dir)
+    num_buckets = 512
+
+    def dedup_block(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"prompt": t["prompt"], "response": t["response"]})
+            .group_by(["prompt", "response"])
+            .aggregate([("prompt", "count")])
+        )
+        out = pa.table({"prompt": g["prompt"], "response": g["response"]})
+        h = stable_hash64(out["prompt"])  # NUL-safe
+        return out.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    empty = pa.table(
+        {
+            "prompt": pa.array([], pa.string()),
+            "response_a": pa.array([], pa.string()),
+            "response_b": pa.array([], pa.string()),
+        }
+    )
+
+    def pick_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_bkt"]).sort_by(
+            [("prompt", "ascending"), ("response", "ascending")]
+        )
+        prompts = g["prompt"].to_numpy(zero_copy_only=False)
+        resp = g["response"].to_numpy(zero_copy_only=False)
+        n = len(prompts)
+        newp = np.r_[True, prompts[1:] != prompts[:-1]]
+        # distinct responses within a prompt segment (cross-block residual
+        # duplicates of the same (prompt, response) collapse here)
+        newr = newp | np.r_[True, resp[1:] != resp[:-1]]
+        starts = np.flatnonzero(newp)
+        # rank of each DISTINCT response within its prompt segment
+        seg_id = np.cumsum(newp) - 1
+        distinct_pos = np.cumsum(newr) - 1
+        seg_first_distinct = np.zeros(len(starts), dtype=np.int64)
+        seg_first_distinct = distinct_pos[starts]
+        rank = distinct_pos - seg_first_distinct[seg_id]
+        first = newr & (rank == 0)
+        second = newr & (rank == 1)
+        has_second = np.zeros(len(starts), dtype=bool)
+        np.logical_or.at(has_second, seg_id[second], True)
+        keep_seg = np.flatnonzero(has_second)
+        if len(keep_seg) == 0:
+            return empty
+        r1 = resp[first][keep_seg]
+        r2 = resp[second]  # one per segment that has one, in segment order
+        seg_of_second = seg_id[second]
+        order = np.argsort(seg_of_second, kind="stable")
+        r2 = r2[order]
+        return pa.table(
+            {
+                "prompt": pa.array(prompts[starts][keep_seg].tolist(), pa.string()),
+                "response_a": pa.array(r1.tolist(), pa.string()),
+                "response_b": pa.array(r2.tolist(), pa.string()),
+            }
+        )
+
+    return (
+        pairs.map_batches(dedup_block, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(pick_block, batch_format="pyarrow")
+    )
+
+
+def _q107_sql(transcripts_path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prev_text
+  FROM read_parquet('{transcripts_path}/*.parquet')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+p AS (
+  SELECT DISTINCT prev_text AS prompt, text AS response
+  FROM t WHERE role = 'assistant' AND prev_role = 'user'
+),
+a AS (SELECT prompt, min(response) AS response_a FROM p GROUP BY prompt),
+b AS (
+  SELECT p.prompt, min(p.response) AS response_b
+  FROM p JOIN a USING (prompt)
+  WHERE p.response > a.response_a
+  GROUP BY p.prompt
+)
+SELECT prompt, response_a, response_b FROM a JOIN b USING (prompt)
+"""
+
+
 def q106_tool_latency(sf_dir: str) -> Dataset:
     """Per-tool turnaround statistics over agent transcripts — the
     agent-ops dashboard row: for every tool-bearing turn, the latency to
@@ -6346,6 +6453,7 @@ RAY_QUERIES = {
     "q104_corpus_report": q104_corpus_report,
     "q105_corpus_diff": q105_corpus_diff,
     "q106_tool_latency": q106_tool_latency,
+    "q107_preference_pairs": q107_preference_pairs,
     # demoted from the window in the continuation-session rotation
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -7023,6 +7131,8 @@ GROUP BY conv_id
     sql["q102_sft_clean"] = _q102_sql(path)
     # Twin of q106: per-tool turnaround stats (lead window over the fixture).
     sql["q106_tool_latency"] = _q106_sql(path)
+    # Twin of q107: preference-pair mining (q80 CTE + min/conditional-min).
+    sql["q107_preference_pairs"] = _q107_sql(path)
     # Twin of q94: per-triple temporal provenance (the full flagship
     # rewrite chain + the per-turn timestamp join).
     sql["q94_kg_triple_provenance"] = _q94_sql(path)

@@ -500,3 +500,44 @@ class TestToolLatency:
             .reset_index(drop=True)[want.columns]
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestPreferencePairs:
+    """q107 — DPO/RLHF preference-pair mining (same prompt, >=2 distinct
+    responses, deterministic two-smallest pick)."""
+
+    def test_twin(self, ray_session):
+        from ner_ray.pipelines.queries import _q107_sql, transcripts_path_for
+
+        _twin_check("q107_preference_pairs", _q107_sql(transcripts_path_for(SF)))
+
+    def test_independent_pandas(self, ray_session):
+        from ner_ray.pipelines.queries import q107_preference_pairs
+
+        tx = _fixture_df().sort_values(["conv_id", "turn_idx"])
+        pairs = []
+        for _, g in tx.groupby("conv_id", sort=False):
+            roles = g["role"].to_numpy()
+            texts = g["text"].to_numpy()
+            for i in range(1, len(roles)):
+                if roles[i] == "assistant" and roles[i - 1] == "user":
+                    pairs.append((texts[i - 1], texts[i]))
+        d = pd.DataFrame(pairs, columns=["prompt", "response"]).drop_duplicates()
+        rows = []
+        for prompt, g in d.groupby("prompt"):
+            rs = sorted(g["response"])
+            if len(rs) >= 2:
+                rows.append((prompt, rs[0], rs[1]))
+        want = (
+            pd.DataFrame(rows, columns=["prompt", "response_a", "response_b"])
+            .sort_values("prompt")
+            .reset_index(drop=True)
+        )
+        got = (
+            q107_preference_pairs(SF)
+            .to_pandas()
+            .sort_values("prompt")
+            .reset_index(drop=True)[want.columns]
+        )
+        assert len(got) > 0, "fixture must yield preference candidates"
+        pd.testing.assert_frame_equal(got, want)
