@@ -154,6 +154,7 @@ def run_bench() -> dict:
         "q105_corpus_diff",
         "q106_tool_latency",
         "q107_preference_pairs",
+        "q108_rare_entity_suppression",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -5678,6 +5678,111 @@ def q102_sft_clean(sf_dir: str) -> Dataset:
     )
 
 
+_SUPPRESS_MIN_CONVS = 3
+
+
+def q108_rare_entity_suppression(sf_dir: str) -> Dataset:
+    """k-anonymity-style privacy audit over the flagship mentions: one
+    row per (surface, type) with its conversation support, mention
+    count, and ``suppress`` = support < {_SUPPRESS_MIN_CONVS} — the
+    table a privacy pass consults before publishing a KG or training
+    set (rare names identify individuals; q45 redacts PATTERNED PII,
+    this catches the long-tail rest by support).  The fixture gazetteer
+    is finite so every surface is well-supported there and the flag is
+    exercised by a TOY-corpus pytest instead (a filter-style op that is
+    empty on the fixture would gate nothing).  Scale shape: the B3
+    tagger actor pool emits mentions, a per-block (surface, type,
+    conv_id) distinct pre-aggregation shrinks the shuffle, then ONE
+    surface-hash bucket segmented kernel counts both supports (output
+    is entity-vocabulary-sized).  Twin = the rule-tagger recursive-CTE
+    mentions relation + a grouped CASE flag."""
+    from ner_ray.pipelines.kg import read_transcripts
+    from ner_ray.stages.tagger import tag_transcripts
+    from ner_ray.utils import stable_hash64
+
+    tx = read_transcripts(transcripts_path_for(sf_dir))
+    mentions = tag_transcripts(tx, tagger="rule").select_columns(
+        ["conv_id", "surface", "type"]
+    )
+    num_buckets = 512
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["surface", "type", "conv_id"]).aggregate(
+            [("conv_id", "count")]
+        )
+        out = pa.table(
+            {
+                "surface": g["surface"],
+                "type": g["type"],
+                "conv_id": g["conv_id"],
+                "n": pc.cast(g["conv_id_count"], pa.int64()),
+            }
+        )
+        h = stable_hash64(out["surface"])  # NUL-safe
+        return out.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    empty = pa.table(
+        {
+            "surface": pa.array([], pa.string()),
+            "type": pa.array([], pa.string()),
+            "n_convs": pa.array([], pa.int64()),
+            "n_mentions": pa.array([], pa.int64()),
+            "suppress": pa.array([], pa.int64()),
+        }
+    )
+
+    def count_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_bkt"]).sort_by(
+            [("surface", "ascending"), ("type", "ascending"), ("conv_id", "ascending")]
+        )
+        surf = g["surface"].to_numpy(zero_copy_only=False)
+        typ = g["type"].to_numpy(zero_copy_only=False)
+        convs = g["conv_id"].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        newkey = np.r_[
+            True, (surf[1:] != surf[:-1]) | (typ[1:] != typ[:-1])
+        ]
+        starts = np.flatnonzero(newkey)
+        newpair = newkey | np.r_[True, convs[1:] != convs[:-1]]
+        n_mentions = np.add.reduceat(ns, starts)
+        n_convs = np.add.reduceat(newpair.astype(np.int64), starts)
+        idx = pa.array(starts, pa.int64())
+        return pa.table(
+            {
+                "surface": g["surface"].take(idx),
+                "type": g["type"].take(idx),
+                "n_convs": pa.array(n_convs, pa.int64()),
+                "n_mentions": pa.array(n_mentions, pa.int64()),
+                "suppress": pa.array(
+                    (n_convs < _SUPPRESS_MIN_CONVS).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        mentions.map_batches(pre, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(count_block, batch_format="pyarrow")
+    )
+
+
+def _q108_sql(transcripts_path: str, k: int = _SUPPRESS_MIN_CONVS) -> str:
+    return (
+        _rule_mentions_ctes(transcripts_path)
+        + f"""
+SELECT surface, type,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       count(*)::BIGINT AS n_mentions,
+       (CASE WHEN count(DISTINCT conv_id) < {k} THEN 1 ELSE 0 END)::BIGINT
+         AS suppress
+FROM mentions
+GROUP BY surface, type
+"""
+    )
+
+
 def q107_preference_pairs(sf_dir: str) -> Dataset:
     """Preference-pair mining for DPO/RLHF from agent transcripts: find
     prompts (user turns) that the corpus answers with >= 2 DISTINCT
@@ -6454,6 +6559,7 @@ RAY_QUERIES = {
     "q105_corpus_diff": q105_corpus_diff,
     "q106_tool_latency": q106_tool_latency,
     "q107_preference_pairs": q107_preference_pairs,
+    "q108_rare_entity_suppression": q108_rare_entity_suppression,
     # demoted from the window in the continuation-session rotation
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -7133,6 +7239,8 @@ GROUP BY conv_id
     sql["q106_tool_latency"] = _q106_sql(path)
     # Twin of q107: preference-pair mining (q80 CTE + min/conditional-min).
     sql["q107_preference_pairs"] = _q107_sql(path)
+    # Twin of q108: rare-entity suppression audit (mentions CTE + HAVING).
+    sql["q108_rare_entity_suppression"] = _q108_sql(path)
     # Twin of q94: per-triple temporal provenance (the full flagship
     # rewrite chain + the per-turn timestamp join).
     sql["q94_kg_triple_provenance"] = _q94_sql(path)

@@ -541,3 +541,65 @@ class TestPreferencePairs:
         )
         assert len(got) > 0, "fixture must yield preference candidates"
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestRareEntitySuppression:
+    """q108 — the k-anonymity audit table over flagship mentions."""
+
+    def test_twin(self, ray_session):
+        from ner_ray.pipelines.queries import _q108_sql, transcripts_path_for
+
+        _twin_check(
+            "q108_rare_entity_suppression", _q108_sql(transcripts_path_for(SF))
+        )
+
+    def test_flag_fires_on_toy_corpus(self, ray_session, tmp_path, monkeypatch):
+        """The fixture gazetteer is uniformly well-supported, so the flag
+        must be proven on a corpus WITH a rare tail: one surface in a
+        single conversation, another in three."""
+        import pyarrow as pa
+        import pyarrow.parquet as paq
+
+        from ner_ray import schemas
+        from ner_ray.fixtures import gazetteer as gz
+        import ner_ray.pipelines.queries as q
+
+        rare, common = gz.PER[0], gz.PER[1]
+        rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+
+        def add(conv, ti, text):
+            rows["conv_id"].append(conv)
+            rows["turn_idx"].append(ti)
+            rows["role"].append("user")
+            rows["text"].append(text)
+            rows["tool"].append("")
+            rows["ts"].append(1_767_225_600_000_000 + ti)
+
+        add("c1", 0, f"{rare} works at home.")
+        for i, conv in enumerate(["c1", "c2", "c3"]):
+            add(conv, i + 1, f"{common} visited Lima.")
+        tbl = pa.table(
+            {
+                "conv_id": pa.array(rows["conv_id"], pa.string()),
+                "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+                "role": pa.array(rows["role"], pa.string()),
+                "text": pa.array(rows["text"], pa.string()),
+                "tool": pa.array(rows["tool"], pa.string()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            },
+            schema=schemas.TRANSCRIPTS,
+        )
+        d = tmp_path / "toy_tx"
+        d.mkdir()
+        paq.write_table(tbl, d / "part-0.parquet")
+
+        orig = q.transcripts_path_for
+        monkeypatch.setattr(
+            q, "transcripts_path_for", lambda s: str(d) if s == "TOY" else orig(s)
+        )
+        got = q.q108_rare_entity_suppression("TOY").to_pandas()
+        by_surface = got.set_index("surface")
+        assert int(by_surface.loc[rare, "suppress"]) == 1
+        assert int(by_surface.loc[rare, "n_convs"]) == 1
+        assert int(by_surface.loc[common, "suppress"]) == 0
+        assert int(by_surface.loc[common, "n_convs"]) == 3
