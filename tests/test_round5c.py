@@ -603,3 +603,51 @@ class TestRareEntitySuppression:
         assert int(by_surface.loc[rare, "n_convs"]) == 1
         assert int(by_surface.loc[common, "suppress"]) == 0
         assert int(by_surface.loc[common, "n_convs"]) == 3
+
+
+class TestResumableCuration:
+    """pipelines/curation.run_sft_curation — the B10 checkpoint/resume
+    contract on the curation side (same machinery as the KG stages)."""
+
+    def test_run_skip_and_invalidate(self, ray_session, tmp_path, monkeypatch):
+        import json
+        import os
+
+        import ner_ray.pipelines.curation as cur
+        import ner_ray.pipelines.queries as q
+        from ner_ray.pipelines.queries import q102_sft_clean
+
+        out = str(tmp_path / "ckpt")
+
+        ds1, m1 = cur.run_sft_curation(SF, out)
+        assert m1["skipped"] is False
+        direct = (
+            q102_sft_clean(SF)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        got = (
+            ds1.to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)[direct.columns]
+        )
+        pd.testing.assert_frame_equal(got, direct)
+        # lineage manifest on disk
+        mf = json.load(open(os.path.join(out, "sft_pairs", "manifest.json")))
+        assert mf["row_count"] == len(direct) and mf["files"]
+
+        # unchanged input -> resumed, not recomputed (build must not run)
+        def boom(_):
+            raise AssertionError("build re-executed despite matching signature")
+
+        monkeypatch.setattr(q, "q102_sft_clean", boom)
+        ds2, m2 = cur.run_sft_curation(SF, out)
+        assert m2["skipped"] is True
+        assert len(ds2.to_pandas()) == len(direct)
+        monkeypatch.undo()
+
+        # parameter change -> signature change -> rebuild
+        monkeypatch.setattr(q, "_SFT_BOILER_MIN_CONVS", 99)
+        ds3, m3 = cur.run_sft_curation(SF, out)
+        assert m3["skipped"] is False
