@@ -155,6 +155,7 @@ def run_bench() -> dict:
         "q106_tool_latency",
         "q107_preference_pairs",
         "q108_rare_entity_suppression",
+        "q109_conv_group_split",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

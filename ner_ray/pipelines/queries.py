@@ -5678,6 +5678,87 @@ def q102_sft_clean(sf_dir: str) -> Dataset:
     )
 
 
+def q109_conv_group_split(sf_dir: str) -> Dataset:
+    """GROUP-level train/val/test split over transcripts: every TURN of a
+    conversation lands in the same split (the anti-leakage requirement
+    conversational data adds over q92's doc-level split — a conversation
+    straddling train and test leaks its template and entities).  The
+    split key is the conversation's md5 hex prefix, compared
+    LEXICOGRAPHICALLY: hex strings order identically in Python and SQL,
+    so the 80/10/10 thresholds ('cc' ~ 204/256, 'e6' ~ 230/256) are
+    engine-portable with zero integer-hash re-derivation.  One distinct
+    pass per block + one conv-hash groupby (rows = conversations, never
+    turns); emits (conv_id, n_turns, bucket_hex, split)."""
+    import hashlib
+
+    from ner_ray.utils import stable_hash64
+
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(path, columns=["conv_id"])
+    num_buckets = 512
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["conv_id"]).aggregate([("conv_id", "count")])
+        out = pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n": pc.cast(g["conv_id_count"], pa.int64()),
+            }
+        )
+        h = stable_hash64(out["conv_id"])  # NUL-safe
+        return out.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+            "bucket_hex": pa.array([], pa.string()),
+            "split": pa.array([], pa.string()),
+        }
+    )
+
+    def assign_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_bkt"]).sort_by([("conv_id", "ascending")])
+        convs = g["conv_id"].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        newc = np.r_[True, convs[1:] != convs[:-1]]
+        starts = np.flatnonzero(newc)
+        n_turns = np.add.reduceat(ns, starts)
+        uniq = convs[starts]
+        hexes = np.array(
+            [hashlib.md5(c.encode()).hexdigest()[:2] for c in uniq], dtype=object
+        )
+        split = np.where(hexes < "cc", "train", np.where(hexes < "e6", "val", "test"))
+        return pa.table(
+            {
+                "conv_id": pa.array(uniq.tolist(), pa.string()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "bucket_hex": pa.array(hexes.tolist(), pa.string()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(assign_block, batch_format="pyarrow")
+    )
+
+
+def _q109_sql(transcripts_path: str) -> str:
+    return f"""
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       substr(md5(conv_id), 1, 2) AS bucket_hex,
+       CASE WHEN substr(md5(conv_id), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(conv_id), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM read_parquet('{transcripts_path}/*.parquet')
+GROUP BY conv_id
+"""
+
+
 _SUPPRESS_MIN_CONVS = 3
 
 
@@ -6560,6 +6641,7 @@ RAY_QUERIES = {
     "q106_tool_latency": q106_tool_latency,
     "q107_preference_pairs": q107_preference_pairs,
     "q108_rare_entity_suppression": q108_rare_entity_suppression,
+    "q109_conv_group_split": q109_conv_group_split,
     # demoted from the window in the continuation-session rotation
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -7241,6 +7323,8 @@ GROUP BY conv_id
     sql["q107_preference_pairs"] = _q107_sql(path)
     # Twin of q108: rare-entity suppression audit (mentions CTE + HAVING).
     sql["q108_rare_entity_suppression"] = _q108_sql(path)
+    # Twin of q109: conversation-level split (md5-hex-prefix thresholds).
+    sql["q109_conv_group_split"] = _q109_sql(path)
     # Twin of q94: per-triple temporal provenance (the full flagship
     # rewrite chain + the per-turn timestamp join).
     sql["q94_kg_triple_provenance"] = _q94_sql(path)

@@ -651,3 +651,33 @@ class TestResumableCuration:
         monkeypatch.setattr(q, "_SFT_BOILER_MIN_CONVS", 99)
         ds3, m3 = cur.run_sft_curation(SF, out)
         assert m3["skipped"] is False
+
+
+class TestConvGroupSplit:
+    """q109 — group-level split: a conversation never straddles splits."""
+
+    def test_twin(self, ray_session):
+        from ner_ray.pipelines.queries import _q109_sql, transcripts_path_for
+
+        _twin_check("q109_conv_group_split", _q109_sql(transcripts_path_for(SF)))
+
+    def test_leak_free_and_proportions(self, ray_session):
+        import hashlib
+
+        from ner_ray.pipelines.queries import q109_conv_group_split
+
+        got = q109_conv_group_split(SF).to_pandas()
+        tx = _fixture_df()
+        # one row per conversation, n_turns exact
+        want_counts = tx.groupby("conv_id").size().sort_index()
+        assert len(got) == len(want_counts)
+        merged = got.set_index("conv_id")["n_turns"].sort_index()
+        assert (merged.to_numpy() == want_counts.to_numpy()).all()
+        assert list(merged.index) == list(want_counts.index)
+        # independent split re-derivation
+        for conv_id, row in got.set_index("conv_id").iterrows():
+            h2 = hashlib.md5(conv_id.encode()).hexdigest()[:2]
+            want = "train" if h2 < "cc" else ("val" if h2 < "e6" else "test")
+            assert row["split"] == want
+        # all three splits occur on the fixture
+        assert set(got["split"]) == {"train", "val", "test"}
