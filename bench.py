@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "q107_preference_pairs",
         "q108_rare_entity_suppression",
         "q109_conv_group_split",
+        "q110_epoch_shuffle_orders",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -5678,6 +5678,100 @@ def q102_sft_clean(sf_dir: str) -> Dataset:
     )
 
 
+_EPOCHS = 3
+_EPOCH_SHARDS = 8
+_EPOCH_SALT = 0xD1B54A32D192ED03  # odd 64-bit constant; epoch-decorrelates seeds
+
+
+def q110_epoch_shuffle_orders(sf_dir: str) -> Dataset:
+    """Multi-epoch deterministic data-loader orders: for each training
+    epoch e, every doc draws h_e = splitmix64(doc_id + e * SALT) (uint64
+    wraparound — each epoch is an independent avalanche-quality
+    permutation, so epoch orders are decorrelated), lands in shard
+    h_e % {_EPOCH_SHARDS}, and takes the 1-based rank of h_e inside its
+    (epoch, shard) — the reproducible multi-epoch shuffle a training
+    loop needs with zero RNG state (q66 is the single-epoch form).  One
+    expansion pass emits the {_EPOCHS}x narrow rows, then the shared
+    ``window.rank_in_shard`` key shuffle ranks all epochs at once.
+    Twin re-derives every chain over an epoch-expanded CROSS JOIN in
+    HUGEINT + a row_number window."""
+    from ner_ray.stages.sketches import splitmix64
+    from ner_ray.stages.window import rank_in_shard
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for e in range(_EPOCHS):
+            h = splitmix64(
+                ids.astype(np.uint64) + np.uint64(e) * np.uint64(_EPOCH_SALT)
+            )
+            shard = (h % np.uint64(_EPOCH_SHARDS)).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "epoch": pa.array(np.full(len(ids), e, np.int64)),
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "h": pa.array(h, pa.uint64()),
+                        "shard": pa.array(shard, pa.int64()),
+                        "ekey": pa.array(
+                            np.int64(e) * _EPOCH_SHARDS + shard, pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ranked = rank_in_shard(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        shard_col="ekey",
+        order_cols=["h", "doc_id"],
+        keep_cols=["epoch", "doc_id", "shard"],
+    )
+    return ranked.select_columns(["epoch", "doc_id", "shard", "pos"])
+
+
+def _q110_sql(
+    epochs: int = _EPOCHS, shards: int = _EPOCH_SHARDS, salt: int = _EPOCH_SALT
+) -> str:
+    t64 = 1 << 64
+    t32 = 1 << 32
+    a0, b1, c1 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mul(x: str, const: int) -> str:
+        hi, lo = const >> 32, const & (t32 - 1)
+        return (
+            f"((((({x}) // {t32}) * {lo} + (({x}) % {t32}) * {hi}) % {t32}) * {t32}"
+            f" + (({x}) % {t32}) * {lo}) % {t64}::HUGEINT"
+        )
+
+    evals = ", ".join(f"({e})" for e in range(epochs))
+    return f"""
+WITH ep(epoch) AS (VALUES {evals}),
+d AS (SELECT doc_id, epoch FROM documents CROSS JOIN ep),
+z0 AS (
+  SELECT doc_id, epoch,
+         ((doc_id::HUGEINT + epoch::HUGEINT * {salt}::HUGEINT) % {t64}::HUGEINT
+          + {a0}::HUGEINT) % {t64}::HUGEINT AS z
+  FROM d
+),
+x1 AS (SELECT doc_id, epoch, xor(z, z // {1 << 30}) AS x FROM z0),
+z1 AS (SELECT doc_id, epoch, {mul('x', b1)} AS z FROM x1),
+x2 AS (SELECT doc_id, epoch, xor(z, z // {1 << 27}) AS x FROM z1),
+z2 AS (SELECT doc_id, epoch, {mul('x', c1)} AS z FROM x2),
+h AS (SELECT doc_id, epoch, xor(z, z // {1 << 31}) AS h FROM z2)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       CAST(h % {shards} AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY epoch, h % {shards}
+                          ORDER BY h, doc_id)::BIGINT AS pos
+FROM h
+"""
+
+
+SQL_Q110 = _q110_sql()
+
+
 def q109_conv_group_split(sf_dir: str) -> Dataset:
     """GROUP-level train/val/test split over transcripts: every TURN of a
     conversation lands in the same split (the anti-leakage requirement
@@ -6642,6 +6736,7 @@ RAY_QUERIES = {
     "q107_preference_pairs": q107_preference_pairs,
     "q108_rare_entity_suppression": q108_rare_entity_suppression,
     "q109_conv_group_split": q109_conv_group_split,
+    "q110_epoch_shuffle_orders": q110_epoch_shuffle_orders,
     # demoted from the window in the continuation-session rotation
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -6705,6 +6800,7 @@ ORACLE_SQL = {
     "q103_token_budget_cut": SQL_Q103,
     "q104_corpus_report": SQL_Q104,
     "q105_corpus_diff": SQL_Q105,
+    "q110_epoch_shuffle_orders": SQL_Q110,
     "q58_inverted_search": _inverted_sql(),
     "q59_full_outer_join": SQL_Q59,
     "q60_window_funcs": SQL_Q60,

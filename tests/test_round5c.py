@@ -681,3 +681,39 @@ class TestConvGroupSplit:
             assert row["split"] == want
         # all three splits occur on the fixture
         assert set(got["split"]) == {"train", "val", "test"}
+
+
+class TestEpochShuffleOrders:
+    """q110 — deterministic multi-epoch data-loader orders."""
+
+    def test_twin(self, ray_session):
+        _twin_check("q110_epoch_shuffle_orders")
+
+    def test_epochs_decorrelated_and_complete(self, ray_session):
+        from ner_ray.pipelines.queries import (
+            _EPOCHS,
+            _EPOCH_SHARDS,
+            q110_epoch_shuffle_orders,
+        )
+
+        got = q110_epoch_shuffle_orders(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        n = len(docs)
+        # every epoch is a complete assignment of all docs
+        for e in range(_EPOCHS):
+            g = got[got["epoch"] == e]
+            assert len(g) == n
+            assert set(g["doc_id"]) == set(docs["doc_id"])
+            # positions are 1..|shard| within each shard
+            for _s, sg in g.groupby("shard"):
+                assert sorted(sg["pos"]) == list(range(1, len(sg) + 1))
+            assert set(g["shard"]) <= set(range(_EPOCH_SHARDS))
+        # epoch orders are decorrelated: the global (shard, pos) order of
+        # epoch 0 and epoch 1 must differ for most docs
+        o0 = got[got["epoch"] == 0].set_index("doc_id")[["shard", "pos"]].sort_index()
+        o1 = got[got["epoch"] == 1].set_index("doc_id")[["shard", "pos"]].sort_index()
+        same = (
+            (o0["shard"].to_numpy() == o1["shard"].to_numpy())
+            & (o0["pos"].to_numpy() == o1["pos"].to_numpy())
+        ).mean()
+        assert same < 0.2, f"epoch orders too correlated: {same:.2f}"
