@@ -157,6 +157,7 @@ def run_bench() -> dict:
         "q108_rare_entity_suppression",
         "q109_conv_group_split",
         "q110_epoch_shuffle_orders",
+        "q111_skew_report",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

@@ -5678,6 +5678,124 @@ def q102_sft_clean(sf_dir: str) -> Dataset:
     )
 
 
+def q111_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Key-skew diagnostics for a keyed shuffle — the report an engineer
+    reads BEFORE choosing salt factors / bucket counts (here over the
+    flagship's conv_id, whose mega-conversation is the north rule's named
+    skew hazard): key count, row count, max rows-per-key, EXACT p50/p99
+    rows-per-key, max/mean ratio in integer micros, and the top-5 hottest
+    keys.  Scale shape: per-conv counts via one conv-hash bucket shuffle;
+    the exact quantiles come from a (count-value, frequency) table — a
+    SECOND grouped combine whose cardinality is the number of DISTINCT
+    per-key counts (bounded by the max conversation length, not by key
+    count), folded driver-side; hot keys via the per-block top-N
+    pre-combiner.  All metrics exact integers; long-form (metric, key,
+    value) rows; twin replays the rank-based quantile definition with
+    row_number windows."""
+    from ner_ray.stages.relational import _block_topn, grouped_agg_partial
+    from ner_ray.utils import stable_hash64
+
+    path = transcripts_path_for(sf_dir)
+    ds = read_parquet_clean(path, columns=["conv_id"])
+    num_buckets = 512
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["conv_id"]).aggregate([("conv_id", "count")])
+        out = pa.table(
+            {"conv_id": g["conv_id"], "n": pc.cast(g["conv_id_count"], pa.int64())}
+        )
+        h = stable_hash64(out["conv_id"])  # NUL-safe
+        return out.append_column("_bkt", pa.array((h % num_buckets).astype(np.int64)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bkt"]).sort_by([("conv_id", "ascending")])
+        convs = g["conv_id"].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        newc = np.r_[True, convs[1:] != convs[:-1]]
+        starts = np.flatnonzero(newc)
+        tot = np.add.reduceat(ns, starts)
+        return pa.table(
+            {
+                "conv_id": g["conv_id"].take(pa.array(starts, pa.int64())),
+                "n": pa.array(tot, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(fold, batch_format="pyarrow")
+    ).materialize()  # consumed by three tiny aggregates below
+
+    # (count-value, frequency) — cardinality = distinct per-key counts,
+    # bounded by the longest conversation, not by key count
+    def vf(t: pa.Table) -> pa.Table:
+        ns = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, freq = np.unique(ns, return_counts=True)
+        return pa.table(
+            {"n": pa.array(vals, pa.int64()), "freq": pa.array(freq, pa.int64())}
+        )
+
+    freq = grouped_agg_partial(
+        counts.map_batches(vf, batch_format="pyarrow"), keys=["n"], sums={"freq": "freq"}
+    ).sort_values("n")
+    vals = freq["n"].to_numpy(np.int64)
+    f = freq["freq"].to_numpy(np.int64)
+    cum = np.cumsum(f)
+    K, N, M = int(cum[-1]), int((vals * f).sum()), int(vals.max())
+
+    def exact_q(p: float) -> int:
+        r = int(np.ceil(p * K))
+        return int(vals[np.searchsorted(cum, r)])
+
+    def hot(t: pa.Table) -> pa.Table:
+        tbl = t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
+        return _block_topn(tbl, "_g", "n", 5, "conv_id")
+
+    hot5 = (
+        counts.map_batches(hot, batch_format="pyarrow")
+        .sort(["n", "conv_id"], descending=[True, False])
+        .limit(5)
+        .to_pandas()
+    )
+    rows = [
+        ("n_keys", "", K),
+        ("n_rows", "", N),
+        ("max_rows", "", M),
+        ("p50_rows", "", exact_q(0.5)),
+        ("p99_rows", "", exact_q(0.99)),
+        ("skew_max_over_mean_micros", "", (M * K * 1_000_000) // N),
+    ]
+    for i, r in enumerate(hot5.itertuples(index=False), start=1):
+        rows.append((f"hot_{i}", r.conv_id, int(r.n)))
+    return pd.DataFrame(rows, columns=["metric", "key", "value"]).astype(
+        {"value": "int64"}
+    )
+
+
+def _q111_sql(transcripts_path: str) -> str:
+    return f"""
+WITH c AS (
+  SELECT conv_id, count(*)::BIGINT AS n
+  FROM read_parquet('{transcripts_path}/*.parquet') GROUP BY conv_id
+),
+k AS (SELECT count(*)::BIGINT AS kk, sum(n)::BIGINT AS nn, max(n)::BIGINT AS mm
+      FROM c),
+o AS (SELECT n, row_number() OVER (ORDER BY n, conv_id) AS rn FROM c),
+hot AS (SELECT conv_id, n, row_number() OVER (ORDER BY n DESC, conv_id) AS r
+        FROM c)
+SELECT 'n_keys' AS metric, '' AS key, kk AS value FROM k
+UNION ALL SELECT 'n_rows', '', nn FROM k
+UNION ALL SELECT 'max_rows', '', mm FROM k
+UNION ALL SELECT 'p50_rows', '', o.n FROM o, k
+          WHERE o.rn = CAST(ceil(0.5 * k.kk) AS BIGINT)
+UNION ALL SELECT 'p99_rows', '', o.n FROM o, k
+          WHERE o.rn = CAST(ceil(0.99 * k.kk) AS BIGINT)
+UNION ALL SELECT 'skew_max_over_mean_micros', '', (mm * kk * 1000000) // nn FROM k
+UNION ALL SELECT 'hot_' || r, conv_id, n FROM hot WHERE r <= 5
+"""
+
+
 _EPOCHS = 3
 _EPOCH_SHARDS = 8
 _EPOCH_SALT = 0xD1B54A32D192ED03  # odd 64-bit constant; epoch-decorrelates seeds
@@ -6737,6 +6855,7 @@ RAY_QUERIES = {
     "q108_rare_entity_suppression": q108_rare_entity_suppression,
     "q109_conv_group_split": q109_conv_group_split,
     "q110_epoch_shuffle_orders": q110_epoch_shuffle_orders,
+    "q111_skew_report": q111_skew_report,
     # demoted from the window in the continuation-session rotation
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -7421,6 +7540,8 @@ GROUP BY conv_id
     sql["q108_rare_entity_suppression"] = _q108_sql(path)
     # Twin of q109: conversation-level split (md5-hex-prefix thresholds).
     sql["q109_conv_group_split"] = _q109_sql(path)
+    # Twin of q111: key-skew diagnostics (rank-based exact quantiles).
+    sql["q111_skew_report"] = _q111_sql(path)
     # Twin of q94: per-triple temporal provenance (the full flagship
     # rewrite chain + the per-turn timestamp join).
     sql["q94_kg_triple_provenance"] = _q94_sql(path)

@@ -717,3 +717,34 @@ class TestEpochShuffleOrders:
             & (o0["pos"].to_numpy() == o1["pos"].to_numpy())
         ).mean()
         assert same < 0.2, f"epoch orders too correlated: {same:.2f}"
+
+
+class TestSkewReport:
+    """q111 — key-skew diagnostics with exact rank-based quantiles."""
+
+    def test_twin(self, ray_session):
+        from ner_ray.pipelines.queries import _q111_sql, transcripts_path_for
+
+        _twin_check("q111_skew_report", _q111_sql(transcripts_path_for(SF)))
+
+    def test_independent_pandas(self, ray_session):
+        from ner_ray.pipelines.queries import q111_skew_report
+
+        tx = _fixture_df()
+        c = tx.groupby("conv_id").size().sort_values(ascending=False)
+        K, N, M = len(c), int(c.sum()), int(c.max())
+        s = np.sort(c.to_numpy())
+        got = q111_skew_report(SF).set_index("metric")
+        assert int(got.loc["n_keys", "value"]) == K
+        assert int(got.loc["n_rows", "value"]) == N
+        assert int(got.loc["max_rows", "value"]) == M
+        assert int(got.loc["p50_rows", "value"]) == int(s[int(np.ceil(0.5 * K)) - 1])
+        assert int(got.loc["p99_rows", "value"]) == int(s[int(np.ceil(0.99 * K)) - 1])
+        assert int(got.loc["skew_max_over_mean_micros", "value"]) == (
+            M * K * 1_000_000
+        ) // N
+        # the mega-conversation (conv-000000) must be the hottest key
+        assert got.loc["hot_1", "key"] == "conv-000000"
+        assert int(got.loc["hot_1", "value"]) == M
+        # the report must actually show skew on this fixture
+        assert int(got.loc["skew_max_over_mean_micros", "value"]) > 2_000_000
