@@ -6690,7 +6690,6 @@ RAY_QUERIES = {
     "q07_events_tumbling": q07_events_tumbling,
     "q08_sessionize": q08_sessionize,
     "q13_dedup_exact": q13_dedup_exact,
-    "q15_token_stats": q15_token_stats,
     "q18_ann_topk": q18_ann_topk,
     "q21_lang_id": q21_lang_id,
     "q24_quality_scores": q24_quality_scores,
@@ -6715,8 +6714,17 @@ RAY_QUERIES = {
     "kg_canon_entities": kg_canon_entities,
     "kg_incremental_triples": kg_incremental_triples,
     "mm_media_stats": mm_media_stats,
-    "mm_video_frames": mm_video_frames,
-    "mm_resize_pipeline": mm_resize_pipeline,
+    # second continuation-session rotation: mm_video_frames /
+    # mm_resize_pipeline (driver-green rounds 1-4; same multimodal
+    # payload-arithmetic twin family as in-window mm_media_stats) and
+    # q15 (r1-green; token counting is exercised in-window through the
+    # q95/q79-style _tokenize_flat kernels inside q103) yield slots to
+    # the three most mechanism-distinct continuation ops: the
+    # prefix-threshold budget cut, preference-pair mining, and the
+    # skew diagnostics report.
+    "q103_token_budget_cut": q103_token_budget_cut,
+    "q107_preference_pairs": q107_preference_pairs,
+    "q111_skew_report": q111_skew_report,
     "q22_minhash_near_dup": q22_minhash_near_dup,
     "q37_doc_embedding_near_dup": q37_doc_embedding_near_dup,
     # round-3/4 operators promoted into the driver window (round 5):
@@ -6847,18 +6855,18 @@ RAY_QUERIES = {
     # continuation-session additions past the cap (twinned, pytest-swept):
     # token-budget corpus cut via the distributed prefix-threshold pattern,
     # and the one-row corpus datasheet
-    "q103_token_budget_cut": q103_token_budget_cut,
     "q104_corpus_report": q104_corpus_report,
     "q105_corpus_diff": q105_corpus_diff,
     "q106_tool_latency": q106_tool_latency,
-    "q107_preference_pairs": q107_preference_pairs,
     "q108_rare_entity_suppression": q108_rare_entity_suppression,
     "q109_conv_group_split": q109_conv_group_split,
     "q110_epoch_shuffle_orders": q110_epoch_shuffle_orders,
-    "q111_skew_report": q111_skew_report,
-    # demoted from the window in the continuation-session rotation
+    # demoted from the window in the continuation-session rotations
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
+    "q15_token_stats": q15_token_stats,
+    "mm_video_frames": mm_video_frames,
+    "mm_resize_pipeline": mm_resize_pipeline,
     "q46_stratified_sample": q46_stratified_sample,
     "q47_sequence_packing": q47_sequence_packing,
     "q48_bloom_semi_join": q48_bloom_semi_join,
