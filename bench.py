@@ -158,6 +158,7 @@ def run_bench() -> dict:
         "q109_conv_group_split",
         "q110_epoch_shuffle_orders",
         "q111_skew_report",
+        "q112_contrastive_pairs",
     ]:
         t0 = time.perf_counter()
         out = RAY_QUERIES[name](SF_DIR)

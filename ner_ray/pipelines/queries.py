@@ -5678,6 +5678,46 @@ def q102_sft_clean(sf_dir: str) -> Dataset:
     )
 
 
+def q112_contrastive_pairs(sf_dir: str) -> Dataset:
+    """Contrastive-pair mining for embedding-model training from the
+    MinHash-LSH pipeline (stages.text_dedup.minhash_contrastive_pairs):
+    every LSH bucket-collision pair labeled 1 (verified near-dup — a
+    POSITIVE) or 0 (collision that FAILED signature verification — a
+    HARD NEGATIVE, the reject set q22 throws away and a retriever
+    trainer wants).  Twin re-derives candidates + the agreement count +
+    the threshold label over the shared sketch fixture (the q22 twin's
+    cand/verify CTEs with the filter turned into a CASE)."""
+    from ner_ray.stages.text_dedup import minhash_contrastive_pairs
+
+    ds = read_parquet_clean(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_contrastive_pairs(ds, threshold=0.7)
+
+
+def _q112_sql(minhash_fixture_path: str, threshold: float = 0.7) -> str:
+    return f"""
+WITH sk AS (
+  SELECT doc_id, sig, keys FROM read_parquet('{minhash_fixture_path}/*.parquet')
+),
+band AS (
+  SELECT doc_id, i AS band, keys[i] AS key FROM sk, range(1, 1 + 32) t(i)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM band x JOIN band y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT c.a AS doc_a, c.b AS doc_b,
+       len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))::BIGINT
+         AS n_agree,
+       (CASE WHEN len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))
+                  >= {threshold} * len(sa.sig)
+             THEN 1 ELSE 0 END)::BIGINT AS label
+FROM cand c
+JOIN sk sa ON sa.doc_id = c.a
+JOIN sk sb ON sb.doc_id = c.b
+"""
+
+
 def q111_skew_report(sf_dir: str) -> pd.DataFrame:
     """Key-skew diagnostics for a keyed shuffle — the report an engineer
     reads BEFORE choosing salt factors / bucket counts (here over the
@@ -6861,6 +6901,7 @@ RAY_QUERIES = {
     "q108_rare_entity_suppression": q108_rare_entity_suppression,
     "q109_conv_group_split": q109_conv_group_split,
     "q110_epoch_shuffle_orders": q110_epoch_shuffle_orders,
+    "q112_contrastive_pairs": q112_contrastive_pairs,
     # demoted from the window in the continuation-session rotations
     # (driver-green rounds 1-4, unchanged, pytest-swept here):
     "q19_embedding_pairs": q19_embedding_pairs,
@@ -7683,6 +7724,9 @@ SELECT d.doc_id, coalesce(c.grp, d.doc_id) AS group_id,
 FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
 """
     sql["q22_minhash_near_dup"] = q22_sql
+    # Twin of q112: the q22 cand/verify CTEs with the threshold as a CASE
+    # label over the same sketch fixture.
+    sql["q112_contrastive_pairs"] = _q112_sql(mf)
     # Twin of q26: the minhash closure (q22 twin, materialized once) derives
     # the (group_id, doc_id) dup pairs; the q40 twin's shingle/Jaccard
     # expressions score them.  No rounding on either side — Jaccard is an

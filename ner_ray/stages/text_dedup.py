@@ -375,6 +375,129 @@ def minhash_near_dup(
     return _groups_from_edges(ds, edges, id_col)
 
 
+def minhash_contrastive_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> Dataset:
+    """Contrastive training pairs for embedding models from the MinHash-LSH
+    pipeline: every LSH CANDIDATE pair (bucket collision) is emitted with
+    its signature-agreement count and a label — 1 where agreement passes
+    the near-dup threshold (a POSITIVE pair) and 0 where the bucket
+    collision FAILED verification (a HARD NEGATIVE: similar enough to
+    collide, not similar enough to be a duplicate — exactly the mining a
+    retriever trainer wants and exactly the reject set ``minhash_near_dup``
+    throws away).  Output: (doc_a, doc_b, n_agree, label), doc_a < doc_b,
+    each candidate pair once.
+
+    Same scale shape as ``minhash_near_dup``'s distributed plan (band
+    explode -> cell-bucketed candidate pairing with the ``max_bucket``
+    cap -> signature joins), minus the closure: pairs ARE the product."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ner_ray.stages.joins import hash_join
+
+    sketch = ds.map_batches(
+        _MinHashSketcher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    ).materialize()  # consumed by the band explode AND both signature joins
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = np.asarray(batch["keys"].to_pylist(), dtype=np.int64)
+        bands_n = keys.shape[1] if n else 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(batch["doc_id"].to_numpy(), bands_n), pa.int64()
+                ),
+                "band": pa.array(np.tile(np.arange(bands_n, dtype=np.int32), n), pa.int32()),
+                "key": pa.array(keys.reshape(-1), pa.int64()),
+            }
+        )
+
+    cand = (
+        sketch.select_columns(["doc_id", "keys"])
+        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(_add_cell, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(lambda g: _cell_bucket_pairs(g, max_bucket), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )
+
+    sig_a = sketch.map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "sig_a": t["sig"]}), batch_format="pyarrow"
+    )
+    sig_b = sketch.map_batches(
+        lambda t: pa.table({"b": t["doc_id"], "sig_b": t["sig"]}), batch_format="pyarrow"
+    )
+    i64, bin_ = pa.int64(), pa.binary()
+    join1 = hash_join(
+        cand,
+        sig_a,
+        on="a",
+        left_schema=pa.schema([("a", i64), ("b", i64)]),
+        right_schema=pa.schema([("a", i64), ("sig_a", bin_)]),
+    )
+    paired = hash_join(
+        join1,
+        sig_b,
+        on="b",
+        left_schema=pa.schema([("a", i64), ("b", i64), ("sig_a", bin_)]),
+        right_schema=pa.schema([("b", i64), ("sig_b", bin_)]),
+    )
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "n_agree": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+        }
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sig_a" not in t.column_names:
+            return empty
+        rows_a, rows_b, agree, lab = [], [], [], []
+        for x, y, sa, sb in zip(
+            t["a"].to_pylist(), t["b"].to_pylist(),
+            t["sig_a"].to_pylist(), t["sig_b"].to_pylist(),
+        ):
+            if sa is None or sb is None:
+                continue
+            n_eq = int(
+                np.sum(np.frombuffer(sa, dtype=np.uint32) == np.frombuffer(sb, dtype=np.uint32))
+            )
+            rows_a.append(x)
+            rows_b.append(y)
+            agree.append(n_eq)
+            lab.append(1 if n_eq >= threshold * num_perm else 0)
+        return pa.table(
+            {
+                "doc_a": pa.array(rows_a, pa.int64()),
+                "doc_b": pa.array(rows_b, pa.int64()),
+                "n_agree": pa.array(agree, pa.int64()),
+                "label": pa.array(lab, pa.int64()),
+            }
+        )
+
+    return paired.map_batches(label, batch_format="pyarrow")
+
+
 class _SimHashSketcher:
     def __init__(self, n_blocks: int, text_col: str, id_col: str):
         self.n_blocks = n_blocks

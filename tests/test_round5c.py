@@ -748,3 +748,57 @@ class TestSkewReport:
         assert int(got.loc["hot_1", "value"]) == M
         # the report must actually show skew on this fixture
         assert int(got.loc["skew_max_over_mean_micros", "value"]) > 2_000_000
+
+
+class TestContrastivePairs:
+    """q112 — positives + hard negatives from the LSH candidate stream."""
+
+    def test_twin(self, ray_session):
+        from ner_ray.pipelines.queries import _minhash_fixture, _q112_sql, _t
+
+        _twin_check(
+            "q112_contrastive_pairs",
+            _q112_sql(_minhash_fixture(_t(SF, "documents"))),
+        )
+
+    def test_positive_labels_on_fixture(self, ray_session):
+        from ner_ray.pipelines.queries import q112_contrastive_pairs
+
+        got = q112_contrastive_pairs(SF).to_pandas()
+        assert len(got) > 0 and (got["label"] == 1).any()
+        assert (got["doc_a"] < got["doc_b"]).all()
+        # each candidate pair appears once
+        assert not got.duplicated(["doc_a", "doc_b"]).any()
+        # label consistent with the agreement count at 0.7 * 128
+        want = (got["n_agree"] >= 0.7 * 128).astype("int64")
+        assert (got["label"] == want).all()
+
+    def test_hard_negative_on_borderline_pair(self, ray_session):
+        """The fixture's LSH buckets only collide for true near-dups, so
+        the HARD-NEGATIVE branch is proven on a crafted borderline pair:
+        ~90% token overlap -> near-certain band collision with signature
+        agreement below the 0.7 threshold."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ner_ray.stages.text_dedup import minhash_contrastive_pairs
+
+        base = " ".join(f"tok{i}" for i in range(60))
+        mut = " ".join(
+            (f"alt{i}" if i % 10 == 0 else f"tok{i}") for i in range(60)
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([base, mut, base], pa.string()),
+            }
+        )
+        got = (
+            minhash_contrastive_pairs(rd.from_arrow(t), threshold=0.7)
+            .to_pandas()
+            .set_index(["doc_a", "doc_b"])
+        )
+        # exact dup -> positive; borderline pair -> hard negative
+        assert int(got.loc[(1, 3), "label"]) == 1
+        assert int(got.loc[(1, 2), "label"]) == 0
+        assert int(got.loc[(1, 2), "n_agree"]) < 0.7 * 128
