@@ -1,8 +1,11 @@
-"""Final-session round-5 additions: transcript hygiene QA (q99),
-cross-conversation boilerplate-turn detection (q100), and temperature
-mixture sampling (q101) — twin equality at sf0.001 plus an INDEPENDENT
-pandas re-derivation of each (a third implementation, so a shared bug in
-the Ray kernel and its SQL twin can't hide)."""
+"""Continuation-session round-5 additions (q99–q112 + the resumable
+curation runner): twin equality at sf0.001 plus an INDEPENDENT pandas
+re-derivation of each operator (a third implementation, so a shared bug
+in the Ray kernel and its SQL twin can't hide), toy-corpus proofs for
+branches the synthetic fixture cannot exercise (q108's suppress flag,
+q112's hard negative), the broadcast-vs-join path-equality law (q102),
+a task-retry fault test (q102 under a SIGKILLed map worker), and the
+checkpoint/resume contract on the curation side."""
 
 from __future__ import annotations
 
